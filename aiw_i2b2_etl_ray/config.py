@@ -1,0 +1,72 @@
+"""Job configuration.
+
+The reference is configured by a four-section ``conf.xml``
+(dictionary/database/concepts/data — /root/reference
+src/main/java/edu/emory/cci/aiw/i2b2etl/dest/config/xml/*, SURVEY.md §2.10);
+the engine's equivalent is a plain dataclass the driver constructs (or loads
+from JSON).  The reference's ``mergeOnUpdate`` / REPLACE-vs-UPDATE query
+modes (dest/config/xml/DictionarySection.java:92-99,
+dest/I2b2QueryResultsHandler.java:329-332) map to ``mode``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class ReplaySpec:
+    """Everything a CDC replay run needs.
+
+    Attributes:
+        num_partitions: hash partitions over ``(repo, path)``; one merge
+            task/group per partition.  Pick so one partition's shuffled rows
+            (~100 B/row after normalize) fit comfortably in a worker heap:
+            at 10^10 events and 100 B/row that is 1 TB total, so 4096-16384
+            partitions on a 256-node cluster.
+        salt_buckets: sub-buckets for hot ``(repo, path)`` keys.  Salting is
+            by ``hash(commit) % salt_buckets`` which preserves exactly-once
+            (same change-id -> same bucket) while the last-writer-wins merge
+            is reassembled by a final per-key reduce (SURVEY.md §7.2 step 6).
+        hot_key_threshold: events per key above which a key is salted; the
+            hot set is discovered by a cheap pruned-column count pre-pass.
+        mode: "replace" truncates outputs first; "update" merges into the
+            existing table state (the reference's QueryMode semantics).
+        schema_version: bumped when the input log carries evolved columns.
+    """
+
+    out_dir: str = "/tmp/aiw_ray_out"
+    num_partitions: int = 64
+    salt_buckets: int = 8
+    hot_key_threshold: int = 250_000
+    mode: str = "replace"  # replace | update
+    schema_version: int = 1
+    batch_size: int = 65536
+    merge_concurrency: int | None = None  # None -> let Ray size the pool
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), sort_keys=True)
+
+    @staticmethod
+    def from_json(s: str) -> "ReplaySpec":
+        return ReplaySpec(**json.loads(s))
+
+
+def out_paths(spec: ReplaySpec) -> dict[str, str]:
+    """Output layout: one directory per logical table, one file per hash
+    partition inside, so a resumed run skips finished partitions (the
+    'resumable output' rule)."""
+    return {
+        name: os.path.join(spec.out_dir, name)
+        for name in (
+            "path_dim",
+            "repo_dim",
+            "lang_dim",
+            "change_fact",
+            "rejected",
+            "_manifest",
+        )
+    }

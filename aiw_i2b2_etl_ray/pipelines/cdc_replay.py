@@ -1,0 +1,213 @@
+"""The flagship pipeline: full CDC replay to a converged Parquet star schema.
+
+Logical plan (one wide shuffle total):
+
+    read_parquet (pruned)                          # sources.read_changes
+      -> map_batches(Normalizer, pyarrow, actors)  # digest + validate + pkey
+      -> [filter: skip committed partitions]       # resume path
+      -> groupby(pkey).map_groups(PartitionMerger) # THE shuffle + merge
+      -> [driver] fold hot-key winners             # tiny per-key reduce
+      -> dims from the (already reduced) fact output
+
+Reference lifecycle parity (dest/I2b2QueryResultsHandler.java): start() ->
+config + broadcast state; handleQueryResult -> Normalizer; finish() ->
+merge procs == PartitionMerger; the count/report queries (:751-837) ->
+lineage manifest.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import uuid
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from ..config import ReplaySpec, out_paths
+from ..sources.changes import read_changes
+from ..stages import dims as dims_mod
+from ..stages.merge import PartitionMerger, load_path_dim, reduce_hot_rows
+from ..stages.normalize import Normalizer
+from ..state import manifest as mf
+
+
+def find_hot_keys(ds: rd.Dataset, threshold: int) -> set[str]:
+    """Pre-pass hot-key discovery: per-batch partial counts on the two key
+    columns only (the rest is pruned), then a tiny groupby over partials —
+    the combiner pattern, so the full rows never shuffle."""
+    import polars as pl
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t.select(["repo", "path"]))
+            .group_by(["repo", "path"])
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+            .to_arrow()
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["repo", "path"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    hot = agg.filter(lambda r: r["n"] >= threshold).take_all()
+    return {f"{r['repo']}\x1f{r['path']}" for r in hot}
+
+
+def normalized(
+    changes: rd.Dataset, spec: ReplaySpec, hot_keys: set[str] | None = None
+) -> rd.Dataset:
+    hot_ref = ray.put(hot_keys) if hot_keys else None
+    return changes.map_batches(
+        Normalizer,
+        fn_constructor_kwargs={
+            "num_partitions": spec.num_partitions,
+            "salt_buckets": spec.salt_buckets,
+            "hot_keys_ref": hot_ref,
+        },
+        batch_format="pyarrow",
+        batch_size=spec.batch_size,
+        zero_copy_batch=True,
+        concurrency=(1, 16),
+        num_cpus=1,
+    )
+
+
+def merged_groups(norm: rd.Dataset, merger_kwargs: dict, spec: ReplaySpec) -> rd.Dataset:
+    kwargs = {"concurrency": spec.merge_concurrency or (1, 16)}
+    return norm.groupby("pkey").map_groups(
+        PartitionMerger,
+        fn_constructor_kwargs=merger_kwargs,
+        batch_format="pyarrow",
+        num_cpus=1,
+        **kwargs,
+    )
+
+
+def replay(
+    input_path: str | rd.Dataset,
+    spec: ReplaySpec,
+    *,
+    resume: bool = False,
+    run_id: str | None = None,
+    _debug_skip_partitions=None,
+) -> dict:
+    """Full checkpointed replay.  Returns output paths + lineage summary.
+
+    - ``spec.mode == "replace"``: fresh build (existing outputs cleared).
+    - ``spec.mode == "update"``: incremental tail apply on an existing
+      out_dir — events at/below each partition's watermark are dropped
+      (exactly-once across redeliveries).
+    - ``resume=True``: crash recovery — partitions already committed by
+      *this* run_id are skipped wholesale before the shuffle.
+    - ``_debug_skip_partitions``: test hook simulating a mid-run crash (the
+      listed partitions are dropped before merge, leaving them uncommitted).
+    """
+    run_id = run_id or uuid.uuid4().hex[:8]
+    paths = out_paths(spec)
+    if spec.mode == "replace" and not resume:
+        for p in paths.values():
+            if os.path.isdir(p):
+                for f in glob.glob(os.path.join(p, "*")):
+                    os.remove(f)
+    for p in paths.values():
+        os.makedirs(p, exist_ok=True)
+
+    changes = read_changes(input_path) if isinstance(input_path, str) else input_path
+
+    hot_keys = None
+    if spec.salt_buckets > 1 and spec.hot_key_threshold > 0:
+        key_ds = (
+            read_changes(input_path, with_content=False)
+            if isinstance(input_path, str)
+            else changes
+        )
+        hot_keys = find_hot_keys(key_ds, spec.hot_key_threshold) or None
+
+    norm = normalized(changes, spec, hot_keys)
+
+    skip = set()
+    if resume:
+        # Crash recovery. replace mode: the out_dir belongs to this build,
+        # so every committed partition (manifest present) is skipped
+        # wholesale. update mode: prior runs committed every partition, so
+        # only partitions committed by THIS run_id (pass the crashed run's
+        # id) are skipped; the rest re-filter via their watermark.
+        skip |= mf.completed_partitions(
+            spec.out_dir, run_id=run_id if spec.mode == "update" else None
+        )
+    if _debug_skip_partitions:
+        skip |= set(_debug_skip_partitions)
+    if skip:
+        skip_arr = pa.array(sorted(skip), pa.int32())
+        norm = norm.map_batches(
+            lambda t: t.filter(pc.invert(pc.is_in(t["pkey"], value_set=skip_arr))),
+            batch_format="pyarrow",
+        )
+
+    wm_ref = ray.put(mf.watermarks(spec.out_dir) if spec.mode == "update" else {})
+    merger_kwargs = dict(
+        emit="checkpoint",
+        out_dirs=paths,
+        watermarks_ref=wm_ref,
+        run_id=run_id,
+        mode=spec.mode,
+        schema_version=spec.schema_version,
+    )
+    hot_rows_ds = merged_groups(norm, merger_kwargs, spec)
+
+    # hot winners: tiny (|hot keys| x salt_buckets rows) -> driver reduce
+    hot_tbls = [t for t in ray.get(hot_rows_ds.to_arrow_refs()) if len(t)]
+    if hot_tbls:
+        folded = reduce_hot_rows(pa.concat_tables(hot_tbls))
+        from ..stages.merge import _atomic_write
+
+        _atomic_write(
+            folded, os.path.join(paths["path_dim"], f"hot-{run_id}.parquet")
+        )
+
+    # dims from the already-reduced fact output (small second pass)
+    path_dim = load_path_dim(spec.out_dir)
+    fact_files = sorted(glob.glob(os.path.join(paths["change_fact"], "*.parquet")))
+    summary: dict = {"run_id": run_id, "out": paths}
+    if fact_files:
+        fact_ds = rd.read_parquet(fact_files)
+        from ..stages.merge import _atomic_write
+
+        _atomic_write(
+            dims_mod.repo_dim(fact_ds, path_dim),
+            os.path.join(paths["repo_dim"], "repo_dim.parquet"),
+        )
+        _atomic_write(
+            dims_mod.lang_dim(rd.read_parquet(fact_files)),
+            os.path.join(paths["lang_dim"], "lang_dim.parquet"),
+        )
+
+    # consolidated manifest table (the `_manifest` logical table)
+    mt = mf.manifest_table(spec.out_dir)
+    pq.write_table(mt, os.path.join(paths["_manifest"], "manifest.parquet"))
+    summary["lineage"] = {
+        name: (pc.sum(mt[name]).as_py() if len(mt) else 0)
+        for name in ("rows_applied", "dups_dropped", "conflicts_resolved", "rows_rejected")
+    }
+    summary["partitions"] = len(mt)
+    return summary
+
+
+# --- pure (non-writing) variants for the correctness harness ---------------
+
+
+def replay_table(
+    changes: rd.Dataset, *, emit: str, num_partitions: int = 16
+) -> rd.Dataset:
+    """Run normalize+merge and return one logical output as a Dataset
+    (emit='path_dim' or 'fact'); nothing is written.  Used by the
+    driver-facing queries() and by tests."""
+    spec = ReplaySpec(num_partitions=num_partitions, salt_buckets=1, hot_key_threshold=0)
+    norm = normalized(changes, spec, None)
+    return merged_groups(norm, {"emit": emit}, spec)

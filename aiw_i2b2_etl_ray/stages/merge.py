@@ -1,0 +1,295 @@
+"""The shuffle-merge stage — the engine's analog of the reference's
+temp-table -> ``EK_*`` merge stored procedures
+(dest/I2b2QueryResultsHandler.java:508-686; proc contract :97-161; H2 mocks
+src/main/resources/sql/mock_stored_procedures_h2.sql:22-92).
+
+Physical plan: ``ds.groupby("pkey").map_groups(PartitionMerger, ...)`` — a
+sort-based all-to-all exchange on the int32 partition key (the ONLY wide
+shuffle in the pipeline, moving ~100 B/row because content was digested in
+normalize), then one vectorized merge call per partition on an actor pool.
+
+Per-partition merge semantics (all vectorized via polars; no Python row
+loops):
+
+1. divert rows with ``reject_reason`` to the rejected side table
+   (RejectedFactHandler.java:32-40 analog);
+2. drop rows at-or-below the partition's persisted watermark (exactly-once
+   across runs / retries);
+3. stable-sort by ``commit_seq``; drop duplicate change-ids
+   ``(repo, path, commit)`` keep-first (exactly-once within a delivery;
+   reference analog: appendFlag=0 merge-on-update,
+   dest/I2b2QueryResultsHandler.java:674-679);
+4. surviving events are the ``change_fact`` rows; the last event per
+   ``(repo, path)`` is the converged ``path_dim`` row (last-writer-wins
+   upsert; ``op='D'`` -> non-null ``delete_date``, the reference's logical
+   delete);
+5. in ``update`` mode, prior partition state (the existing part file) joins
+   the reduction as synthetic events so re-runs converge identically;
+6. outputs are written atomically (tmp file + rename) one file per
+   partition, and a per-partition manifest JSON (watermark + lineage
+   counters + schema version) commits the partition — the checkpoint the
+   resume path reads.
+
+Hot-key handling (LSM-style): salted sub-partitions each produce their own
+winner for a hot key; those rows are *returned* instead of written, and the
+driver folds them with a final tiny per-key reduce into a separate sorted
+run (``path_dim/hot-*.parquet``).  ``load_path_dim`` therefore performs
+last-writer-wins merge-on-read across runs, and ``compact_path_dim``
+folds runs back into canonical partition files — exactly an LSM merge.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import polars as pl
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..schemas import CHANGE_FACT, PATH_DIM, REJECTED, ensure_columns
+
+_MERGED_COLS = [
+    "repo",
+    "path",
+    "commit",
+    "lang",
+    "commit_seq",
+    "op",
+    "content_sha256",
+    "content_len",
+    "size",
+]
+
+
+def _atomic_write(table: pa.Table, path: str) -> None:
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+
+
+def _atomic_json(obj: dict, path: str) -> None:
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)
+
+
+def _path_dim_from_last(last: pl.DataFrame) -> pa.Table:
+    """Converged per-key rows -> PATH_DIM arrow table."""
+    out = last.select(
+        pl.col("repo"),
+        pl.col("path"),
+        pl.col("lang"),
+        pl.col("content_sha256"),
+        pl.col("commit").alias("last_commit"),
+        pl.col("commit_seq").alias("last_commit_seq"),
+        pl.when(pl.col("op") == "D")
+        .then(pl.col("commit_seq"))
+        .otherwise(None)
+        .cast(pl.Datetime("us"))
+        .alias("delete_date"),
+        pl.col("size").cast(pl.Int64),
+    ).to_arrow()
+    return ensure_columns(out, PATH_DIM)
+
+
+def _state_to_events(state: pa.Table) -> pl.DataFrame:
+    """Prior path_dim rows -> synthetic events for re-reduction (update mode)."""
+    df = pl.from_arrow(state)
+    return df.select(
+        pl.col("repo"),
+        pl.col("path"),
+        pl.col("last_commit").alias("commit"),
+        pl.col("lang"),
+        pl.col("last_commit_seq").alias("commit_seq"),
+        pl.when(pl.col("delete_date").is_not_null())
+        .then(pl.lit("D"))
+        .otherwise(pl.lit("U"))
+        .alias("op"),
+        pl.col("content_sha256"),
+        pl.lit(None, dtype=pl.Int64).alias("content_len"),
+        pl.col("size").cast(pl.Int64),
+    )
+
+
+class PartitionMerger:
+    """map_groups callable-class (actor pool).  Constructed once per actor:
+    spec + broadcast watermark map are deserialized in ``__init__``, not per
+    partition (the stateful-stage rule).
+
+    emit:
+        "checkpoint" — side-write partition outputs + manifest; return hot
+                       rows (PATH_DIM schema) for the driver's final reduce.
+        "path_dim"   — pure: return every converged path_dim row.
+        "fact"       — pure: return applied change_fact rows.
+    """
+
+    def __init__(
+        self,
+        emit: str,
+        out_dirs: dict | None = None,
+        watermarks_ref=None,
+        run_id: str = "r0",
+        mode: str = "replace",
+        schema_version: int = 1,
+    ):
+        self.emit = emit
+        self.out_dirs = out_dirs or {}
+        self.run_id = run_id
+        self.mode = mode
+        self.schema_version = schema_version
+        if watermarks_ref is not None:
+            import ray
+
+            self.watermarks = ray.get(watermarks_ref)
+        else:
+            self.watermarks = {}
+
+    # -- pure vectorized core -------------------------------------------------
+    def _reduce(self, g: pa.Table, pid: int):
+        reason = g["reject_reason"]
+        ok = pc.is_null(reason)
+        rejected = g.filter(pc.invert(ok))
+        g = g.filter(ok)
+
+        wm_prev = self.watermarks.get(pid, -1)
+        if wm_prev >= 0 and len(g):
+            g = g.filter(pc.greater(g["commit_seq"], wm_prev))
+
+        df = pl.from_arrow(g.select(_MERGED_COLS))
+        if len(df):
+            df = df.sort("commit_seq", maintain_order=True)
+        n_in = len(df)
+        df = df.unique(subset=["repo", "path", "commit"], keep="first", maintain_order=True)
+        dups = n_in - len(df)
+
+        prior = None
+        if self.mode == "update" and self.emit == "checkpoint":
+            part = os.path.join(self.out_dirs["path_dim"], f"part-{pid:05d}.parquet")
+            if os.path.exists(part):
+                prior = _state_to_events(pq.read_table(part))
+
+        merged = df if prior is None else pl.concat(
+            [prior.select(df.columns), df], how="vertical"
+        ).sort("commit_seq", maintain_order=True)
+
+        last = merged.group_by(["repo", "path"], maintain_order=True).last()
+        conflicts = len(merged) - len(last)
+        wm_new = wm_prev
+        if len(df):
+            wm_new = max(wm_new, int(df["commit_seq"].max()))
+        if len(rejected):
+            rej_max = pc.max(rejected["commit_seq"]).as_py()
+            if rej_max is not None:
+                wm_new = max(wm_new, int(rej_max))
+        return df, last, rejected, dups, conflicts, wm_new
+
+    def __call__(self, g: pa.Table) -> pa.Table:
+        pid = g["pkey"][0].as_py()
+        facts_df, last, rejected, dups, conflicts, wm_new = self._reduce(g, pid)
+
+        if self.emit == "path_dim":
+            return _path_dim_from_last(last)
+        if self.emit == "fact":
+            return ensure_columns(facts_df.to_arrow(), CHANGE_FACT)
+
+        # --- checkpoint mode -------------------------------------------------
+        path_dim = _path_dim_from_last(last)
+        hot_mask = None
+        if "is_hot" in g.column_names and pc.any(pc.coalesce(g["is_hot"], False)).as_py():
+            # keys that arrived salted: their winners go to the driver reduce
+            hot_keys = pl.from_arrow(
+                g.filter(pc.coalesce(g["is_hot"], False)).select(["repo", "path"])
+            ).unique()
+            pd_df = pl.from_arrow(path_dim)
+            hot_mask = (
+                pd_df.select(
+                    pl.concat_str([pl.col("repo"), pl.col("path")], separator="\x1f").alias("k")
+                )["k"]
+                .is_in(
+                    hot_keys.select(
+                        pl.concat_str([pl.col("repo"), pl.col("path")], separator="\x1f").alias("k")
+                    )["k"]
+                )
+                .to_arrow()
+            )
+        if hot_mask is not None:
+            hot_rows = path_dim.filter(hot_mask)
+            path_dim = path_dim.filter(pc.invert(hot_mask))
+        else:
+            hot_rows = path_dim.slice(0, 0)
+
+        _atomic_write(
+            path_dim, os.path.join(self.out_dirs["path_dim"], f"part-{pid:05d}.parquet")
+        )
+        facts = ensure_columns(facts_df.to_arrow(), CHANGE_FACT)
+        fact_name = (
+            f"part-{pid:05d}.parquet"
+            if self.mode == "replace"
+            else f"part-{pid:05d}-{self.run_id}.parquet"
+        )
+        _atomic_write(facts, os.path.join(self.out_dirs["change_fact"], fact_name))
+        if len(rejected):
+            rej = ensure_columns(
+                rejected.rename_columns(
+                    [c if c != "reject_reason" else "reason" for c in rejected.column_names]
+                ),
+                REJECTED,
+            )
+            _atomic_write(
+                rej, os.path.join(self.out_dirs["rejected"], f"part-{pid:05d}-{self.run_id}.parquet")
+            )
+
+        # manifest commit point — MUST be last (resume reads this)
+        prev = {}
+        mpath = os.path.join(self.out_dirs["_manifest"], f"part-{pid:05d}.json")
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                prev = json.load(f)
+        _atomic_json(
+            {
+                "partition_id": pid,
+                "watermark_seq": wm_new,
+                "rows_applied": prev.get("rows_applied", 0) + len(facts),
+                "dups_dropped": prev.get("dups_dropped", 0) + dups,
+                "conflicts_resolved": prev.get("conflicts_resolved", 0) + conflicts,
+                "rows_rejected": prev.get("rows_rejected", 0) + len(rejected),
+                "schema_version": self.schema_version,
+                "run_id": self.run_id,
+            },
+            mpath,
+        )
+        return hot_rows
+
+
+def reduce_hot_rows(hot: pa.Table) -> pa.Table:
+    """Final per-key reduce across salt buckets: keep max last_commit_seq."""
+    if len(hot) == 0:
+        return hot
+    df = (
+        pl.from_arrow(hot)
+        .sort("last_commit_seq", maintain_order=True)
+        .group_by(["repo", "path"], maintain_order=True)
+        .last()
+    )
+    return ensure_columns(df.to_arrow(), PATH_DIM)
+
+
+def load_path_dim(out_dir: str) -> pa.Table:
+    """Merge-on-read over the LSM runs: part files + hot files; LWW per key."""
+    import glob
+
+    files = sorted(glob.glob(os.path.join(out_dir, "path_dim", "*.parquet")))
+    if not files:
+        return PATH_DIM.empty_table()
+    t = pa.concat_tables([ensure_columns(pq.read_table(f), PATH_DIM) for f in files])
+    df = (
+        pl.from_arrow(t)
+        .sort("last_commit_seq", maintain_order=True)
+        .group_by(["repo", "path"], maintain_order=True)
+        .last()
+    )
+    return ensure_columns(df.to_arrow(), PATH_DIM)

@@ -1,0 +1,113 @@
+"""Normalize stage: validate, digest, type, and partition each batch.
+
+This is the engine's analog of the reference's per-record staging transform
+(``handleQueryResult`` -> record beans -> EK_TEMP_* inserts,
+dest/I2b2QueryResultsHandler.java:419-436 + dest/table/FactHandler.java:115-174),
+re-expressed as ONE vectorized, stateless ``map_batches`` function:
+
+- rejection of null-key rows (the reference rejects null-start-date facts
+  into EK_REJECTED_OBSERVATION_FACT, FactHandler.java:140-143,177-187) —
+  here rows gain a ``reject_reason`` column and are diverted by the merge;
+- content digesting: ``content`` (arbitrarily large payload) is reduced to
+  ``(content_sha256, content_len)`` BEFORE the all-to-all shuffle so the
+  exchange moves ~100 B/row, not the payload (SURVEY.md §7.5 item 5);
+- partition key: ``pkey = xxhash64(repo, path) % num_partitions``, with
+  salted sub-partitioning for hot keys: ``hash(commit) % salt_buckets``
+  picks the sub-bucket, preserving exactly-once (a redelivered change-id
+  lands in the same bucket) while spreading a mega-churned key across
+  ``salt_buckets`` merge tasks.  Hot-key path_dim rows are re-reduced
+  per-key after the merge (stages.merge).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import sha256_hex
+from ..schemas import SHUFFLE_COLUMNS
+
+_SALT_PRIME = np.uint64(0x9E3779B97F4A7C15)
+
+
+class Normalizer:
+    """Callable batch transform.  Stateless in spirit, but constructed once
+    per actor so the hot-key set (a broadcast small side: ``ray.put`` once,
+    read per actor, never re-shipped per batch) is deserialized once.
+    """
+
+    def __init__(self, num_partitions: int, salt_buckets: int, hot_keys_ref=None):
+        import ray
+
+        self.num_partitions = np.uint64(num_partitions)
+        self.salt_buckets = np.uint64(max(salt_buckets, 1))
+        hot = ray.get(hot_keys_ref) if hot_keys_ref is not None else None
+        self.hot_keys = hot if hot else None  # set[str] of "repo\x1fpath"
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n = len(t)
+        repo, path, commit = t["repo"], t["path"], t["commit"]
+
+        # --- validity / rejection ------------------------------------------
+        def blank(col):
+            return pc.or_(pc.is_null(col), pc.equal(pc.coalesce(col, ""), ""))
+
+        bad = pc.or_(pc.or_(blank(repo), blank(path)), blank(commit))
+        reject_reason = pc.if_else(bad, pa.scalar("null_key"), pa.scalar(None, pa.string()))
+
+        # --- content digest -------------------------------------------------
+        if "content" in t.column_names:
+            content = t["content"]
+            sha = sha256_hex(content)
+            clen = pc.cast(pc.utf8_length(content), pa.int64())
+        else:  # pre-digested input
+            sha = t["content_sha256"].combine_chunks()
+            clen = t["content_len"]
+
+        # --- partition key (polars xxhash, vectorized) ---------------------
+        df = pl.from_arrow(t.select(["repo", "path", "commit"]))
+        kh = df.select(
+            pl.concat_str(
+                [pl.col("repo").fill_null("\x00"), pl.col("path").fill_null("\x00")],
+                separator="\x1f",
+            )
+            .hash(seed=0)
+            .alias("kh"),
+            pl.col("commit").fill_null("\x00").hash(seed=1).alias("ch"),
+        )
+        key_hash = kh["kh"].to_numpy()
+        pkey = key_hash % self.num_partitions
+        is_hot = None
+        if self.hot_keys is not None:
+            keys = df.select(
+                pl.concat_str(
+                    [pl.col("repo").fill_null("\x00"), pl.col("path").fill_null("\x00")],
+                    separator="\x1f",
+                ).alias("k")
+            )["k"]
+            is_hot = keys.is_in(list(self.hot_keys)).to_numpy()
+            if is_hot.any():
+                salt = (kh["ch"].to_numpy() % self.salt_buckets) * _SALT_PRIME
+                salted = (key_hash + salt) % self.num_partitions
+                pkey = np.where(is_hot, salted, pkey)
+
+        out = {
+            "repo": repo,
+            "path": path,
+            "commit": commit,
+            "lang": t["lang"] if "lang" in t.column_names else pa.nulls(n, pa.string()),
+            "commit_seq": t["commit_seq"],
+            "op": t["op"],
+            "content_sha256": sha,
+            "content_len": clen,
+            "size": t["size"] if "size" in t.column_names else pa.nulls(n, pa.int64()),
+            "pkey": pa.array(pkey.astype(np.int32)),
+            "is_hot": pa.array(
+                is_hot if is_hot is not None else np.zeros(n, dtype=bool)
+            ),
+            "reject_reason": reject_reason,
+        }
+        assert list(out)[:-2] == SHUFFLE_COLUMNS  # schema drift guard
+        return pa.table(out)
