@@ -45,6 +45,9 @@ def find_hot_keys(ds: rd.Dataset, threshold: int) -> set[str]:
     def partial(t: pa.Table) -> pa.Table:
         return (
             pl.from_arrow(t.select(["repo", "path"]))
+            # null/empty keys are rejected rows downstream — never hot, and
+            # Ray's sort-based groupby can't order null keys.
+            .filter(pl.col("repo").is_not_null() & pl.col("path").is_not_null())
             .group_by(["repo", "path"])
             .agg(pl.len().cast(pl.Int64).alias("n"))
             .to_arrow()
@@ -162,7 +165,11 @@ def replay(
     hot_rows_ds = merged_groups(norm, merger_kwargs, spec)
 
     # hot winners: tiny (|hot keys| x salt_buckets rows) -> driver reduce
-    hot_tbls = [t for t in ray.get(hot_rows_ds.to_arrow_refs()) if len(t)]
+    # materialize() executes the merge exactly once; the result (hot-key
+    # winners only) is tiny.  to_arrow_refs() on the raw plan would trigger
+    # a second full execution for schema inference.
+    hot_mat = hot_rows_ds.materialize()
+    hot_tbls = [t for t in ray.get(hot_mat.to_arrow_refs()) if len(t)]
     if hot_tbls:
         folded = reduce_hot_rows(pa.concat_tables(hot_tbls))
         from ..stages.merge import _atomic_write

@@ -150,14 +150,17 @@ class PartitionMerger:
 
     # -- pure vectorized core -------------------------------------------------
     def _reduce(self, g: pa.Table, pid: int):
+        # watermark first: redelivered rows (applied OR rejected in a prior
+        # run) are dropped before any other processing — exactly-once holds
+        # for the rejected side table too.
+        wm_prev = self.watermarks.get(pid, -1)
+        if wm_prev >= 0 and len(g):
+            g = g.filter(pc.greater(g["commit_seq"], wm_prev))
+
         reason = g["reject_reason"]
         ok = pc.is_null(reason)
         rejected = g.filter(pc.invert(ok))
         g = g.filter(ok)
-
-        wm_prev = self.watermarks.get(pid, -1)
-        if wm_prev >= 0 and len(g):
-            g = g.filter(pc.greater(g["commit_seq"], wm_prev))
 
         df = pl.from_arrow(g.select(_MERGED_COLS))
         if len(df):

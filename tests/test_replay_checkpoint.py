@@ -1,0 +1,128 @@
+"""Checkpointed replay: full star-schema build, exactly-once, crash-resume,
+incremental update, schema evolution, hot-key salting."""
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from aiw_i2b2_etl_ray.config import ReplaySpec, out_paths
+from aiw_i2b2_etl_ray.pipelines.cdc_replay import replay
+from aiw_i2b2_etl_ray.sources.changes import read_changes_table
+from aiw_i2b2_etl_ray.stages.merge import load_path_dim
+from aiw_i2b2_etl_ray.state import manifest as mf
+
+from .util import assert_table_eq
+
+
+def _read_dir(d):
+    import pyarrow as pa
+
+    files = sorted(glob.glob(os.path.join(d, "*.parquet")))
+    return pa.concat_tables([pq.read_table(f) for f in files]) if files else None
+
+
+def _check_outputs(spec, oracle):
+    paths = out_paths(spec)
+    assert_table_eq(load_path_dim(spec.out_dir), oracle.path_dim, ["repo", "path"])
+    assert_table_eq(
+        _read_dir(paths["change_fact"]), oracle.change_fact, ["repo", "path", "commit_seq"]
+    )
+    assert_table_eq(_read_dir(paths["repo_dim"]), oracle.repo_dim, ["repo"])
+    assert_table_eq(_read_dir(paths["lang_dim"]), oracle.lang_dim, ["lang"])
+    rej = _read_dir(paths["rejected"])
+    assert (rej.num_rows if rej is not None else 0) == len(oracle.rejected)
+
+
+def test_full_replay(tmp_path, tiny_changes, tiny_oracle):
+    spec = ReplaySpec(out_dir=str(tmp_path / "out"), num_partitions=8, salt_buckets=1, hot_key_threshold=0)
+    summary = replay(tiny_changes, spec)
+    _check_outputs(spec, tiny_oracle)
+    lin = summary["lineage"]
+    assert lin["rows_applied"] == len(tiny_oracle.change_fact)
+    assert lin["dups_dropped"] == tiny_oracle.counters["dups_dropped"]
+    assert lin["conflicts_resolved"] == tiny_oracle.counters["conflicts_resolved"]
+    assert lin["rows_rejected"] == len(tiny_oracle.rejected)
+    # one output file per partition + manifest commit per partition
+    assert summary["partitions"] > 0
+
+
+def test_crash_resume(tmp_path, tiny_changes, tiny_oracle):
+    """Run 1 'crashes' with half the partitions uncommitted; the resumed run
+    must complete exactly the missing ones and converge to golden state."""
+    spec = ReplaySpec(out_dir=str(tmp_path / "out"), num_partitions=8, salt_buckets=1, hot_key_threshold=0)
+    replay(tiny_changes, spec, run_id="runA", _debug_skip_partitions=[0, 2, 4, 6])
+    done_before = mf.completed_partitions(spec.out_dir)
+    assert 0 < len(done_before) < 8
+    replay(tiny_changes, spec, run_id="runB", resume=True)
+    done_after = mf.completed_partitions(spec.out_dir)
+    assert len(done_after) > len(done_before)
+    _check_outputs(spec, tiny_oracle)
+
+
+def test_update_mode_redelivery_is_idempotent(tmp_path, tiny_changes, tiny_oracle):
+    """Re-running the whole log in update mode applies nothing (watermarks);
+    the reference analog is appendFlag=0 merge-on-update re-runs
+    (dest/I2b2QueryResultsHandler.java:674-679)."""
+    spec = ReplaySpec(out_dir=str(tmp_path / "out"), num_partitions=8, salt_buckets=1, hot_key_threshold=0)
+    replay(tiny_changes, spec)
+    spec2 = ReplaySpec(
+        out_dir=spec.out_dir, num_partitions=8, salt_buckets=1, hot_key_threshold=0, mode="update"
+    )
+    summary2 = replay(tiny_changes, spec2)
+    _check_outputs(spec2, tiny_oracle)
+    # second run applied zero new rows
+    lin = summary2["lineage"]
+    assert lin["rows_applied"] == len(tiny_oracle.change_fact)
+
+
+def test_incremental_tail(tmp_path, tiny_changes, tiny_oracle):
+    """Replay the first 60% of the log, then apply the remainder (plus a
+    redelivered overlap) incrementally; converged state equals one-shot."""
+    import pyarrow.compute as pc
+
+    full = read_changes_table(tiny_changes)
+    cut = int(pc.max(full["commit_seq"]).as_py() * 0.6)
+    head = full.filter(pc.less_equal(full["commit_seq"], cut))
+    # tail includes a 20% overlap -> watermark must drop it
+    tail = full.filter(pc.greater(full["commit_seq"], int(cut * 0.8)))
+
+    d1, d2 = str(tmp_path / "head"), str(tmp_path / "tail")
+    os.makedirs(d1), os.makedirs(d2)
+    pq.write_table(head, os.path.join(d1, "part-00000.parquet"))
+    pq.write_table(tail, os.path.join(d2, "part-00000.parquet"))
+
+    spec = ReplaySpec(out_dir=str(tmp_path / "out"), num_partitions=8, salt_buckets=1, hot_key_threshold=0)
+    replay(d1, spec)
+    spec_u = ReplaySpec(
+        out_dir=spec.out_dir, num_partitions=8, salt_buckets=1, hot_key_threshold=0, mode="update"
+    )
+    replay(d2, spec_u)
+    _check_outputs(spec_u, tiny_oracle)
+
+
+def test_schema_evolution_size_backfill(tmp_path, tiny_changes):
+    """Rows last touched after the evolution point carry size; earlier rows
+    are null-backfilled (pa.unify_schemas-at-read + merge propagation)."""
+    spec = ReplaySpec(out_dir=str(tmp_path / "out"), num_partitions=4, salt_buckets=1, hot_key_threshold=0)
+    replay(tiny_changes, spec)
+    pd_t = load_path_dim(spec.out_dir).to_pandas()
+    assert pd_t["size"].notna().any(), "evolved column should be populated"
+    assert pd_t["size"].isna().any(), "pre-evolution rows should be null-backfilled"
+
+
+def test_hot_key_salting(tmp_path, tiny_changes, tiny_oracle):
+    """Low threshold forces the churned hot path through salted sub-partitions
+    + the final per-key reduce; result must still converge to golden."""
+    spec = ReplaySpec(
+        out_dir=str(tmp_path / "out"),
+        num_partitions=8,
+        salt_buckets=4,
+        hot_key_threshold=50,  # tiny log: several keys qualify
+    )
+    replay(tiny_changes, spec, run_id="hot1")
+    hot_files = glob.glob(os.path.join(spec.out_dir, "path_dim", "hot-*.parquet"))
+    assert hot_files, "hot keys should be folded into a hot run file"
+    _check_outputs(spec, tiny_oracle)
