@@ -1,16 +1,8 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here calls ray.init()/ray.shutdown().  See aiw_i2b2_etl_ray/ for the
+engine; SURVEY.md §2 for the operator inventory each query covers.
 """
 
 from __future__ import annotations
@@ -18,27 +10,146 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: full CDC replay (normalize -> hash-partition
+    shuffle -> exactly-once last-writer-wins merge) over a change stream
+    derived from sf0.001, returning the converged path_dim Dataset."""
+    from aiw_i2b2_etl_ray.pipelines.cdc_queries import cdc_path_dim
+
+    return cdc_path_dim(SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from aiw_i2b2_etl_ray.pipelines import analytics as an
+    from aiw_i2b2_etl_ray.pipelines import cdc_queries as cq
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    cat: dict[str, Callable[[str], Any]] = {
+        # --- CDC star schema (the flagship) --------------------------------
+        "cdc_path_dim": cq.cdc_path_dim,
+        "cdc_change_fact": cq.cdc_change_fact,
+        "cdc_repo_dim": cq.cdc_repo_dim,
+        "cdc_lang_dim": cq.cdc_lang_dim,
+        "cdc_rejected": cq.cdc_rejected,
+        # --- reference operator families (SURVEY.md §2) --------------------
+        "eav_encode": an.eav_encode,  # M6
+        "str_normalize": an.str_normalize,  # M7/M8
+        "agg_event_counts": an.agg_event_counts,  # A1/A2/A4
+        "join_orders_nations": an.join_orders_nations,  # J3/J4 broadcast join
+        "customers_without_orders": an.customers_without_orders,  # J6/J7 anti-join
+        "distinct_langs": an.distinct_langs,  # A3/D2
+        "union_names": an.union_names,  # D1
+        "topk_docs": an.topk_docs,  # O-family sort/limit
+        "pricing_summary": an.pricing_summary,  # A-family rollup
+    }
+    try:  # training-data ops (dedup / similarity / text) — added as built
+        from aiw_i2b2_etl_ray.pipelines import dedup as dd
+        from aiw_i2b2_etl_ray.pipelines import similarity as sim
+        from aiw_i2b2_etl_ray.pipelines import textops as tx
+        from aiw_i2b2_etl_ray.pipelines import multimodal as mm
+
+        cat.update(
+            {
+                "dedup_exact": dd.dedup_exact,
+                "dedup_minhash": dd.dedup_minhash_pairs,
+                "dedup_simhash": dd.dedup_simhash,
+                "dedup_ngram_jaccard": dd.dedup_ngram_jaccard,
+                "dedup_embedding": dd.dedup_embedding,
+                "ann_topk": sim.ann_topk,
+                "ann_lsh": sim.ann_lsh_topk,
+                "text_tokens": tx.text_tokens,
+                "text_quality": tx.text_quality,
+                "text_langid": tx.text_langid,
+                "text_fingerprint": tx.text_fingerprint,
+                "multimodal_features": mm.multimodal_features,
+            }
+        )
+    except ImportError:
+        pass
+    return cat
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from aiw_i2b2_etl_ray.pipelines import cdc_queries as cq
+
+    sql: dict[str, str] = {
+        "cdc_path_dim": cq.SQL_PATH_DIM,
+        "cdc_change_fact": cq.SQL_CHANGE_FACT,
+        "cdc_repo_dim": cq.SQL_REPO_DIM,
+        "cdc_lang_dim": cq.SQL_LANG_DIM,
+        "cdc_rejected": cq.SQL_REJECTED,
+        "eav_encode": """
+            SELECT event_id,
+                   CASE WHEN value IS NULL THEN '@' ELSE 'N' END AS valtype_cd,
+                   CASE WHEN value IS NULL THEN NULL ELSE 'E' END AS tval_char,
+                   ROUND(value, 4) AS nval_num
+            FROM events
+        """,
+        "str_normalize": """
+            SELECT doc_id,
+                   substr(CASE WHEN source IS NULL OR source = '' THEN '@' ELSE source END, 1, 4) AS source_cd,
+                   substr(text, 1, 50) AS text_50
+            FROM documents
+        """,
+        "agg_event_counts": """
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   ROUND(SUM(value), 2)     AS sum_value
+            FROM events GROUP BY event_type
+        """,
+        "join_orders_nations": """
+            SELECT n.n_name,
+                   ROUND(SUM(o.o_totalprice), 2) AS total_price,
+                   CAST(COUNT(*) AS BIGINT)      AS n_orders
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n   ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN
+              (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)
+        """,
+        "distinct_langs": "SELECT DISTINCT lang FROM documents",
+        "union_names": """
+            SELECT r_name AS name, 'region' AS kind FROM region
+            UNION ALL
+            SELECT n_name AS name, 'nation' AS kind FROM nation
+        """,
+        "topk_docs": """
+            SELECT doc_id, n_chars FROM documents
+            ORDER BY n_chars DESC, doc_id ASC LIMIT 20
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2)      AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   CAST(COUNT(*) AS BIGINT)       AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+    }
+    try:
+        from aiw_i2b2_etl_ray.pipelines import dedup as dd
+        from aiw_i2b2_etl_ray.pipelines import similarity as sim
+        from aiw_i2b2_etl_ray.pipelines import textops as tx
+
+        sql.update(
+            {
+                "dedup_exact": dd.SQL_DEDUP_EXACT,
+                "dedup_embedding": dd.SQL_DEDUP_EMBEDDING,
+                "ann_topk": sim.SQL_ANN_TOPK,
+                "text_tokens": tx.SQL_TEXT_TOKENS,
+                "text_quality": tx.SQL_TEXT_QUALITY,
+                "text_fingerprint": tx.SQL_TEXT_FINGERPRINT,
+            }
+        )
+        # dedup_minhash / dedup_simhash / dedup_ngram_jaccard / ann_lsh /
+        # text_langid / multimodal_features: not SQL-expressible ->
+        # rows-only check (hash-based sketches / stateful plumbing).
+    except ImportError:
+        pass
+    return sql

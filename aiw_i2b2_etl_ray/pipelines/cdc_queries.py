@@ -1,0 +1,140 @@
+"""Driver-facing CDC queries: the star-schema outputs computed over a
+change stream derived deterministically from the driver's ``events`` table
+(sources.changes.changes_from_events), so each has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..sources.changes import CHANGES_FROM_EVENTS_SQL, changes_from_events
+from ..stages import dims as dims_mod
+from .cdc_replay import replay_table
+
+_NP = 16  # partitions at correctness scale
+
+
+def cdc_path_dim(sf_dir: str) -> rd.Dataset:
+    return replay_table(changes_from_events(sf_dir), emit="path_dim", num_partitions=_NP)
+
+
+def cdc_change_fact(sf_dir: str) -> rd.Dataset:
+    return replay_table(changes_from_events(sf_dir), emit="fact", num_partitions=_NP)
+
+
+def cdc_repo_dim(sf_dir: str) -> pa.Table:
+    fact = replay_table(changes_from_events(sf_dir), emit="fact", num_partitions=_NP)
+    pdim = replay_table(
+        changes_from_events(sf_dir), emit="path_dim", num_partitions=_NP
+    )
+    import ray
+
+    pdim_t = pa.concat_tables(
+        [t for t in ray.get(pdim.materialize().to_arrow_refs()) if len(t)]
+    )
+    return dims_mod.repo_dim(fact, pdim_t)
+
+
+def cdc_lang_dim(sf_dir: str) -> pa.Table:
+    fact = replay_table(changes_from_events(sf_dir), emit="fact", num_partitions=_NP)
+    return dims_mod.lang_dim(fact)
+
+
+def cdc_rejected(sf_dir: str) -> rd.Dataset:
+    """The rejected side table (EK_REJECTED_OBSERVATION_FACT analog)."""
+
+    def rej(t: pa.Table) -> pa.Table:
+        def blank(col):
+            return pc.or_(pc.is_null(col), pc.equal(pc.coalesce(col, ""), ""))
+
+        bad = pc.or_(
+            pc.or_(blank(t["repo"]), blank(t["path"])), blank(t["commit"])
+        )
+        out = t.filter(bad)
+        return out.append_column("reason", pa.array(["null_key"] * len(out)))
+
+    return changes_from_events(sf_dir).map_batches(rej, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracles (column names match the Ray outputs exactly)
+# --------------------------------------------------------------------------
+
+_VALID = """
+  valid AS (
+    SELECT * FROM changes
+    WHERE repo IS NOT NULL AND repo <> ''
+      AND path IS NOT NULL AND path <> ''
+      AND "commit" IS NOT NULL AND "commit" <> ''
+  ),
+  dedup AS (
+    SELECT * FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY repo, path, "commit" ORDER BY commit_seq
+      ) AS rn FROM valid
+    ) WHERE rn = 1
+  )
+"""
+
+_LAST = """
+  last AS (
+    SELECT * FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY repo, path ORDER BY commit_seq DESC
+      ) AS rn2 FROM dedup
+    ) WHERE rn2 = 1
+  )
+"""
+
+SQL_PATH_DIM = f"""
+WITH {CHANGES_FROM_EVENTS_SQL}, {_VALID}, {_LAST}
+SELECT repo, path, lang,
+       sha256(content)                                   AS content_sha256,
+       "commit"                                          AS last_commit,
+       commit_seq                                        AS last_commit_seq,
+       CASE WHEN op = 'D' THEN make_timestamp(commit_seq) END AS delete_date,
+       CAST(NULL AS BIGINT)                              AS size
+FROM last
+"""
+
+SQL_CHANGE_FACT = f"""
+WITH {CHANGES_FROM_EVENTS_SQL}, {_VALID}
+SELECT repo, path, "commit", commit_seq, op, lang,
+       sha256(content)                 AS content_sha256,
+       CAST(length(content) AS BIGINT) AS content_len
+FROM dedup
+"""
+
+SQL_REPO_DIM = f"""
+WITH {CHANGES_FROM_EVENTS_SQL}, {_VALID}, {_LAST},
+  agg AS (
+    SELECT repo,
+           MIN(commit_seq) AS first_commit_seq,
+           MAX(commit_seq) AS last_commit_seq
+    FROM dedup GROUP BY repo
+  ),
+  live AS (
+    SELECT repo, CAST(COUNT(*) AS BIGINT) AS n_paths_live
+    FROM last WHERE op <> 'D' GROUP BY repo
+  )
+SELECT a.repo, a.first_commit_seq, a.last_commit_seq,
+       COALESCE(l.n_paths_live, 0)      AS n_paths_live,
+       CASE WHEN COALESCE(l.n_paths_live, 0) = 0
+            THEN make_timestamp(a.last_commit_seq) END AS delete_date
+FROM agg a LEFT JOIN live l USING (repo)
+"""
+
+SQL_LANG_DIM = f"""
+WITH {CHANGES_FROM_EVENTS_SQL}, {_VALID}
+SELECT lang, MIN(commit_seq) AS first_seen_seq
+FROM dedup GROUP BY lang
+"""
+
+SQL_REJECTED = f"""
+WITH {CHANGES_FROM_EVENTS_SQL}
+SELECT *, 'null_key' AS reason FROM changes
+WHERE repo IS NULL OR repo = '' OR path IS NULL OR path = ''
+   OR "commit" IS NULL OR "commit" = ''
+"""

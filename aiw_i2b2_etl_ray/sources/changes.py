@@ -95,16 +95,21 @@ def changes_from_events(sf_dir: str) -> rd.Dataset:
     )
 
     def derive(t: pa.Table) -> pa.Table:
+        import numpy as np
+
         eid = t["event_id"]
+        eid_np = eid.to_numpy()
+        uid_np = t["user_id"].to_numpy()
         s = lambda x: pc.cast(x, pa.string())
-        repo = pc.binary_join_element_wise("repo_", s(pc.mod(t["user_id"], _N_REPOS)), "")
-        path = pc.binary_join_element_wise("f", s(pc.mod(eid, _N_PATHS)), ".txt", "")
-        path = pc.if_else(pc.equal(pc.mod(eid, _REJ_MOD), 0), "", path)
+        m = lambda arr, n: pa.array(arr % n)
+        repo = pc.binary_join_element_wise("repo_", s(m(uid_np, _N_REPOS)), "")
+        path = pc.binary_join_element_wise("f", s(m(eid_np, _N_PATHS)), ".txt", "")
+        path = pc.if_else(pa.array(eid_np % _REJ_MOD == 0), "", path)
         commit = pc.binary_join_element_wise("c", s(eid), "")
         content = pc.binary_join_element_wise(
-            t["event_type"], pc.coalesce(t["props"], ""), s(pc.mod(eid, 7)), ":"
+            t["event_type"], pc.coalesce(t["props"], ""), s(m(eid_np, 7)), ":"
         )
-        op = pc.if_else(pc.equal(pc.mod(eid, _DEL_MOD), 0), "D", "U")
+        op = pc.if_else(pa.array(eid_np % _DEL_MOD == 0), "D", "U")
         out = pa.table(
             {
                 "repo": repo,
@@ -117,7 +122,7 @@ def changes_from_events(sf_dir: str) -> rd.Dataset:
             }
         )
         # redeliver every DUP_MOD-th event (exact duplicate row)
-        dup = out.filter(pc.equal(pc.mod(eid, _DUP_MOD), 0))
+        dup = out.filter(pa.array(eid_np % _DUP_MOD == 0))
         return pa.concat_tables([out, dup])
 
     return ds.map_batches(derive, batch_format="pyarrow")
