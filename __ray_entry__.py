@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "text_quality": tx.text_quality,
                 "text_langid": tx.text_langid,
                 "text_fingerprint": tx.text_fingerprint,
+                "text_rolling_fp": tx.text_rolling_fp,
                 "multimodal_features": mm.multimodal_features,
             }
         )

@@ -17,8 +17,12 @@ from ray.data.aggregate import Count, Max, Mean, Min, Sum
 from ..functions import eav, strings
 
 
+from ..functions.numeric import round_half_away_pc
+
+
 def _round(col, nd=4):
-    return pc.round(col, ndigits=nd)
+    # DuckDB-compatible half-away-from-zero rounding (oracle parity)
+    return round_half_away_pc(col, nd)
 
 
 # --- M6: EAV value typing ---------------------------------------------------

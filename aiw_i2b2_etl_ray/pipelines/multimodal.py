@@ -1,0 +1,103 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+decode / feature-extract as actor-pool map_batches stages.
+
+The container has no image/audio codecs, so the decode step is STUBBED
+behind ``FakeDecoder`` (a clearly-marked deterministic stand-in) — the
+Ray-side plumbing is real and tested: binary column schema, small batch
+sizes for large payloads, actor-pool signature, typed feature output.
+
+Swap ``FakeDecoder`` for a real one (PIL/torchvision/ffmpeg) by
+implementing ``decode(payload: bytes) -> dict``; everything else is
+unchanged.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+#: batch size for binary payload stages: payload_bytes x batch x concurrency
+#: must fit the worker heap — for ~1 MB images that means O(100), not 64k.
+BINARY_BATCH_SIZE = 256
+
+
+class FakeDecoder:
+    """STUB decoder (no codecs in this environment).
+
+    Deterministic fake: 'decodes' a payload into (width, height, n_channels)
+    derived from its sha256, so tests exercise the full plumbing with stable
+    outputs.  A real implementation raises NotImplementedError paths away.
+    """
+
+    def decode(self, payload: bytes) -> dict:
+        h = hashlib.sha256(payload).digest()
+        return {
+            "width": 64 + h[0] % 192,
+            "height": 64 + h[1] % 192,
+            "n_channels": 1 + h[2] % 3,
+        }
+
+
+class MultimodalFeatures:
+    """Actor-pool stage: decode the binary column + emit typed features.
+    Decoder construction happens ONCE per actor (the model-load slot)."""
+
+    def __init__(self, decoder_cls=FakeDecoder):
+        self.decoder = decoder_cls()
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        payloads = t["payload"]
+        n_bytes = np.empty(len(t), dtype=np.int64)
+        width = np.empty(len(t), dtype=np.int32)
+        height = np.empty(len(t), dtype=np.int32)
+        chans = np.empty(len(t), dtype=np.int32)
+        for i, v in enumerate(payloads):
+            b = v.as_py() or b""
+            n_bytes[i] = len(b)
+            meta = self.decoder.decode(b)
+            width[i] = meta["width"]
+            height[i] = meta["height"]
+            chans[i] = meta["n_channels"]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "media_type": t["media_type"],
+                "n_bytes": pa.array(n_bytes),
+                "width": pa.array(width),
+                "height": pa.array(height),
+                "n_channels": pa.array(chans),
+            }
+        )
+
+
+def _synthesize_binary(sf_dir: str) -> rd.Dataset:
+    """Build an opaque-binary dataset from documents (deterministic): the
+    utf-8 bytes of text stand in for an encoded media payload."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"])
+
+    def to_binary(t: pa.Table) -> pa.Table:
+        payload = pa.array(
+            [s.encode("utf-8") if s else b"" for s in t["text"].to_pylist()],
+            pa.large_binary(),
+        )
+        mt = pa.array(
+            ["image" if (d % 2 == 0) else "audio" for d in t["doc_id"].to_pylist()],
+            pa.string(),
+        )
+        return pa.table({"doc_id": t["doc_id"], "media_type": mt, "payload": payload})
+
+    return ds.map_batches(to_binary, batch_format="pyarrow")
+
+
+def multimodal_features(sf_dir: str) -> rd.Dataset:
+    """End-to-end: binary column -> actor-pool decode/feature stage."""
+    return _synthesize_binary(sf_dir).map_batches(
+        MultimodalFeatures,
+        batch_format="pyarrow",
+        batch_size=BINARY_BATCH_SIZE,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )

@@ -1,0 +1,196 @@
+"""Similarity search over the ``embeddings`` table: brute-force cosine
+top-k (the exact baseline) and an LSH-bucketed approximate variant (the
+scale path).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..functions.numeric import round_half_away
+
+N_QUERIES = 8  # deterministic query set: the first N vec_ids
+TOP_K = 5
+
+
+def _load_queries(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = t.to_pandas().sort_values("vec_id").head(N_QUERIES)
+    q = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    return df["vec_id"].to_numpy(), q
+
+
+def ann_topk(sf_dir: str) -> pd.DataFrame:
+    """Brute-force cosine top-k: the query matrix is broadcast once
+    (ray.put), each batch computes a (batch x queries) matmul and emits its
+    local top-k; the driver folds the tiny partials into the global top-k.
+    This is exact — the baseline the approximate variants are scored
+    against."""
+    qids, qmat = _load_queries(sf_dir)
+    q_ref = ray.put((qids, qmat))
+
+    class BatchTopK:
+        def __init__(self):
+            self.qids, self.qmat = ray.get(q_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t["vec_id"].to_numpy()
+            keep = ids >= N_QUERIES  # exclude the queries themselves
+            if not keep.any():
+                return pa.table(
+                    {
+                        "query_id": pa.array([], pa.int64()),
+                        "vec_id": pa.array([], pa.int64()),
+                        "cosine": pa.array([], pa.float64()),
+                    }
+                )
+            ids = ids[keep]
+            m = np.stack(t["embedding"].to_pandas().to_numpy()[keep]).astype(np.float64)
+            m /= np.linalg.norm(m, axis=1, keepdims=True) + 1e-300
+            cos = m @ self.qmat.T  # (batch, nq)
+            k = min(TOP_K, len(ids))
+            part = np.argpartition(-cos, k - 1, axis=0)[:k]  # (k, nq)
+            out_q, out_v, out_c = [], [], []
+            for qi in range(cos.shape[1]):
+                sel = part[:, qi]
+                out_q.extend([self.qids[qi]] * len(sel))
+                out_v.extend(ids[sel])
+                out_c.extend(cos[sel, qi])
+            return pa.table(
+                {
+                    "query_id": pa.array(np.asarray(out_q, np.int64)),
+                    "vec_id": pa.array(np.asarray(out_v, np.int64)),
+                    "cosine": pa.array(np.asarray(out_c, np.float64)),
+                }
+            )
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    partials = ds.map_batches(BatchTopK, batch_format="pyarrow", concurrency=(1, 8)).to_pandas()
+    out = (
+        partials.sort_values(["query_id", "cosine", "vec_id"], ascending=[True, False, True])
+        .groupby("query_id", sort=True)
+        .head(TOP_K)
+        .reset_index(drop=True)
+    )
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    out["cosine"] = round_half_away(out["cosine"], 4)
+    return out[["query_id", "rank", "vec_id", "cosine"]]
+
+
+SQL_ANN_TOPK = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qe, e.embedding) AS cos_raw
+  FROM q JOIN embeddings e ON e.vec_id >= {N_QUERIES}
+),
+ranked AS (
+  SELECT query_id, vec_id, cos_raw,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cos_raw DESC, vec_id ASC
+         ) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id,
+       ROUND(cos_raw, 4) AS cosine
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+# --- LSH-bucketed approximate variant ---------------------------------------
+
+LSH_PLANES = 8  # 2^8 buckets
+LSH_PROBE_FLIPS = 2  # multi-probe radius (Hamming ball around query bucket)
+
+
+def _lsh_planes(dim: int) -> np.ndarray:
+    rng = np.random.default_rng(17)
+    return rng.standard_normal((LSH_PLANES, dim))
+
+
+def ann_lsh_topk(sf_dir: str) -> pd.DataFrame:
+    """Approximate top-k: random-hyperplane LSH buckets; each query only
+    scans candidates in its own bucket (plus 1-bit-flip neighbor buckets
+    for recall).  At scale the bucket id becomes the shuffle/partition key;
+    here buckets are computed per batch and searched via a grouped reduce.
+
+    Returns the same schema as ann_topk; recall vs the exact baseline is
+    asserted in tests (not equality — this is approximate by design)."""
+    qids, qmat = _load_queries(sf_dir)
+    planes = _lsh_planes(qmat.shape[1])
+    qsig = (qmat @ planes.T > 0).astype(np.uint16)
+    qbits = (qsig << np.arange(LSH_PLANES, dtype=np.uint16)).sum(axis=1)
+    # query buckets + Hamming-ball multi-probe (radius LSH_PROBE_FLIPS):
+    # with near-random embeddings neighbor cosines are modest, so recall
+    # needs a wider probe — tuned empirically (8 planes / 2 flips ≈ 0.8
+    # recall while skipping ~25% of the corpus; real clustered embeddings
+    # fare far better).
+    probe = {int(b) for b in qbits}
+    frontier = set(probe)
+    for _ in range(LSH_PROBE_FLIPS):
+        nxt = {b ^ (1 << i) for b in frontier for i in range(LSH_PLANES)}
+        probe |= nxt
+        frontier = nxt
+    probe_ref = ray.put((qids, qmat, probe))
+
+    class BucketScan:
+        def __init__(self):
+            self.qids, self.qmat, self.probe = ray.get(probe_ref)
+            self.planes = _lsh_planes(self.qmat.shape[1])
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t["vec_id"].to_numpy()
+            m = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+            norm = m / (np.linalg.norm(m, axis=1, keepdims=True) + 1e-300)
+            sig = (norm @ self.planes.T > 0).astype(np.uint16)
+            bits = (sig << np.arange(LSH_PLANES, dtype=np.uint16)).sum(axis=1)
+            keep = np.array([int(b) in self.probe for b in bits]) & (ids >= N_QUERIES)
+            if not keep.any():
+                return pa.table(
+                    {
+                        "query_id": pa.array([], pa.int64()),
+                        "vec_id": pa.array([], pa.int64()),
+                        "cosine": pa.array([], pa.float64()),
+                    }
+                )
+            ids, norm = ids[keep], norm[keep]
+            cos = norm @ self.qmat.T
+            out_q, out_v, out_c = [], [], []
+            k = min(TOP_K, len(ids))
+            part = np.argpartition(-cos, k - 1, axis=0)[:k]
+            for qi in range(cos.shape[1]):
+                sel = part[:, qi]
+                out_q.extend([self.qids[qi]] * len(sel))
+                out_v.extend(ids[sel])
+                out_c.extend(cos[sel, qi])
+            return pa.table(
+                {
+                    "query_id": pa.array(np.asarray(out_q, np.int64)),
+                    "vec_id": pa.array(np.asarray(out_v, np.int64)),
+                    "cosine": pa.array(np.asarray(out_c, np.float64)),
+                }
+            )
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    partials = ds.map_batches(BucketScan, batch_format="pyarrow", concurrency=(1, 8)).to_pandas()
+    if len(partials) == 0:
+        return pd.DataFrame(columns=["query_id", "rank", "vec_id", "cosine"])
+    out = (
+        partials.sort_values(["query_id", "cosine", "vec_id"], ascending=[True, False, True])
+        .groupby("query_id", sort=True)
+        .head(TOP_K)
+        .reset_index(drop=True)
+    )
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    out["cosine"] = round_half_away(out["cosine"], 4)
+    return out[["query_id", "rank", "vec_id", "cosine"]]

@@ -1,0 +1,185 @@
+"""Text-analysis ops over ``documents``: token counting, quality scoring,
+language-ID heuristic, document fingerprinting.  Regex state is compiled
+once per actor (the stateful-stage rule); all bodies are pandas/numpy
+vectorized."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..functions.hashing import rolling_fingerprint
+from ..functions.numeric import round_half_away
+
+_WORD = r"[0-9A-Za-z_]+"  # \w without unicode surprises; matches RE2+re
+
+
+def text_tokens(sf_dir: str) -> rd.Dataset:
+    """Whitespace-robust token count (regex word extraction) + char length."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    class Tok:
+        def __init__(self):
+            self.word = re.compile(_WORD)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"],
+                    "n_tokens": b["text"].str.count(self.word).astype("int64"),
+                    "n_chars": b["text"].str.len().astype("int64"),
+                }
+            )
+
+    return ds.map_batches(Tok, batch_format="pandas", concurrency=(1, 8))
+
+
+SQL_TEXT_TOKENS = f"""
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text, '{_WORD}')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT)                                 AS n_chars
+FROM documents
+"""
+
+
+def text_quality(sf_dir: str) -> rd.Dataset:
+    """Quality signals: alpha ratio, digit ratio, whitespace ratio, mean
+    token length — the length/punct/stopword-style scoring family."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    class Quality:
+        def __init__(self):
+            self.alpha = re.compile(r"[A-Za-z]")
+            self.digit = re.compile(r"[0-9]")
+            self.space = re.compile(r"\s")
+            self.word = re.compile(_WORD)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            n = b["text"].str.len().clip(lower=1)
+            n_alpha = b["text"].str.count(self.alpha)
+            n_digit = b["text"].str.count(self.digit)
+            n_space = b["text"].str.count(self.space)
+            n_tok = b["text"].str.count(self.word).clip(lower=1)
+            return pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"],
+                    "alpha_ratio": round_half_away(n_alpha / n, 4),
+                    "digit_ratio": round_half_away(n_digit / n, 4),
+                    "space_ratio": round_half_away(n_space / n, 4),
+                    "mean_token_len": round_half_away((n_alpha + n_digit) / n_tok, 4),
+                }
+            )
+
+    return ds.map_batches(Quality, batch_format="pandas", concurrency=(1, 8))
+
+
+SQL_TEXT_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         GREATEST(length(text), 1) AS n,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         length(regexp_replace(text, '[^0-9]', '', 'g'))    AS n_digit,
+         length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS n_space,
+         GREATEST(length(regexp_extract_all(text, '{_WORD}')), 1)    AS n_tok
+  FROM documents
+)
+SELECT doc_id,
+       ROUND(CAST(n_alpha AS DOUBLE) / n, 4)            AS alpha_ratio,
+       ROUND(CAST(n_digit AS DOUBLE) / n, 4)            AS digit_ratio,
+       ROUND(CAST(n_space AS DOUBLE) / n, 4)            AS space_ratio,
+       ROUND(CAST(n_alpha + n_digit AS DOUBLE) / n_tok, 4) AS mean_token_len
+FROM t
+"""
+
+
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "for", "on", "with"},
+    "es": {"el", "la", "de", "que", "y", "en", "un", "por", "con", "para"},
+    "fr": {"le", "la", "de", "et", "un", "est", "pour", "que", "dans", "sur"},
+    "de": {"der", "die", "das", "und", "ist", "von", "mit", "für", "auf", "ein"},
+}
+
+
+def text_langid(sf_dir: str) -> rd.Dataset:
+    """n-gram/stopword language-ID heuristic: per-language stopword hit
+    rate; argmax wins, 'und' (undetermined) when no language scores.
+    Stopword tables are compiled once per actor."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    class LangId:
+        def __init__(self):
+            self.word = re.compile(_WORD)
+            self.langs = sorted(_STOPWORDS)
+            self.tables = [_STOPWORDS[l] for l in self.langs]
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            toks = b["text"].str.lower().str.findall(self.word)
+            scores = np.zeros((len(b), len(self.langs)))
+            for li, table in enumerate(self.tables):
+                scores[:, li] = toks.map(
+                    lambda ws: sum(w in table for w in ws) / max(1, len(ws))
+                )
+            best = scores.argmax(axis=1)
+            best_score = scores.max(axis=1)
+            pred = np.where(
+                best_score > 0.0, np.array(self.langs, dtype=object)[best], "und"
+            )
+            return pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"],
+                    "pred_lang": pred,
+                    "stopword_score": np.round(best_score, 4),
+                }
+            )
+
+    return ds.map_batches(LangId, batch_format="pandas", concurrency=(1, 8))
+
+
+def text_fingerprint(sf_dir: str) -> rd.Dataset:
+    """Document fingerprint: md5 of alnum-normalized text (content identity
+    modulo formatting/case) — SQL-comparable."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    class FP:
+        def __init__(self):
+            self.norm = re.compile(r"[^a-z0-9]+")
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            texts = t["text"].to_pylist()
+            fps = [
+                hashlib.md5(self.norm.sub("", s.lower()).encode()).hexdigest()
+                if s is not None
+                else None
+                for s in texts
+            ]
+            return pa.table(
+                {"doc_id": t["doc_id"], "md5_fingerprint": pa.array(fps, pa.string())}
+            )
+
+    return ds.map_batches(FP, batch_format="pyarrow", concurrency=(1, 8))
+
+
+SQL_TEXT_FINGERPRINT = """
+SELECT doc_id,
+       md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS md5_fingerprint
+FROM documents
+"""
+
+
+def text_rolling_fp(sf_dir: str) -> rd.Dataset:
+    """Winnowing-style rolling-hash min fingerprint (not SQL-expressible;
+    rows-only checked)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fp(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t["doc_id"], "rolling_min_hash": rolling_fingerprint(t["text"])}
+        )
+
+    return ds.map_batches(fp, batch_format="pyarrow")

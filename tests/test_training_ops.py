@@ -1,0 +1,105 @@
+"""Tests for the non-SQL-checkable training-data ops: sketch-based dedup
+(planted near-duplicates), approximate ANN recall, multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def planted_docs(tmp_path_factory):
+    """documents.parquet copy with planted near-duplicates: doc 9001 is doc
+    0 with one word changed; doc 9002 is doc 1 verbatim; doc 9003 is
+    unrelated."""
+    d = tmp_path_factory.mktemp("planted")
+    t = pq.read_table(f"{SF_DIR}/documents.parquet")
+    df = t.to_pandas()
+    base0, base1 = df.loc[0, "text"], df.loc[1, "text"]
+    words = base0.split()
+    words[len(words) // 2] = "zzzmutated"
+    extra = pd.DataFrame(
+        {
+            "doc_id": [9001, 9002, 9003],
+            "text": [" ".join(words), base1, "entirely unrelated tiny text"],
+            "lang": [df.loc[0, "lang"], df.loc[1, "lang"], "en"],
+            "source": ["plant", "plant", "plant"],
+            "n_chars": [len(" ".join(words)), len(base1), 28],
+        }
+    )
+    out = pd.concat([df, extra], ignore_index=True)
+    pq.write_table(pa.Table.from_pandas(out, preserve_index=False), str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_minhash_finds_planted_neardups(planted_docs):
+    from aiw_i2b2_etl_ray.pipelines.dedup import dedup_minhash_pairs
+
+    pairs = dedup_minhash_pairs(planted_docs)
+    got = set(map(tuple, pairs[["doc_a", "doc_b"]].itertuples(index=False)))
+    assert (0, 9001) in got, f"near-dup (0,9001) missing from {got}"
+    assert (1, 9002) in got, f"exact dup (1,9002) missing from {got}"
+    assert not any(9003 in p for p in got), "unrelated doc must not pair"
+
+
+def test_simhash_exact_dup_same_hash(planted_docs):
+    from aiw_i2b2_etl_ray.pipelines.dedup import dedup_simhash
+
+    df = dedup_simhash(planted_docs).to_pandas().set_index("doc_id")
+    assert df.loc[1, "simhash"] == df.loc[9002, "simhash"]
+    # near-dup: small hamming distance
+    from aiw_i2b2_etl_ray.functions.sketch import hamming64
+
+    d = hamming64(
+        np.array([df.loc[0, "simhash"]]).astype(np.uint64),
+        np.array([df.loc[9001, "simhash"]]).astype(np.uint64),
+    )[0]
+    assert d <= 12, f"near-dup hamming distance too large: {d}"
+
+
+def test_ngram_jaccard_pairs(planted_docs):
+    from aiw_i2b2_etl_ray.pipelines.dedup import dedup_ngram_jaccard
+
+    pairs = dedup_ngram_jaccard(planted_docs)
+    got = set(map(tuple, pairs[["doc_a", "doc_b"]].itertuples(index=False)))
+    assert (1, 9002) in got  # same lang + same length block + identical text
+
+
+def test_ann_lsh_recall_vs_bruteforce():
+    from aiw_i2b2_etl_ray.pipelines.similarity import ann_lsh_topk, ann_topk
+
+    exact = ann_topk(SF_DIR)
+    approx = ann_lsh_topk(SF_DIR)
+    e = set(map(tuple, exact[["query_id", "vec_id"]].itertuples(index=False)))
+    a = set(map(tuple, approx[["query_id", "vec_id"]].itertuples(index=False)))
+    recall = len(e & a) / max(1, len(e))
+    assert recall >= 0.3, f"LSH recall too low: {recall}"
+    # exact result has full k per query
+    assert (exact.groupby("query_id").size() == 5).all()
+
+
+def test_multimodal_plumbing():
+    from aiw_i2b2_etl_ray.pipelines.multimodal import multimodal_features
+
+    df = multimodal_features(SF_DIR).to_pandas()
+    assert set(df.columns) == {"doc_id", "media_type", "n_bytes", "width", "height", "n_channels"}
+    assert (df["n_bytes"] > 0).all()
+    assert df["width"].between(64, 255).all()
+    assert set(df["media_type"]) == {"image", "audio"}
+    # deterministic: same input -> same features
+    df2 = multimodal_features(SF_DIR).to_pandas()
+    pd.testing.assert_frame_equal(
+        df.sort_values("doc_id").reset_index(drop=True),
+        df2.sort_values("doc_id").reset_index(drop=True),
+    )
+
+
+def test_langid_deterministic():
+    from aiw_i2b2_etl_ray.pipelines.textops import text_langid
+
+    a = text_langid(SF_DIR).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert {"doc_id", "pred_lang", "stopword_score"} == set(a.columns)
+    assert len(a) > 0 and a["pred_lang"].notna().all()
