@@ -34,32 +34,49 @@ from ..stages import dims as dims_mod
 from ..stages.merge import PartitionMerger, load_path_dim, reduce_hot_rows
 from ..stages.normalize import Normalizer
 from ..state import manifest as mf
+from ..util import WORKER_ENV
+
+
+HOT_TOPK_PER_BLOCK = 512
 
 
 def find_hot_keys(ds: rd.Dataset, threshold: int) -> set[str]:
-    """Pre-pass hot-key discovery: per-batch partial counts on the two key
-    columns only (the rest is pruned), then a tiny groupby over partials —
-    the combiner pattern, so the full rows never shuffle."""
+    """Pre-pass hot-key discovery, heavy-hitters style: each block emits
+    only its top-K key counts (a tiny partial, no shuffle at all); the
+    driver sums the partials and thresholds.
+
+    This can UNDER-count a key that never makes a block's top-K, so apply a
+    0.5 safety factor — a miss only costs salting (performance), never
+    correctness.  Far cheaper than an exact groupby over every (repo, path):
+    the full rows never leave their block."""
     import polars as pl
 
     def partial(t: pa.Table) -> pa.Table:
         return (
             pl.from_arrow(t.select(["repo", "path"]))
-            # null/empty keys are rejected rows downstream — never hot, and
-            # Ray's sort-based groupby can't order null keys.
+            # null/empty keys are rejected rows downstream — never hot.
             .filter(pl.col("repo").is_not_null() & pl.col("path").is_not_null())
             .group_by(["repo", "path"])
             .agg(pl.len().cast(pl.Int64).alias("n"))
+            .top_k(HOT_TOPK_PER_BLOCK, by="n")
             .to_arrow()
         )
 
-    agg = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["repo", "path"])
-        .aggregate(Sum("n", alias_name="n"))
+    mat = ds.map_batches(
+        partial, batch_format="pyarrow", runtime_env=WORKER_ENV
+    ).materialize()  # single execution; partials are tiny
+    tbls = [t for t in ray.get(mat.to_arrow_refs()) if len(t)]
+    if not tbls:
+        return set()
+    merged = (
+        pl.from_arrow(pa.concat_tables(tbls))
+        .group_by(["repo", "path"])
+        .agg(pl.col("n").sum())
+        .filter(pl.col("n") >= max(1, threshold // 2))
     )
-    hot = agg.filter(lambda r: r["n"] >= threshold).take_all()
-    return {f"{r['repo']}\x1f{r['path']}" for r in hot}
+    return {
+        f"{r}\x1f{p}" for r, p in zip(merged["repo"].to_list(), merged["path"].to_list())
+    }
 
 
 def normalized(
@@ -78,6 +95,7 @@ def normalized(
         zero_copy_batch=True,
         concurrency=(1, 16),
         num_cpus=1,
+        runtime_env=WORKER_ENV,
     )
 
 
@@ -88,6 +106,7 @@ def merged_groups(norm: rd.Dataset, merger_kwargs: dict, spec: ReplaySpec) -> rd
         fn_constructor_kwargs=merger_kwargs,
         batch_format="pyarrow",
         num_cpus=1,
+        runtime_env=WORKER_ENV,
         **kwargs,
     )
 
@@ -183,17 +202,12 @@ def replay(
     fact_files = sorted(glob.glob(os.path.join(paths["change_fact"], "*.parquet")))
     summary: dict = {"run_id": run_id, "out": paths}
     if fact_files:
-        fact_ds = rd.read_parquet(fact_files)
+        fact_ds = rd.read_parquet(fact_files, columns=["repo", "lang", "commit_seq"])
         from ..stages.merge import _atomic_write
 
-        _atomic_write(
-            dims_mod.repo_dim(fact_ds, path_dim),
-            os.path.join(paths["repo_dim"], "repo_dim.parquet"),
-        )
-        _atomic_write(
-            dims_mod.lang_dim(rd.read_parquet(fact_files)),
-            os.path.join(paths["lang_dim"], "lang_dim.parquet"),
-        )
+        repo_t, lang_t = dims_mod.both_dims(fact_ds, path_dim)
+        _atomic_write(repo_t, os.path.join(paths["repo_dim"], "repo_dim.parquet"))
+        _atomic_write(lang_t, os.path.join(paths["lang_dim"], "lang_dim.parquet"))
 
     # consolidated manifest table (the `_manifest` logical table)
     mt = mf.manifest_table(spec.out_dir)

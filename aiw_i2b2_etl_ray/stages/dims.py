@@ -3,56 +3,70 @@
 Reference analogs: PatientDimensionFactory / VisitDimensionFactory /
 ProviderDimensionFactory + the first-writer-wins provider dedup
 (dest/table/ProviderDimensionFactory.java:119-144) and synonym/modifier
-dedup (SURVEY.md §2.7 D2).  Because the fact stream is already deduped and
-partitioned, these are cheap: a per-batch partial aggregate inside
-``map_batches`` (the combiner) followed by a tiny global ``groupby`` over
-one row per (key, batch) — never a full-row shuffle.
+dedup (SURVEY.md §2.7 D2).
+
+At-scale shape: ONE streaming pass over the fact output computes per-block
+partial aggregates for BOTH dimensions (a combiner emitting one row per
+(key, block)); the partials are tiny (|repos| + |langs| rows per block), so
+the final fold happens on the driver — no second shuffle at all.
 """
 
 from __future__ import annotations
 
 import polars as pl
 import pyarrow as pa
+import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..schemas import LANG_DIM, REPO_DIM, ensure_columns
+from ..util import WORKER_ENV
 
 
-def _partial_minmax(key: str):
-    def fn(t: pa.Table) -> pa.Table:
-        df = (
-            pl.from_arrow(t.select([key, "commit_seq"]))
-            .group_by(key)
-            .agg(
-                pl.col("commit_seq").min().alias("mn"),
-                pl.col("commit_seq").max().alias("mx"),
-            )
-        )
-        return df.to_arrow()
-
-    return fn
-
-
-def repo_dim(fact_ds: rd.Dataset, path_dim: pa.Table) -> pa.Table:
-    """repo_dim (patient_dimension analog): first/last applied commit_seq per
-    repo from the fact stream + live-path count from the converged path_dim;
-    a repo whose paths are all tombstoned is itself logically deleted."""
-    partial = fact_ds.map_batches(_partial_minmax("repo"), batch_format="pyarrow")
-    agg = partial.groupby("repo").aggregate(
-        Min("mn", alias_name="first_commit_seq"),
-        Max("mx", alias_name="last_commit_seq"),
+def _partials(t: pa.Table) -> pa.Table:
+    df = pl.from_arrow(t.select(["repo", "lang", "commit_seq"]))
+    r = df.group_by("repo").agg(
+        pl.col("commit_seq").min().alias("mn"), pl.col("commit_seq").max().alias("mx")
     )
-    df = pl.from_arrow(pa.Table.from_pandas(agg.to_pandas()))
+    l = df.group_by("lang").agg(
+        pl.col("commit_seq").min().alias("mn"), pl.col("commit_seq").max().alias("mx")
+    )
+    both = pl.concat(
+        [
+            r.select(pl.lit("repo").alias("kind"), pl.col("repo").alias("key"), "mn", "mx"),
+            l.select(pl.lit("lang").alias("kind"), pl.col("lang").alias("key"), "mn", "mx"),
+        ]
+    )
+    return both.to_arrow()
 
+
+def both_dims(fact_ds: rd.Dataset, path_dim: pa.Table) -> tuple[pa.Table, pa.Table]:
+    """(repo_dim, lang_dim) in one pass over the fact stream."""
+    mat = fact_ds.map_batches(
+        _partials, batch_format="pyarrow", runtime_env=WORKER_ENV
+    ).materialize()
+    tbls = [t for t in ray.get(mat.to_arrow_refs()) if len(t)]
+    if not tbls:
+        return REPO_DIM.empty_table(), LANG_DIM.empty_table()
+    agg = (
+        pl.from_arrow(pa.concat_tables(tbls))
+        .group_by(["kind", "key"])
+        .agg(pl.col("mn").min(), pl.col("mx").max())
+    )
+
+    # --- repo_dim: fold in live-path counts from the converged path_dim ----
+    repo = agg.filter(pl.col("kind") == "repo").select(
+        pl.col("key").alias("repo"),
+        pl.col("mn").alias("first_commit_seq"),
+        pl.col("mx").alias("last_commit_seq"),
+    )
     live = (
         pl.from_arrow(path_dim)
         .filter(pl.col("delete_date").is_null())
         .group_by("repo")
         .agg(pl.len().cast(pl.Int64).alias("n_paths_live"))
     )
-    out = (
-        df.join(live, on="repo", how="left")
+    repo_out = (
+        repo.join(live, on="repo", how="left")
         .with_columns(pl.col("n_paths_live").fill_null(0))
         .with_columns(
             pl.when(pl.col("n_paths_live") == 0)
@@ -63,25 +77,28 @@ def repo_dim(fact_ds: rd.Dataset, path_dim: pa.Table) -> pa.Table:
         )
         .sort("repo")
     )
-    return ensure_columns(out.to_arrow(), REPO_DIM)
+
+    lang_out = (
+        agg.filter(pl.col("kind") == "lang")
+        .select(pl.col("key").alias("lang"), pl.col("mn").alias("first_seen_seq"))
+        .sort("lang")
+    )
+    return (
+        ensure_columns(repo_out.to_arrow(), REPO_DIM),
+        ensure_columns(lang_out.to_arrow(), LANG_DIM),
+    )
+
+
+def repo_dim(fact_ds: rd.Dataset, path_dim: pa.Table) -> pa.Table:
+    """repo_dim (patient_dimension analog): first/last applied commit_seq
+    per repo + live-path count; a repo with zero live paths is logically
+    deleted (delete_date set)."""
+    return both_dims(fact_ds, path_dim)[0]
 
 
 def lang_dim(fact_ds: rd.Dataset) -> pa.Table:
     """lang_dim (concept_dimension analog): languages discovered dynamically
     from the applied stream, like providers in the reference (ST3)."""
+    from ..schemas import PATH_DIM
 
-    def partial(t: pa.Table) -> pa.Table:
-        return (
-            pl.from_arrow(t.select(["lang", "commit_seq"]))
-            .group_by("lang")
-            .agg(pl.col("commit_seq").min().alias("mn"))
-            .to_arrow()
-        )
-
-    agg = (
-        fact_ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("lang")
-        .aggregate(Min("mn", alias_name="first_seen_seq"))
-    )
-    out = pl.from_arrow(pa.Table.from_pandas(agg.to_pandas())).sort("lang")
-    return ensure_columns(out.to_arrow(), LANG_DIM)
+    return both_dims(fact_ds, PATH_DIM.empty_table())[1]

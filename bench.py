@@ -1,0 +1,241 @@
+"""Benchmark harness.
+
+Headline: full checkpointed CDC replay (normalize -> shuffle -> exactly-once
+merge -> dims) over a deterministic synthetic change log sized to the
+scale factor of $GRAFT_SF_DIR (default /root/testdata/sf0.1); plus wall
+times for representative catalog queries at that sf.
+
+Prints ONE JSON line:
+  {"metric": "cdc_replay_sec", "value": <headline sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "events": n, "events_per_sec": r}
+
+--scaling: runs the headline twice in fresh processes (num_cpus=8 and 32)
+on the SAME input and reports throughput at both + scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_ROOT = "/tmp/aiw_bench"
+
+#: events per scale factor (sandbox stand-in for the 10^10 target)
+EVENTS_BY_SF = {"sf0.001": 20_000, "sf0.01": 200_000, "sf0.1": 2_000_000}
+
+
+def _sf_name() -> str:
+    return os.path.basename(SF_DIR.rstrip("/")) or "sf0.1"
+
+
+def _ensure_input(n_events: int) -> str:
+    """Generate (once, cached) the deterministic change log for this size."""
+    from aiw_i2b2_etl_ray.sources.synth import generate_changes
+
+    d = os.path.join(BENCH_ROOT, f"changes-{n_events}")
+    marker = os.path.join(d, "_COMPLETE")
+    if os.path.exists(marker):
+        return d
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)
+    generate_changes(
+        d,
+        n_events,
+        n_repos=max(20, n_events // 50_000),
+        paths_per_repo=200,
+        seed=42,
+        rows_per_file=500_000,
+    )
+    with open(marker, "w") as f:
+        f.write("ok")
+    return d
+
+
+def _warm(path: str) -> None:
+    """One untimed pass so we measure compute+shuffle, not cold disk."""
+    import glob
+
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        with open(f, "rb") as fh:
+            while fh.read(1 << 24):
+                pass
+
+
+def run_headline(n_events: int) -> dict:
+    import shutil
+
+    from aiw_i2b2_etl_ray.config import ReplaySpec
+    from aiw_i2b2_etl_ray.pipelines.cdc_replay import replay
+
+    inp = _ensure_input(n_events)
+    _warm(inp)
+    out_dir = os.path.join(BENCH_ROOT, f"out-{NUM_CPUS}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    spec = ReplaySpec(
+        out_dir=out_dir,
+        num_partitions=max(32, NUM_CPUS * 4),
+        salt_buckets=8,
+        hot_key_threshold=max(100_000, n_events // 10),
+        merge_concurrency=(1, NUM_CPUS),
+    )
+    t0 = time.perf_counter()
+    summary = replay(inp, spec)
+    sec = time.perf_counter() - t0
+    return {
+        "sec": sec,
+        "events": n_events,
+        "events_per_sec": n_events / sec,
+        "rows_applied": summary["lineage"]["rows_applied"],
+    }
+
+
+def run_queries() -> dict[str, float]:
+    """Representative catalog queries at $GRAFT_SF_DIR."""
+    import __ray_entry__ as e
+
+    sel = [
+        "cdc_path_dim",
+        "pricing_summary",
+        "join_orders_nations",
+        "dedup_exact",
+        "dedup_minhash",
+        "ann_topk",
+        "text_tokens",
+        "text_quality",
+    ]
+    q = e.queries()
+    out = {}
+    for name in sel:
+        t0 = time.perf_counter()
+        res = q[name](SF_DIR)
+        # force execution
+        if hasattr(res, "count") and not isinstance(res, (int, float)):
+            try:
+                res.count()
+            except AttributeError:
+                pass
+        elif hasattr(res, "__len__"):
+            len(res)
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main() -> None:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    sf = _sf_name()
+    n_events = EVENTS_BY_SF.get(sf, 2_000_000)
+    head = run_headline(n_events)
+    queries = run_queries()
+    print(
+        json.dumps(
+            {
+                "metric": "cdc_replay_sec",
+                "value": round(head["sec"], 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "num_cpus": NUM_CPUS,
+                "events": head["events"],
+                "events_per_sec": round(head["events_per_sec"], 1),
+            }
+        )
+    )
+    ray.shutdown()
+
+
+def scaling() -> None:
+    """Same job, two parallelism levels, fresh processes (driver directive:
+    in-sandbox evidence for the N->4N criterion)."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--headline-only"],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    tp_lo, tp_hi = r_lo["events_per_sec"], r_hi["events_per_sec"]
+    eff = (tp_hi / tp_lo) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency",
+                "value": round(eff, 3),
+                "unit": "ratio",
+                "cpus_lo": lo,
+                "cpus_hi": hi,
+                "sec_lo": r_lo["value"],
+                "sec_hi": r_hi["value"],
+                "events_per_sec_lo": tp_lo,
+                "events_per_sec_hi": tp_hi,
+                "events": r_lo["events"],
+            }
+        )
+    )
+
+
+def headline_only() -> None:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    sf = _sf_name()
+    n_events = EVENTS_BY_SF.get(sf, 2_000_000)
+    head = run_headline(n_events)
+    print(
+        json.dumps(
+            {
+                "metric": "cdc_replay_sec",
+                "value": round(head["sec"], 3),
+                "unit": "sec",
+                "num_cpus": NUM_CPUS,
+                "events": head["events"],
+                "events_per_sec": round(head["events_per_sec"], 1),
+            }
+        )
+    )
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    elif "--headline-only" in sys.argv:
+        headline_only()
+    else:
+        main()
