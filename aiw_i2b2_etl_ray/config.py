@@ -68,5 +68,6 @@ def out_paths(spec: ReplaySpec) -> dict[str, str]:
             "change_fact",
             "rejected",
             "_manifest",
+            "_dimpart",  # per-partition dimension partials (internal)
         )
     }

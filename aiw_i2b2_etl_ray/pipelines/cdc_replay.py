@@ -144,12 +144,21 @@ def replay(
 
     hot_keys = None
     if spec.salt_buckets > 1 and spec.hot_key_threshold > 0:
-        key_ds = (
-            read_changes(input_path, with_content=False)
-            if isinstance(input_path, str)
-            else changes
-        )
-        hot_keys = find_hot_keys(key_ds, spec.hot_key_threshold) or None
+        if isinstance(input_path, str):
+            # Sampled pre-pass: every k-th log segment (~25% of files, spread
+            # across commit time), threshold scaled by the sampled fraction.
+            # Hot-key detection is a performance heuristic — a missed
+            # borderline key costs salting, never correctness.
+            files = sorted(glob.glob(os.path.join(input_path, "*.parquet")))
+            if not files:
+                files = [input_path]
+            sample = files[::4] if len(files) >= 8 else files
+            frac = len(sample) / len(files)
+            key_ds = read_changes(sample, with_content=False)
+            thr = max(1, int(spec.hot_key_threshold * frac))
+            hot_keys = find_hot_keys(key_ds, thr) or None
+        else:
+            hot_keys = find_hot_keys(changes, spec.hot_key_threshold) or None
 
     norm = normalized(changes, spec, hot_keys)
 
@@ -189,23 +198,27 @@ def replay(
     # a second full execution for schema inference.
     hot_mat = hot_rows_ds.materialize()
     hot_tbls = [t for t in ray.get(hot_mat.to_arrow_refs()) if len(t)]
+    from ..stages.merge import _atomic_write
+
     if hot_tbls:
         folded = reduce_hot_rows(pa.concat_tables(hot_tbls))
-        from ..stages.merge import _atomic_write
-
         _atomic_write(
             folded, os.path.join(paths["path_dim"], f"hot-{run_id}.parquet")
         )
+    # all hot runs (incl. prior update-mode runs), LWW-reduced, contribute
+    # the live counts the partition partials exclude
+    hot_files = sorted(glob.glob(os.path.join(paths["path_dim"], "hot-*.parquet")))
+    hot_all = None
+    if hot_files:
+        hot_all = reduce_hot_rows(
+            pa.concat_tables([pq.read_table(f) for f in hot_files])
+        )
 
-    # dims from the already-reduced fact output (small second pass)
-    path_dim = load_path_dim(spec.out_dir)
-    fact_files = sorted(glob.glob(os.path.join(paths["change_fact"], "*.parquet")))
+    # dims: fold the per-partition partials the mergers wrote (tiny driver
+    # reduce — the fact table is never re-read)
     summary: dict = {"run_id": run_id, "out": paths}
-    if fact_files:
-        fact_ds = rd.read_parquet(fact_files, columns=["repo", "lang", "commit_seq"])
-        from ..stages.merge import _atomic_write
-
-        repo_t, lang_t = dims_mod.both_dims(fact_ds, path_dim)
+    repo_t, lang_t = dims_mod.fold_dim_partials(paths["_dimpart"], hot_all)
+    if len(repo_t):
         _atomic_write(repo_t, os.path.join(paths["repo_dim"], "repo_dim.parquet"))
         _atomic_write(lang_t, os.path.join(paths["lang_dim"], "lang_dim.parquet"))
 

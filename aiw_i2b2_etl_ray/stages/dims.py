@@ -89,6 +89,72 @@ def both_dims(fact_ds: rd.Dataset, path_dim: pa.Table) -> tuple[pa.Table, pa.Tab
     )
 
 
+def fold_dim_partials(dimpart_dir: str, hot_path_dim: pa.Table | None = None):
+    """(repo_dim, lang_dim) from the per-partition partial files the merge
+    stage wrote — a driver-side fold over ~num_partitions tiny tables; the
+    fact table is never re-read.  ``hot_path_dim`` (the folded hot-key
+    winners, which partition partials exclude) contributes extra live
+    counts."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(dimpart_dir, "*.parquet")))
+    if not files:
+        return REPO_DIM.empty_table(), LANG_DIM.empty_table()
+    parts = [pl.from_arrow(pq.read_table(f)) for f in files]
+    if hot_path_dim is not None and len(hot_path_dim):
+        hot_live = (
+            pl.from_arrow(hot_path_dim)
+            .filter(pl.col("delete_date").is_null())
+            .group_by("repo")
+            .agg(pl.len().cast(pl.Int64).alias("live"))
+            .select(
+                pl.lit("repo_live").alias("kind"),
+                pl.col("repo").alias("key"),
+                pl.lit(None, dtype=pl.Int64).alias("mn"),
+                pl.lit(None, dtype=pl.Int64).alias("mx"),
+                "live",
+            )
+        )
+        parts.append(hot_live)
+    agg = (
+        pl.concat(parts)
+        .group_by(["kind", "key"])
+        .agg(pl.col("mn").min(), pl.col("mx").max(), pl.col("live").sum())
+    )
+    bounds = agg.filter(pl.col("kind") == "repo").select(
+        pl.col("key").alias("repo"),
+        pl.col("mn").alias("first_commit_seq"),
+        pl.col("mx").alias("last_commit_seq"),
+    )
+    live = agg.filter(pl.col("kind") == "repo_live").select(
+        pl.col("key").alias("repo"), pl.col("live").alias("n_paths_live")
+    )
+    repo_out = (
+        bounds.join(live, on="repo", how="left")
+        .with_columns(pl.col("n_paths_live").fill_null(0))
+        .with_columns(
+            pl.when(pl.col("n_paths_live") == 0)
+            .then(pl.col("last_commit_seq"))
+            .otherwise(None)
+            .cast(pl.Datetime("us"))
+            .alias("delete_date")
+        )
+        .sort("repo")
+    )
+    lang_out = (
+        agg.filter(pl.col("kind") == "lang")
+        .select(pl.col("key").alias("lang"), pl.col("mn").alias("first_seen_seq"))
+        .sort("lang")
+    )
+    return (
+        ensure_columns(repo_out.to_arrow(), REPO_DIM),
+        ensure_columns(lang_out.to_arrow(), LANG_DIM),
+    )
+
+
 def repo_dim(fact_ds: rd.Dataset, path_dim: pa.Table) -> pa.Table:
     """repo_dim (patient_dimension analog): first/last applied commit_seq
     per repo + live-path count; a repo with zero live paths is logically

@@ -228,6 +228,7 @@ class PartitionMerger:
         _atomic_write(
             path_dim, os.path.join(self.out_dirs["path_dim"], f"part-{pid:05d}.parquet")
         )
+        self._write_dim_partials(pid, facts_df, path_dim)
         facts = ensure_columns(facts_df.to_arrow(), CHANGE_FACT)
         fact_name = (
             f"part-{pid:05d}.parquet"
@@ -246,6 +247,84 @@ class PartitionMerger:
                 rej, os.path.join(self.out_dirs["rejected"], f"part-{pid:05d}-{self.run_id}.parquet")
             )
 
+        self._commit_manifest(pid, len(facts), dups, conflicts, len(rejected), wm_new)
+        return hot_rows
+
+    def _write_dim_partials(self, pid: int, facts_df: pl.DataFrame, path_dim: pa.Table):
+        """Per-partition dimension partials (the combiner side of repo_dim /
+        lang_dim): per-repo first/last applied seq (from this run's facts,
+        folded with the prior partial in update mode) + per-repo live-path
+        count and per-lang first-seen (state snapshots from the converged
+        partition).  The driver folds these tiny files — no second pass over
+        the fact table.  Hot-key winners are NOT in ``path_dim`` here; the
+        driver adds the hot fold's live counts separately."""
+        parts = []
+        if len(facts_df):
+            f = facts_df
+            parts.append(
+                pl.concat(
+                    [
+                        f.group_by("repo")
+                        .agg(
+                            pl.col("commit_seq").min().alias("mn"),
+                            pl.col("commit_seq").max().alias("mx"),
+                        )
+                        .select(
+                            pl.lit("repo").alias("kind"),
+                            pl.col("repo").alias("key"),
+                            "mn",
+                            "mx",
+                            pl.lit(0, dtype=pl.Int64).alias("live"),
+                        ),
+                        f.group_by("lang")
+                        .agg(
+                            pl.col("commit_seq").min().alias("mn"),
+                            pl.col("commit_seq").max().alias("mx"),
+                        )
+                        .select(
+                            pl.lit("lang").alias("kind"),
+                            pl.col("lang").alias("key"),
+                            "mn",
+                            "mx",
+                            pl.lit(0, dtype=pl.Int64).alias("live"),
+                        ),
+                    ]
+                )
+            )
+        if len(path_dim):
+            live = (
+                pl.from_arrow(path_dim)
+                .filter(pl.col("delete_date").is_null())
+                .group_by("repo")
+                .agg(pl.len().cast(pl.Int64).alias("live"))
+                .select(
+                    pl.lit("repo_live").alias("kind"),
+                    pl.col("repo").alias("key"),
+                    pl.lit(None, dtype=pl.Int64).alias("mn"),
+                    pl.lit(None, dtype=pl.Int64).alias("mx"),
+                    "live",
+                )
+            )
+            parts.append(live)
+        dp_path = os.path.join(self.out_dirs["_dimpart"], f"part-{pid:05d}.parquet")
+        if self.mode == "update" and os.path.exists(dp_path):
+            # fold the prior partial: min/max fold for seq bounds; live is a
+            # fresh snapshot (prior live rows dropped, since path_dim state
+            # was re-merged above)
+            prior = pl.from_arrow(pq.read_table(dp_path)).filter(
+                pl.col("kind") != "repo_live"
+            )
+            parts.append(prior)
+        if not parts:
+            return
+        folded = (
+            pl.concat(parts)
+            .group_by(["kind", "key"])
+            .agg(pl.col("mn").min(), pl.col("mx").max(), pl.col("live").sum())
+        )
+        _atomic_write(folded.to_arrow(), dp_path)
+
+    def _commit_manifest(self, pid, n_facts, dups, conflicts, n_rejected, wm_new):
         # manifest commit point — MUST be last (resume reads this)
         prev = {}
         mpath = os.path.join(self.out_dirs["_manifest"], f"part-{pid:05d}.json")
@@ -256,16 +335,15 @@ class PartitionMerger:
             {
                 "partition_id": pid,
                 "watermark_seq": wm_new,
-                "rows_applied": prev.get("rows_applied", 0) + len(facts),
+                "rows_applied": prev.get("rows_applied", 0) + n_facts,
                 "dups_dropped": prev.get("dups_dropped", 0) + dups,
                 "conflicts_resolved": prev.get("conflicts_resolved", 0) + conflicts,
-                "rows_rejected": prev.get("rows_rejected", 0) + len(rejected),
+                "rows_rejected": prev.get("rows_rejected", 0) + n_rejected,
                 "schema_version": self.schema_version,
                 "run_id": self.run_id,
             },
             mpath,
         )
-        return hot_rows
 
 
 def reduce_hot_rows(hot: pa.Table) -> pa.Table:
