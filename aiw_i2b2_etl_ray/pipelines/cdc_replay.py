@@ -34,7 +34,7 @@ from ..stages import dims as dims_mod
 from ..stages.merge import PartitionMerger, load_path_dim, reduce_hot_rows
 from ..stages.normalize import Normalizer
 from ..state import manifest as mf
-from ..util import WORKER_ENV
+from ..util import WORKER_ENV, worker_runtime_env
 
 
 HOT_TOPK_PER_BLOCK = 512
@@ -63,7 +63,7 @@ def find_hot_keys(ds: rd.Dataset, threshold: int) -> set[str]:
         )
 
     mat = ds.map_batches(
-        partial, batch_format="pyarrow", runtime_env=WORKER_ENV
+        partial, batch_format="pyarrow", **worker_runtime_env()
     ).materialize()  # single execution; partials are tiny
     tbls = [t for t in ray.get(mat.to_arrow_refs()) if len(t)]
     if not tbls:
@@ -79,34 +79,57 @@ def find_hot_keys(ds: rd.Dataset, threshold: int) -> set[str]:
     }
 
 
+def find_hot_keys_local(files: list[str], threshold: int) -> set[str]:
+    """Driver-local exact variant of find_hot_keys for small sampled inputs
+    (column-pruned polars scan; no Ray stage startup cost)."""
+    import polars as pl
+
+    merged = (
+        pl.scan_parquet(files, extra_columns="ignore", missing_columns="insert")
+        .select(["repo", "path"])
+        .drop_nulls()
+        .group_by(["repo", "path"])
+        .agg(pl.len().cast(pl.Int64).alias("n"))
+        .filter(pl.col("n") >= max(1, threshold // 2))
+        .collect()
+    )
+    return {
+        f"{r}\x1f{p}" for r, p in zip(merged["repo"].to_list(), merged["path"].to_list())
+    }
+
+
 def normalized(
     changes: rd.Dataset, spec: ReplaySpec, hot_keys: set[str] | None = None
 ) -> rd.Dataset:
     hot_ref = ray.put(hot_keys) if hot_keys else None
+    # stateless tasks, not an actor pool: elastic parallelism, no pool
+    # ramp-up; the Normalizer instance is pickled into each task (tiny —
+    # the hot set travels by ObjectRef and is fetched from the local
+    # object store inside the worker)
     return changes.map_batches(
-        Normalizer,
-        fn_constructor_kwargs={
-            "num_partitions": spec.num_partitions,
-            "salt_buckets": spec.salt_buckets,
-            "hot_keys_ref": hot_ref,
-        },
+        Normalizer(spec.num_partitions, spec.salt_buckets, hot_ref),
         batch_format="pyarrow",
         batch_size=spec.batch_size,
         zero_copy_batch=True,
-        concurrency=(1, 16),
-        num_cpus=1,
-        runtime_env=WORKER_ENV,
+        **worker_runtime_env(),
     )
 
 
 def merged_groups(norm: rd.Dataset, merger_kwargs: dict, spec: ReplaySpec) -> rd.Dataset:
-    kwargs = {"concurrency": spec.merge_concurrency or (1, 16)}
+    # AUTOSCALING actor pool (1, ~cpus): merge actors only exist after the
+    # sort barrier releases blocks; a fixed pre-started pool would squat on
+    # CPUs (num_cpus=1 each) while idle and starve read/normalize/sort —
+    # measured 3x slower than autoscaling on the 10M-event bench.
+    conc = spec.merge_concurrency
+    if conc is None:
+        conc = (1, max(2, int(ray.cluster_resources().get("CPU", 8))))
+    kwargs = {"concurrency": conc}
     return norm.groupby("pkey").map_groups(
         PartitionMerger,
         fn_constructor_kwargs=merger_kwargs,
         batch_format="pyarrow",
         num_cpus=1,
-        runtime_env=WORKER_ENV,
+        **worker_runtime_env(),
         **kwargs,
     )
 
@@ -154,9 +177,15 @@ def replay(
                 files = [input_path]
             sample = files[::4] if len(files) >= 8 else files
             frac = len(sample) / len(files)
-            key_ds = read_changes(sample, with_content=False)
             thr = max(1, int(spec.hot_key_threshold * frac))
-            hot_keys = find_hot_keys(key_ds, thr) or None
+            sample_bytes = sum(os.path.getsize(f) for f in sample)
+            if sample_bytes < 2 << 30:
+                # small sample: a driver-local polars scan (column-pruned)
+                # beats spinning up a Ray stage by seconds of fixed cost
+                hot_keys = find_hot_keys_local(sample, thr) or None
+            else:
+                key_ds = read_changes(sample, with_content=False)
+                hot_keys = find_hot_keys(key_ds, thr) or None
         else:
             hot_keys = find_hot_keys(changes, spec.hot_key_threshold) or None
 

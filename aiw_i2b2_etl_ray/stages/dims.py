@@ -19,7 +19,7 @@ import ray
 import ray.data as rd
 
 from ..schemas import LANG_DIM, REPO_DIM, ensure_columns
-from ..util import WORKER_ENV
+from ..util import worker_runtime_env
 
 
 def _partials(t: pa.Table) -> pa.Table:
@@ -42,7 +42,7 @@ def _partials(t: pa.Table) -> pa.Table:
 def both_dims(fact_ds: rd.Dataset, path_dim: pa.Table) -> tuple[pa.Table, pa.Table]:
     """(repo_dim, lang_dim) in one pass over the fact stream."""
     mat = fact_ds.map_batches(
-        _partials, batch_format="pyarrow", runtime_env=WORKER_ENV
+        _partials, batch_format="pyarrow", **worker_runtime_env()
     ).materialize()
     tbls = [t for t in ray.get(mat.to_arrow_refs()) if len(t)]
     if not tbls:

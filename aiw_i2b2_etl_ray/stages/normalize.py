@@ -33,20 +33,30 @@ _SALT_PRIME = np.uint64(0x9E3779B97F4A7C15)
 
 
 class Normalizer:
-    """Callable batch transform.  Stateless in spirit, but constructed once
-    per actor so the hot-key set (a broadcast small side: ``ray.put`` once,
-    read per actor, never re-shipped per batch) is deserialized once.
+    """Callable batch transform — stateless, so it runs as plain Ray TASKS
+    (elastic, no actor-pool ramp-up).  The hot-key set is a broadcast small
+    side: ``ray.put`` once on the driver, ``ray.get`` per worker process
+    (cached in the worker's in-process object store — effectively once per
+    worker, never re-shipped per batch).
     """
 
     def __init__(self, num_partitions: int, salt_buckets: int, hot_keys_ref=None):
-        import ray
-
         self.num_partitions = np.uint64(num_partitions)
         self.salt_buckets = np.uint64(max(salt_buckets, 1))
-        hot = ray.get(hot_keys_ref) if hot_keys_ref is not None else None
-        self.hot_keys = hot if hot else None  # set[str] of "repo\x1fpath"
+        self._hot_ref = hot_keys_ref
+        self._hot_loaded = hot_keys_ref is None
+        self.hot_keys = None  # set[str] of "repo\x1fpath"
+
+    def _load_hot(self):
+        if not self._hot_loaded:
+            import ray
+
+            hot = ray.get(self._hot_ref)
+            self.hot_keys = hot if hot else None
+            self._hot_loaded = True
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        self._load_hot()
         n = len(t)
         repo, path, commit = t["repo"], t["path"], t["commit"]
 

@@ -15,3 +15,24 @@ WORKER_ENV = {
         "MKL_NUM_THREADS": "1",
     }
 }
+
+
+def worker_runtime_env() -> dict:
+    """runtime_env for heavy stages — empty when the driver process already
+    set the thread caps BEFORE ray.init (workers inherit them, and skipping
+    the explicit runtime_env lets Ray reuse its default worker pool instead
+    of spawning a dedicated one per stage)."""
+    import os
+
+    if os.environ.get("POLARS_MAX_THREADS") == "1":
+        return {}
+    return {"runtime_env": WORKER_ENV}
+
+
+def cap_kernel_threads() -> None:
+    """Call in bench/test entrypoints BEFORE ray.init so every worker
+    inherits single-threaded kernel settings."""
+    import os
+
+    for k, v in WORKER_ENV["env_vars"].items():
+        os.environ.setdefault(k, v)

@@ -27,7 +27,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_ROOT = "/tmp/aiw_bench"
 
 #: events per scale factor (sandbox stand-in for the 10^10 target)
-EVENTS_BY_SF = {"sf0.001": 20_000, "sf0.01": 200_000, "sf0.1": 2_000_000}
+EVENTS_BY_SF = {"sf0.001": 20_000, "sf0.01": 200_000, "sf0.1": 10_000_000}
 
 
 def _sf_name() -> str:
@@ -130,6 +130,9 @@ def run_queries() -> dict[str, float]:
 def main() -> None:
     import ray
 
+    from aiw_i2b2_etl_ray.util import cap_kernel_threads
+
+    cap_kernel_threads()
     ray.init(
         address="local",
         num_cpus=NUM_CPUS,
@@ -204,6 +207,9 @@ def scaling() -> None:
 def headline_only() -> None:
     import ray
 
+    from aiw_i2b2_etl_ray.util import cap_kernel_threads
+
+    cap_kernel_threads()
     ray.init(
         address="local",
         num_cpus=NUM_CPUS,

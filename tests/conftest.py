@@ -10,6 +10,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def ray_session():
     import ray
 
+    from aiw_i2b2_etl_ray.util import cap_kernel_threads
+
+    cap_kernel_threads()
     ray.init(
         address="local",
         num_cpus=4,
