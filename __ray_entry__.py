@@ -44,6 +44,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_docs": an.topk_docs,  # O-family sort/limit
         "pricing_summary": an.pricing_summary,  # A-family rollup
     }
+    from aiw_i2b2_etl_ray.pipelines import scalar_queries as sq
+
+    cat.update(
+        {
+            "active_status": sq.active_status,  # M9
+            "vital_status": sq.vital_status,  # M10
+            "age_years": sq.age_years,  # M11
+            "length_of_stay": sq.length_of_stay,  # M12
+            "full_name": sq.full_name,  # M14
+            "blob_join": sq.blob_join,  # M18
+            "hierarchy_path": sq.hierarchy_path,  # path assembly
+            "eav_inequality": sq.eav_inequality,  # M6 inequality arm
+        }
+    )
     try:  # training-data ops (dedup / similarity / text) — added as built
         from aiw_i2b2_etl_ray.pipelines import dedup as dd
         from aiw_i2b2_etl_ray.pipelines import similarity as sim
@@ -133,6 +147,20 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
     }
+    from aiw_i2b2_etl_ray.pipelines import scalar_queries as sq
+
+    sql.update(
+        {
+            "active_status": sq.SQL_ACTIVE_STATUS,
+            "vital_status": sq.SQL_VITAL_STATUS,
+            "age_years": sq.SQL_AGE_YEARS,
+            "length_of_stay": sq.SQL_LENGTH_OF_STAY,
+            "full_name": sq.SQL_FULL_NAME,
+            "blob_join": sq.SQL_BLOB_JOIN,
+            "hierarchy_path": sq.SQL_HIERARCHY_PATH,
+            "eav_inequality": sq.SQL_EAV_INEQUALITY,
+        }
+    )
     try:
         from aiw_i2b2_etl_ray.pipelines import dedup as dd
         from aiw_i2b2_etl_ray.pipelines import similarity as sim

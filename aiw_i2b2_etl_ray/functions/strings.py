@@ -46,7 +46,8 @@ def full_name(last, first, middle) -> pa.Array:
 
 def hierarchy_path(*components) -> pa.Array:
     r"""Assemble ``\A\B\C\`` i2b2-style metadata paths from components."""
-    parts = [pc.coalesce(c, pa.scalar("")) for c in components]
+    # unify to string: join kernels reject mixed string/large_string inputs
+    parts = [pc.coalesce(pc.cast(c, pa.string()), pa.scalar("")) for c in components]
     joined = parts[0]
     for p in parts[1:]:
         joined = pc.binary_join_element_wise(joined, p, "\\")
