@@ -82,11 +82,12 @@ def concept_code(prop_id, value=None, *, max_len: int = 50) -> pa.Array:
     too_long = pc.greater(pc.utf8_length(code), max_len)
     import polars as pl
 
-    h = (
+    h = pc.cast(
         pl.from_arrow(pa.table({"c": code}))["c"]
         .hash(seed=7)
         .map_elements(lambda x: format(x & 0xFFFFFFFF, "08x"), return_dtype=pl.String)
-        .to_arrow()
+        .to_arrow(),
+        pa.string(),
     )
     chopped = pc.binary_join_element_wise(
         pc.utf8_slice_codeunits(code, 0, max_len - 9), h, "_"

@@ -359,6 +359,39 @@ def reduce_hot_rows(hot: pa.Table) -> pa.Table:
     return ensure_columns(df.to_arrow(), PATH_DIM)
 
 
+def compact_path_dim(out_dir: str, num_partitions: int) -> int:
+    """LSM compaction: fold the hot-run files back into canonical partition
+    files so merge-on-read degenerates to a plain read.  Returns the number
+    of keys re-homed.  Maintenance op — safe to run between replays (writes
+    are atomic; hot files are removed only after their keys are merged)."""
+    import glob
+
+    from ..functions.hashing import bucket_hash
+
+    hot_files = sorted(glob.glob(os.path.join(out_dir, "path_dim", "hot-*.parquet")))
+    if not hot_files:
+        return 0
+    hot = pa.concat_tables([pq.read_table(f) for f in hot_files])
+    hot = reduce_hot_rows(hot)
+    pids = bucket_hash(hot, ["repo", "path"], num_partitions)
+    moved = 0
+    for pid in sorted(set(pids.to_pylist())):
+        sub = hot.filter(pc.equal(pids, pid))
+        part = os.path.join(out_dir, "path_dim", f"part-{pid:05d}.parquet")
+        base = pq.read_table(part) if os.path.exists(part) else PATH_DIM.empty_table()
+        merged = (
+            pl.from_arrow(pa.concat_tables([ensure_columns(base, PATH_DIM), sub]))
+            .sort("last_commit_seq", maintain_order=True)
+            .group_by(["repo", "path"], maintain_order=True)
+            .last()
+        )
+        _atomic_write(ensure_columns(merged.to_arrow(), PATH_DIM), part)
+        moved += len(sub)
+    for f in hot_files:
+        os.remove(f)
+    return moved
+
+
 def load_path_dim(out_dir: str) -> pa.Table:
     """Merge-on-read over the LSM runs: part files + hot files; LWW per key."""
     import glob
