@@ -58,6 +58,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "eav_inequality": sq.eav_inequality,  # M6 inequality arm
         }
     )
+    from aiw_i2b2_etl_ray.pipelines import ontology as on
+    from aiw_i2b2_etl_ray.pipelines import windows as wn
+
+    cat.update(
+        {
+            "ontology_table": on.ontology_table,  # K2/O2 metadata emission
+            "lang_stats": on.lang_stats,  # A4 statistics + rollup
+            "event_rank": wn.event_rank,  # O1/ST9 per-key ordering
+            "tumbling_counts": wn.tumbling_counts,  # windowed aggregate
+            "session_windows": wn.session_windows,  # gap sessionization
+        }
+    )
     try:  # training-data ops (dedup / similarity / text) — added as built
         from aiw_i2b2_etl_ray.pipelines import dedup as dd
         from aiw_i2b2_etl_ray.pipelines import similarity as sim
@@ -159,6 +171,18 @@ def oracle_sql() -> dict[str, str]:
             "blob_join": sq.SQL_BLOB_JOIN,
             "hierarchy_path": sq.SQL_HIERARCHY_PATH,
             "eav_inequality": sq.SQL_EAV_INEQUALITY,
+        }
+    )
+    from aiw_i2b2_etl_ray.pipelines import ontology as on
+    from aiw_i2b2_etl_ray.pipelines import windows as wn
+
+    sql.update(
+        {
+            "ontology_table": on.SQL_ONTOLOGY_TABLE,
+            "lang_stats": on.SQL_LANG_STATS,
+            "event_rank": wn.SQL_EVENT_RANK,
+            "tumbling_counts": wn.SQL_TUMBLING_COUNTS,
+            "session_windows": wn.SQL_SESSION_WINDOWS,
         }
     )
     try:

@@ -38,6 +38,30 @@ def sha256_hex(col: pa.Array | pa.ChunkedArray) -> pa.Array:
     return pa.array(out, type=pa.string())
 
 
+def sha256_bin(col: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Raw 32-byte sha256 digests — the shuffle-side representation (half
+    the bytes of hex; hex-encode only at the output edge)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    sha = hashlib.sha256
+    out = [
+        None if s is None else sha(s.encode("utf-8")).digest()
+        for s in col.to_pylist()
+    ]
+    return pa.array(out, type=pa.binary())
+
+
+def bin_to_hex(col) -> pa.Array:
+    """Vectorized binary->hex (polars kernel)."""
+    import polars as pl
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return pa.array(
+        pl.Series(pl.from_arrow(col)).bin.encode("hex").to_list(), pa.string()
+    )
+
+
 def bucket_hash(
     t: pa.Table, cols: list[str], num_buckets: int, *, seed: int = 0
 ) -> pa.Array:

@@ -81,21 +81,24 @@ def find_hot_keys(ds: rd.Dataset, threshold: int) -> set[str]:
 
 def find_hot_keys_local(files: list[str], threshold: int) -> set[str]:
     """Driver-local exact variant of find_hot_keys for small sampled inputs
-    (column-pruned polars scan; no Ray stage startup cost)."""
-    import polars as pl
+    (column-pruned scan; no Ray stage startup cost).  Uses DuckDB because
+    its thread pool is independent of the POLARS_MAX_THREADS=1 cap the
+    harness sets for Ray workers — the driver-side scan should use every
+    core."""
+    import duckdb
 
-    merged = (
-        pl.scan_parquet(files, extra_columns="ignore", missing_columns="insert")
-        .select(["repo", "path"])
-        .drop_nulls()
-        .group_by(["repo", "path"])
-        .agg(pl.len().cast(pl.Int64).alias("n"))
-        .filter(pl.col("n") >= max(1, threshold // 2))
-        .collect()
-    )
-    return {
-        f"{r}\x1f{p}" for r, p in zip(merged["repo"].to_list(), merged["path"].to_list())
-    }
+    con = duckdb.connect()
+    flist = ", ".join(f"'{f}'" for f in files)
+    rows = con.execute(
+        f"""
+        SELECT repo, path FROM read_parquet([{flist}], union_by_name=true)
+        WHERE repo IS NOT NULL AND path IS NOT NULL
+        GROUP BY repo, path
+        HAVING COUNT(*) >= {max(1, threshold // 2)}
+        """
+    ).fetchall()
+    con.close()
+    return {f"{r}\x1f{p}" for r, p in rows}
 
 
 def normalized(

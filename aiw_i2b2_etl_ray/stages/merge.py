@@ -163,6 +163,9 @@ class PartitionMerger:
         g = g.filter(ok)
 
         df = pl.from_arrow(g.select(_MERGED_COLS))
+        if df.schema["content_sha256"] == pl.Binary:
+            # shuffle carries the raw 32-byte digest; outputs are hex
+            df = df.with_columns(pl.col("content_sha256").bin.encode("hex"))
         if len(df):
             df = df.sort("commit_seq", maintain_order=True)
         n_in = len(df)

@@ -26,7 +26,7 @@ import polars as pl
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.hashing import sha256_hex
+from ..functions.hashing import sha256_bin
 from ..schemas import SHUFFLE_COLUMNS
 
 _SALT_PRIME = np.uint64(0x9E3779B97F4A7C15)
@@ -68,9 +68,11 @@ class Normalizer:
         reject_reason = pc.if_else(bad, pa.scalar("null_key"), pa.scalar(None, pa.string()))
 
         # --- content digest -------------------------------------------------
+        # digest is carried as 32-byte binary through the shuffle (half the
+        # bytes of hex); hex-encoding happens at the output edge in merge
         if "content" in t.column_names:
             content = t["content"]
-            sha = sha256_hex(content)
+            sha = sha256_bin(content)
             clen = pc.cast(pc.utf8_length(content), pa.int64())
         else:  # pre-digested input
             sha = t["content_sha256"].combine_chunks()
