@@ -35,6 +35,10 @@ class ReplaySpec:
             hot set is discovered by a cheap pruned-column count pre-pass.
         mode: "replace" truncates outputs first; "update" merges into the
             existing table state (the reference's QueryMode semantics).
+        merge_policy: the per-key reducer — "last_writer_wins" (default;
+            the reference's merge-proc upsert) or "first_writer_wins" (the
+            reference's provider-dedup rule, ProviderDimensionFactory.java:
+            119-144).  The engine's MergePolicy hook (SURVEY.md §2.10).
         schema_version: bumped when the input log carries evolved columns.
     """
 
@@ -43,6 +47,7 @@ class ReplaySpec:
     salt_buckets: int = 8
     hot_key_threshold: int = 250_000
     mode: str = "replace"  # replace | update
+    merge_policy: str = "last_writer_wins"  # | first_writer_wins
     schema_version: int = 1
     batch_size: int = 65536
     merge_concurrency: int | None = None  # None -> let Ray size the pool

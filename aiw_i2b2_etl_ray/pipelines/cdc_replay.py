@@ -221,6 +221,7 @@ def replay(
         run_id=run_id,
         mode=spec.mode,
         schema_version=spec.schema_version,
+        merge_policy=spec.merge_policy,
     )
     hot_rows_ds = merged_groups(norm, merger_kwargs, spec)
 

@@ -135,12 +135,16 @@ class PartitionMerger:
         run_id: str = "r0",
         mode: str = "replace",
         schema_version: int = 1,
+        merge_policy: str = "last_writer_wins",
     ):
         self.emit = emit
         self.out_dirs = out_dirs or {}
         self.run_id = run_id
         self.mode = mode
         self.schema_version = schema_version
+        if merge_policy not in ("last_writer_wins", "first_writer_wins"):
+            raise ValueError(f"unknown merge_policy: {merge_policy}")
+        self.merge_policy = merge_policy
         if watermarks_ref is not None:
             import ray
 
@@ -182,7 +186,8 @@ class PartitionMerger:
             [prior.select(df.columns), df], how="vertical"
         ).sort("commit_seq", maintain_order=True)
 
-        last = merged.group_by(["repo", "path"], maintain_order=True).last()
+        grouped = merged.group_by(["repo", "path"], maintain_order=True)
+        last = grouped.last() if self.merge_policy == "last_writer_wins" else grouped.first()
         conflicts = len(merged) - len(last)
         wm_new = wm_prev
         if len(df):
