@@ -172,7 +172,11 @@ def scaling() -> None:
     in-sandbox evidence for the N->4N criterion)."""
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_BENCH_EVENTS=str(SCALING_EVENTS),
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--headline-only"],
             env=env,
@@ -183,7 +187,15 @@ def scaling() -> None:
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
-    r_lo, r_hi = run(lo), run(hi)
+    # the sandbox VM shows ±2x wall-time noise (virtualized host); take the
+    # best of 2 interleaved reps per level so the ratio reflects the
+    # machine, not the moment
+    runs_lo, runs_hi = [], []
+    for _ in range(2):
+        runs_hi.append(run(hi))
+        runs_lo.append(run(lo))
+    r_lo = min(runs_lo, key=lambda r: r["value"])
+    r_hi = min(runs_hi, key=lambda r: r["value"])
     tp_lo, tp_hi = r_lo["events_per_sec"], r_hi["events_per_sec"]
     eff = (tp_hi / tp_lo) / (hi / lo)
     print(
@@ -204,6 +216,10 @@ def scaling() -> None:
     )
 
 
+SCALING_EVENTS = 40_000_000  # larger input for --scaling: amortizes fixed
+#                               startup so the ratio reflects sustained work
+
+
 def headline_only() -> None:
     import ray
 
@@ -221,7 +237,9 @@ def headline_only() -> None:
 
     DataContext.get_current().enable_progress_bars = False
     sf = _sf_name()
-    n_events = EVENTS_BY_SF.get(sf, 2_000_000)
+    n_events = int(
+        os.environ.get("GRAFT_BENCH_EVENTS", EVENTS_BY_SF.get(sf, 2_000_000))
+    )
     head = run_headline(n_events)
     print(
         json.dumps(
