@@ -70,6 +70,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "session_windows": wn.session_windows,  # gap sessionization
         }
     )
+    from aiw_i2b2_etl_ray.sources import declarative as dl
+    from aiw_i2b2_etl_ray.sources import mappings as mp
+
+    cat.update(
+        {
+            "declarative_read": dl.declarative_read,  # S1/S2 reader
+            "recode_events": mp.recode_events,  # S5 mapping recode
+            "ontology_with_totals": on.ontology_with_totals,  # A6+J5
+        }
+    )
     try:  # training-data ops (dedup / similarity / text) — added as built
         from aiw_i2b2_etl_ray.pipelines import dedup as dd
         from aiw_i2b2_etl_ray.pipelines import similarity as sim
@@ -183,6 +193,16 @@ def oracle_sql() -> dict[str, str]:
             "event_rank": wn.SQL_EVENT_RANK,
             "tumbling_counts": wn.SQL_TUMBLING_COUNTS,
             "session_windows": wn.SQL_SESSION_WINDOWS,
+        }
+    )
+    from aiw_i2b2_etl_ray.sources import declarative as dl
+    from aiw_i2b2_etl_ray.sources import mappings as mp
+
+    sql.update(
+        {
+            "declarative_read": dl.SQL_DECLARATIVE_READ,
+            "recode_events": mp.SQL_RECODE_EVENTS,
+            "ontology_with_totals": on.SQL_ONTOLOGY_WITH_TOTALS,
         }
     )
     try:

@@ -87,3 +87,47 @@ SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
 UNION ALL
 SELECT '(all)', CAST(COUNT(*) AS BIGINT) FROM documents
 """
+
+
+def ontology_with_totals(sf_dir: str) -> pa.Table:
+    """C_TOTALNUM maintenance (A6, dest/I2b2QueryResultsHandler.java:
+    344-352,858-873) + the per-subtree prefix-match count join (J5,
+    :720-748): each ontology row gets the count of documents whose concept
+    path falls under it — the root's total is the prefix rollup.  Counts
+    come from a grouped reduce; the (small) ontology is matched driver-side
+    by path prefix, never a row-level shuffle join."""
+    onto = ontology_table(sf_dir)
+    # counts via the distributed partial-aggregate pipeline (tiny result)
+    stats = lang_stats(sf_dir).to_pandas()
+    stats = stats[stats["lang"] != "(all)"]
+    lang_n = dict(zip(stats["lang"], stats["n_docs"].astype(int)))
+    paths = onto["c_fullname"].to_pylist()
+    # prefix-match: a doc with lang L lives at \Lang\L\; row total = sum of
+    # counts whose concept path starts with this row's path
+    doc_paths = {f"\\{ROOT}\\{l}\\": n for l, n in lang_n.items()}
+    totals = [
+        sum(n for p, n in doc_paths.items() if p.startswith(row_path))
+        for row_path in paths
+    ]
+    return onto.append_column("c_totalnum", pa.array(totals, pa.int64()))
+
+
+SQL_ONTOLOGY_WITH_TOTALS = r"""
+WITH onto AS (
+  SELECT CAST(0 AS BIGINT) AS c_hlevel, '\Lang\' AS c_fullname,
+         'Lang' AS c_name, CAST(NULL AS VARCHAR) AS c_basecode,
+         'FA' AS c_visualattributes
+  UNION ALL
+  SELECT CAST(1 AS BIGINT), '\Lang\' || lang || '\', lang,
+         'LANG:' || lang, 'LA'
+  FROM (SELECT DISTINCT lang FROM documents)
+),
+doc_counts AS (
+  SELECT '\Lang\' || lang || '\' AS p, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY lang
+)
+SELECT o.*,
+       COALESCE((SELECT SUM(d.n) FROM doc_counts d
+                 WHERE d.p LIKE o.c_fullname || '%'), 0) AS c_totalnum
+FROM onto o
+"""
