@@ -109,10 +109,11 @@ def normalized(
     # ramp-up; the Normalizer instance is pickled into each task (tiny —
     # the hot set travels by ObjectRef and is fetched from the local
     # object store inside the worker)
+    # no explicit batch_size: one call per read block avoids a re-batching
+    # copy (sha/hash kernels are size-agnostic)
     return changes.map_batches(
         Normalizer(spec.num_partitions, spec.salt_buckets, hot_ref),
         batch_format="pyarrow",
-        batch_size=spec.batch_size,
         zero_copy_batch=True,
         **worker_runtime_env(),
     )
