@@ -1,0 +1,75 @@
+"""CLI entry point — the unit a ``ray job submit`` invocation runs:
+
+    ray job submit -- python -m aiw_i2b2_etl_ray replay \
+        --input /data/changes --out /lake/star --mode update --resume
+
+A killed driver resumes by re-submitting the same command with --resume:
+committed partitions are skipped via the checkpoint manifest, uncommitted
+ones re-merge idempotently (watermark + change-id dedup).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="aiw_i2b2_etl_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    rp = sub.add_parser("replay", help="run a CDC replay")
+    rp.add_argument("--input", required=True, help="change-log parquet dir/file")
+    rp.add_argument("--out", required=True, help="output star-schema dir")
+    rp.add_argument("--mode", choices=["replace", "update"], default="replace")
+    rp.add_argument("--resume", action="store_true")
+    rp.add_argument("--run-id", default=None)
+    rp.add_argument("--num-partitions", type=int, default=256)
+    rp.add_argument("--salt-buckets", type=int, default=8)
+    rp.add_argument("--hot-key-threshold", type=int, default=250_000)
+    rp.add_argument("--merge-policy", default="last_writer_wins")
+
+    cp = sub.add_parser("compact", help="fold hot-key LSM runs into partitions")
+    cp.add_argument("--out", required=True)
+    cp.add_argument("--num-partitions", type=int, default=256)
+
+    st = sub.add_parser("status", help="print the checkpoint manifest")
+    st.add_argument("--out", required=True)
+
+    args = p.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():  # a ray job submit driver may pre-init
+        ray.init(address="local", include_dashboard=False, ignore_reinit_error=True)
+
+    if args.cmd == "replay":
+        from .config import ReplaySpec
+        from .pipelines.cdc_replay import replay
+
+        spec = ReplaySpec(
+            out_dir=args.out,
+            num_partitions=args.num_partitions,
+            salt_buckets=args.salt_buckets,
+            hot_key_threshold=args.hot_key_threshold,
+            mode=args.mode,
+            merge_policy=args.merge_policy,
+        )
+        summary = replay(args.input, spec, resume=args.resume, run_id=args.run_id)
+        print(json.dumps({k: v for k, v in summary.items() if k != "out"}))
+    elif args.cmd == "compact":
+        from .stages.merge import compact_path_dim
+
+        moved = compact_path_dim(args.out, args.num_partitions)
+        print(json.dumps({"keys_rehomed": moved}))
+    elif args.cmd == "status":
+        from .state.manifest import read_manifest
+
+        print(json.dumps(read_manifest(args.out)))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

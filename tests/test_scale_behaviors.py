@@ -1,0 +1,129 @@
+"""Scale-behavior tests: salting balance on a mega-churned key, widened-type
+schema evolution, CLI entry."""
+
+import glob
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from aiw_i2b2_etl_ray.config import ReplaySpec, out_paths
+from aiw_i2b2_etl_ray.pipelines.cdc_replay import replay
+from aiw_i2b2_etl_ray.sources.changes import read_changes_table
+from aiw_i2b2_etl_ray import oracle
+from aiw_i2b2_etl_ray.stages.merge import load_path_dim
+
+from .util import assert_table_eq
+
+
+def _churned_log(d: str, n: int = 4000):
+    """90% of events hit ONE (repo, path) — the mega-churned-key case."""
+    rng = np.random.default_rng(7)
+    hot = rng.random(n) < 0.9
+    t = pa.table(
+        {
+            "repo": pa.array(np.where(hot, "mega", "small").tolist()),
+            "path": pa.array(
+                np.where(hot, "hot.c", rng.integers(0, 40, n).astype(str)).tolist()
+            ),
+            "commit": pa.array([f"c{i}" for i in range(n)]),
+            "lang": pa.array(["c"] * n),
+            "content": pa.array([f"v{i}" for i in range(n)], pa.large_string()),
+            "commit_seq": pa.array(np.arange(n, dtype=np.int64)),
+            "op": pa.array(["U"] * n),
+        }
+    )
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(t, os.path.join(d, "part-00000.parquet"))
+    return d
+
+
+def test_salting_balances_churned_key(tmp_path):
+    """Without salting, the churned key's events pile into one partition;
+    with salting they spread across salt_buckets merge groups — and the
+    converged state is identical to the oracle either way."""
+    d = _churned_log(str(tmp_path / "log"))
+    golden = oracle.replay(read_changes_table(d))
+
+    def max_partition_rows(spec):
+        replay(d, spec)
+        sizes = [
+            pq.ParquetFile(f).metadata.num_rows
+            for f in glob.glob(os.path.join(spec.out_dir, "change_fact", "*.parquet"))
+        ]
+        return max(sizes)
+
+    unsalted = ReplaySpec(
+        out_dir=str(tmp_path / "u"), num_partitions=8, salt_buckets=1, hot_key_threshold=0
+    )
+    salted = ReplaySpec(
+        out_dir=str(tmp_path / "s"), num_partitions=8, salt_buckets=4, hot_key_threshold=100
+    )
+    m_u = max_partition_rows(unsalted)
+    m_s = max_partition_rows(salted)
+    assert m_s < m_u * 0.5, f"salting should split the churned partition ({m_u} -> {m_s})"
+    assert_table_eq(load_path_dim(salted.out_dir), golden.path_dim, ["repo", "path"])
+
+
+def test_widened_type_evolution(tmp_path):
+    """A widened column (size int32 -> int64 across log segments) unifies at
+    the read and merges cleanly (Arrow cast path of ensure_columns)."""
+    d = str(tmp_path / "log")
+    os.makedirs(d)
+    base = {
+        "repo": ["r"], "path": ["p"], "lang": ["py"],
+        "op": ["U"],
+    }
+    t1 = pa.table(
+        {
+            **{k: pa.array(v) for k, v in base.items()},
+            "commit": pa.array(["c1"]),
+            "content": pa.array(["v1"], pa.large_string()),
+            "commit_seq": pa.array([1], pa.int64()),
+            "size": pa.array([10], pa.int32()),  # narrow
+        }
+    )
+    t2 = pa.table(
+        {
+            **{k: pa.array(v) for k, v in base.items()},
+            "commit": pa.array(["c2"]),
+            "content": pa.array(["v2"], pa.large_string()),
+            "commit_seq": pa.array([2], pa.int64()),
+            "size": pa.array([2**40], pa.int64()),  # widened
+        }
+    )
+    pq.write_table(t1, os.path.join(d, "part-00000.parquet"))
+    pq.write_table(t2, os.path.join(d, "part-00001.parquet"))
+    spec = ReplaySpec(out_dir=str(tmp_path / "out"), num_partitions=2, salt_buckets=1, hot_key_threshold=0)
+    replay(d, spec)
+    row = load_path_dim(spec.out_dir).to_pandas().iloc[0]
+    assert row["size"] == 2**40 and row["last_commit"] == "c2"
+
+
+def test_cli_replay_and_status(tmp_path, tiny_changes):
+    """python -m aiw_i2b2_etl_ray replay/status — the ray-job-submit unit.
+    Runs in a subprocess with its own Ray session."""
+    out = str(tmp_path / "out")
+    env = dict(os.environ, RAY_ADDRESS="local")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "aiw_i2b2_etl_ray", "replay",
+            "--input", tiny_changes, "--out", out,
+            "--num-partitions", "4", "--salt-buckets", "1",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["lineage"]["rows_applied"] > 0
+    s = subprocess.run(
+        [sys.executable, "-m", "aiw_i2b2_etl_ray", "status", "--out", out],
+        capture_output=True, text=True, cwd="/root/repo", env=env, timeout=120,
+    )
+    assert s.returncode == 0
+    manifest = json.loads(s.stdout.strip().splitlines()[-1])
+    assert len(manifest) == 4

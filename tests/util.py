@@ -18,6 +18,8 @@ def assert_table_eq(actual, expected, keys, *, ignore=()):
     a, e = to_pdf(actual).copy(), to_pdf(expected).copy()
     a = a.drop(columns=[c for c in ignore if c in a], errors="ignore")
     e = e.drop(columns=[c for c in ignore if c in e], errors="ignore")
+    if len(a) == 0 and len(e) == 0:
+        return  # an empty Ray result loses its schema in pandas; both empty = equal
     assert sorted(a.columns) == sorted(e.columns), (sorted(a.columns), sorted(e.columns))
     cols = sorted(a.columns)
     a = a[cols].sort_values(keys, kind="mergesort").reset_index(drop=True)
