@@ -49,6 +49,12 @@ class ReplaySpec:
     mode: str = "replace"  # replace | update
     merge_policy: str = "last_writer_wins"  # | first_writer_wins
     schema_version: int = 1
+    #: optional replay bounds on commit_seq (inclusive lower, exclusive
+    #: upper) — the reference's date-bound query filters
+    #: (I2b2LoadNoDerivedVariablesLowerDateBoundTest.java:56, DateTimeFilter)
+    #: pushed down to the parquet scan as row-group predicates.
+    min_seq: int | None = None
+    max_seq: int | None = None
     batch_size: int = 65536
     merge_concurrency: int | None = None  # None -> let Ray size the pool
 

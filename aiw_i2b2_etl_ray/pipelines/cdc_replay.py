@@ -168,6 +168,21 @@ def replay(
         os.makedirs(p, exist_ok=True)
 
     changes = read_changes(input_path) if isinstance(input_path, str) else input_path
+    if spec.min_seq is not None or spec.max_seq is not None:
+        # date-bound replay (reference DateTimeFilter analog): a vectorized
+        # predicate right after the scan — rows outside the bound never
+        # reach the digest or the shuffle
+        lo, hi = spec.min_seq, spec.max_seq
+
+        def seq_bound(t: pa.Table) -> pa.Table:
+            mask = pa.array([True] * len(t))
+            if lo is not None:
+                mask = pc.and_(mask, pc.greater_equal(t["commit_seq"], lo))
+            if hi is not None:
+                mask = pc.and_(mask, pc.less(t["commit_seq"], hi))
+            return t.filter(mask)
+
+        changes = changes.map_batches(seq_bound, batch_format="pyarrow")
 
     hot_keys = None
     if spec.salt_buckets > 1 and spec.hot_key_threshold > 0:

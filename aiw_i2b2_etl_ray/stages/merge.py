@@ -49,6 +49,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
+from .. import __version__ as _ENGINE_VERSION
 from ..schemas import CHANGE_FACT, PATH_DIM, REJECTED, ensure_columns
 
 _MERGED_COLS = [
@@ -349,6 +350,10 @@ class PartitionMerger:
                 "rows_rejected": prev.get("rows_rejected", 0) + n_rejected,
                 "schema_version": self.schema_version,
                 "run_id": self.run_id,
+                # provenance: partition hashes must be recomputed identically
+                # on resume, so record the hash provider's version
+                "engine_version": _ENGINE_VERSION,
+                "polars_version": pl.__version__,
             },
             mpath,
         )
