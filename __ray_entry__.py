@@ -33,6 +33,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_repo_dim": cq.cdc_repo_dim,
         "cdc_lang_dim": cq.cdc_lang_dim,
         "cdc_rejected": cq.cdc_rejected,
+        "cdc_key_map": cq.cdc_key_map,  # surrogate-id mapping table
         # --- reference operator families (SURVEY.md §2) --------------------
         "eav_encode": an.eav_encode,  # M6
         "str_normalize": an.str_normalize,  # M7/M8
@@ -117,6 +118,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_repo_dim": cq.SQL_REPO_DIM,
         "cdc_lang_dim": cq.SQL_LANG_DIM,
         "cdc_rejected": cq.SQL_REJECTED,
+        "cdc_key_map": cq.SQL_KEY_MAP,
         "eav_encode": """
             SELECT event_id,
                    CASE WHEN value IS NULL THEN '@' ELSE 'N' END AS valtype_cd,

@@ -132,6 +132,22 @@ SELECT lang, MIN(commit_seq) AS first_seen_seq
 FROM dedup GROUP BY lang
 """
 
+def cdc_key_map(sf_dir: str):
+    """Surrogate-key mapping table (patient/encounter_mapping analog):
+    dense int64 per distinct live (repo, path), in (repo, path) order."""
+    from ..stages.keymap import key_map
+
+    return key_map(sf_dir)
+
+
+SQL_KEY_MAP = f"""
+WITH {CHANGES_FROM_EVENTS_SQL}, {_VALID}, {_LAST}
+SELECT repo, path,
+       ROW_NUMBER() OVER (ORDER BY repo, path) AS path_num
+FROM last
+"""
+
+
 SQL_REJECTED = f"""
 WITH {CHANGES_FROM_EVENTS_SQL}
 SELECT *, 'null_key' AS reason FROM changes
