@@ -101,7 +101,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "text_langid": tx.text_langid,
                 "text_fingerprint": tx.text_fingerprint,
                 "text_rolling_fp": tx.text_rolling_fp,
+                "text_bpe_tokens": tx.text_bpe_tokens,
                 "multimodal_features": mm.multimodal_features,
+                "multimodal_frames": mm.frame_sample,
             }
         )
     except ImportError:

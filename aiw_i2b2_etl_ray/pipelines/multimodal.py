@@ -101,3 +101,47 @@ def multimodal_features(sf_dir: str) -> rd.Dataset:
         concurrency=(1, 4),
         num_cpus=1,
     )
+
+
+class FrameSampler:
+    """Frame-sampling stage (video analog): emit every k-th 'frame' of each
+    payload as its own row — a flat-map-shaped actor stage whose output is
+    larger than its input (the decode fan-out case).  Frame extraction is
+    STUBBED (fixed-size byte windows stand in for decoded frames); the
+    Ray-side semantics — per-row fan-out, small batches, typed output,
+    stable frame indices — are real.
+    """
+
+    FRAME_BYTES = 64
+
+    def __init__(self, every_k: int = 4):
+        self.k = every_k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        doc_ids, frame_idx, frames = [], [], []
+        for did, v in zip(t["doc_id"].to_pylist(), t["payload"]):
+            b = v.as_py() or b""
+            n_frames = max(1, len(b) // self.FRAME_BYTES)
+            for fi in range(0, n_frames, self.k):
+                doc_ids.append(did)
+                frame_idx.append(fi)
+                frames.append(b[fi * self.FRAME_BYTES : (fi + 1) * self.FRAME_BYTES])
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "frame_idx": pa.array(frame_idx, pa.int32()),
+                "frame": pa.array(frames, pa.large_binary()),
+            }
+        )
+
+
+def frame_sample(sf_dir: str, every_k: int = 4) -> rd.Dataset:
+    """Catalog op: sample every k-th frame from each binary payload."""
+    return _synthesize_binary(sf_dir).map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"every_k": every_k},
+        batch_format="pyarrow",
+        batch_size=BINARY_BATCH_SIZE,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )

@@ -172,6 +172,35 @@ FROM documents
 """
 
 
+#: GPT2-style pre-tokenizer approximation: contractions, letter runs,
+#: number runs, punctuation runs, whitespace runs.
+_BPE_ISH = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+(?!\S)|\s+"
+)
+
+
+def text_bpe_tokens(sf_dir: str) -> rd.Dataset:
+    """BPE-ish token counting (the tokenizer-budget estimator): counts
+    matches of a GPT2-style pre-tokenization regex.  Compiled once per
+    actor; rows-only check (lookahead regexes aren't portable to the SQL
+    oracle's RE2 engine)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    class Bpe:
+        def __init__(self):
+            self.pat = re.compile(_BPE_ISH)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"],
+                    "n_bpe_tokens": b["text"].str.count(self.pat).astype("int64"),
+                }
+            )
+
+    return ds.map_batches(Bpe, batch_format="pandas", concurrency=(1, 4))
+
+
 def text_rolling_fp(sf_dir: str) -> rd.Dataset:
     """Winnowing-style rolling-hash min fingerprint (not SQL-expressible;
     rows-only checked)."""

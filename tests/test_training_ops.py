@@ -103,3 +103,14 @@ def test_langid_deterministic():
     a = text_langid(SF_DIR).to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert {"doc_id", "pred_lang", "stopword_score"} == set(a.columns)
     assert len(a) > 0 and a["pred_lang"].notna().all()
+
+
+def test_frame_sampling():
+    from aiw_i2b2_etl_ray.pipelines.multimodal import frame_sample
+
+    df = frame_sample(SF_DIR, every_k=4).to_pandas()
+    assert {"doc_id", "frame_idx", "frame"} == set(df.columns)
+    assert (df["frame_idx"] % 4 == 0).all()
+    # fan-out: at least one doc yields multiple frames
+    assert df.groupby("doc_id").size().max() > 1
+    assert df["frame"].map(len).max() <= 64
