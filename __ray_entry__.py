@@ -39,6 +39,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "str_normalize": an.str_normalize,  # M7/M8
         "agg_event_counts": an.agg_event_counts,  # A1/A2/A4
         "join_orders_nations": an.join_orders_nations,  # J3/J4 broadcast join
+        "join_lineitem_orders": an.join_lineitem_orders,  # J4 bucketed hash join
+        "deterministic_sample": an.deterministic_sample,  # reproducible sampling
         "customers_without_orders": an.customers_without_orders,  # J6/J7 anti-join
         "distinct_langs": an.distinct_langs,  # A3/D2
         "union_names": an.union_names,  # D1
@@ -148,6 +150,16 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN nation n   ON c.c_nationkey = n.n_nationkey
             GROUP BY n.n_name
+        """,
+        "join_lineitem_orders": """
+            SELECT o.o_orderpriority,
+                   ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_items
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderpriority
+        """,
+        "deterministic_sample": """
+            SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 10 = 0
         """,
         "customers_without_orders": """
             SELECT c_custkey, c_name FROM customer

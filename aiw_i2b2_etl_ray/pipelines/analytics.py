@@ -168,6 +168,77 @@ def customers_without_orders(sf_dir: str) -> rd.Dataset:
     ).map_batches(AntiJoin, batch_format="pyarrow", concurrency=(1, 4))
 
 
+# --- J4 both-sides-large: bucketed hash join --------------------------------
+def join_lineitem_orders(sf_dir: str) -> rd.Dataset:
+    """Revenue per order priority via the bucketed hash join (both sides
+    are fact-scale; neither is broadcast).  lineitem and orders co-shuffle
+    once on hash(orderkey) and join per bucket, then a combiner-first
+    rollup."""
+    import polars as pl
+
+    from ..stages.join import bucketed_join
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "orderkey": t["l_orderkey"],
+                "revenue": pc.multiply(
+                    t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    od = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    ).map_batches(
+        lambda t: pa.table(
+            {"orderkey": t["o_orderkey"], "o_orderpriority": t["o_orderpriority"]}
+        ),
+        batch_format="pyarrow",
+    )
+    joined = bucketed_join(li, od, on=["orderkey"], num_buckets=16)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .group_by("o_orderpriority")
+            .agg(
+                pl.col("revenue").sum().alias("ps"),
+                pl.len().cast(pl.Int64).alias("pn"),
+            )
+            .to_arrow()
+        )
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("ps", alias_name="revenue"), Sum("pn", alias_name="n_items"))
+    )
+    return agg.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("revenue"), "revenue", _round(t["revenue"], 2)
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# --- deterministic hash-mod sampling ----------------------------------------
+def deterministic_sample(sf_dir: str) -> rd.Dataset:
+    """Reproducible 10% sample by key arithmetic (id % 10 == 0) — the
+    scalable sampling pattern when reruns must pick identical rows."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    return ds.map_batches(
+        lambda t: t.filter(pa.array(t["doc_id"].to_numpy() % 10 == 0)),
+        batch_format="pyarrow",
+    )
+
+
 # --- A3/D1/D2: distinct + union ---------------------------------------------
 def distinct_langs(sf_dir: str) -> pa.Table:
     vals = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"]).unique(
