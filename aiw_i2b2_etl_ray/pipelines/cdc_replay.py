@@ -208,6 +208,27 @@ def replay(
         else:
             hot_keys = find_hot_keys(changes, spec.hot_key_threshold) or None
 
+    # exactly-once requires a STABLE event->partition mapping across runs:
+    # update mode must replay with the same partitioning parameters, and a
+    # key once salted stays salted (else a redelivered event lands on a
+    # partition whose watermark doesn't cover it and re-applies).
+    job = mf.read_job_manifest(spec.out_dir)
+    if spec.mode == "update" and job is not None:
+        if (
+            job["num_partitions"] != spec.num_partitions
+            or job["salt_buckets"] != spec.salt_buckets
+        ):
+            raise ValueError(
+                "update-mode partitioning mismatch: job manifest has "
+                f"num_partitions={job['num_partitions']}, salt_buckets="
+                f"{job['salt_buckets']}; spec has {spec.num_partitions}/"
+                f"{spec.salt_buckets}. Replay with matching parameters or "
+                "rebuild in replace mode."
+            )
+        persisted_hot = set(job.get("hot_keys", []))
+        if persisted_hot:
+            hot_keys = (hot_keys or set()) | persisted_hot
+
     norm = normalized(changes, spec, hot_keys)
 
     skip = set()
@@ -270,6 +291,17 @@ def replay(
     if len(repo_t):
         _atomic_write(repo_t, os.path.join(paths["repo_dim"], "repo_dim.parquet"))
         _atomic_write(lang_t, os.path.join(paths["lang_dim"], "lang_dim.parquet"))
+
+    mf.write_job_manifest(
+        spec.out_dir,
+        {
+            "num_partitions": spec.num_partitions,
+            "salt_buckets": spec.salt_buckets,
+            "hot_keys": sorted(hot_keys or ()),
+            "merge_policy": spec.merge_policy,
+            "schema_version": spec.schema_version,
+        },
+    )
 
     # consolidated manifest table (the `_manifest` logical table)
     mt = mf.manifest_table(spec.out_dir)

@@ -49,6 +49,33 @@ def completed_partitions(out_dir: str, run_id: str | None = None) -> set[int]:
     }
 
 
+def job_manifest_path(out_dir: str) -> str:
+    return os.path.join(manifest_dir(out_dir), "job.json")
+
+
+def write_job_manifest(out_dir: str, payload: dict) -> None:
+    """Job-level invariants: partitioning parameters and the persisted
+    hot-key set.  Exactly-once depends on a STABLE event->partition mapping
+    across runs — a redelivered event must land on the partition whose
+    watermark covers it.  So update-mode runs must reuse the same
+    num_partitions/salt_buckets AND keep previously-hot keys salted even if
+    this run's sample wouldn't flag them."""
+    import uuid
+
+    tmp = job_manifest_path(out_dir) + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, job_manifest_path(out_dir))
+
+
+def read_job_manifest(out_dir: str) -> dict | None:
+    p = job_manifest_path(out_dir)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
 def manifest_table(out_dir: str) -> pa.Table:
     recs = read_manifest(out_dir)
     cols = {

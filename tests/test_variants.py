@@ -61,3 +61,110 @@ def test_update_mode_with_evolution_tail(tmp_path, tiny_changes, tiny_oracle):
     )
     replay(d2, spec_u)
     assert_table_eq(load_path_dim(spec.out_dir), tiny_oracle.path_dim, ["repo", "path"])
+
+
+def test_update_mode_with_salted_hot_key(tmp_path):
+    """Hot-key salting across incremental runs: run 1 salts the churned key
+    (its winners live in a hot LSM run); run 2 applies a tail that keeps
+    churning it.  Merge-on-read over part files + both runs' hot files must
+    converge to the oracle."""
+    import numpy as np
+    import pyarrow as pa
+
+    n, cut = 3000, 2000
+    rng = np.random.default_rng(11)
+    hot = rng.random(n) < 0.8
+    t = pa.table(
+        {
+            "repo": pa.array(["mega" if h else "small" for h in hot]),
+            "path": pa.array(
+                ["hot.c" if h else f"f{p}" for h, p in zip(hot, rng.integers(0, 30, n))]
+            ),
+            "commit": pa.array([f"c{i}" for i in range(n)]),
+            "lang": pa.array(["c"] * n),
+            "content": pa.array([f"v{i}" for i in range(n)], pa.large_string()),
+            "commit_seq": pa.array(np.arange(n, dtype=np.int64)),
+            "op": pa.array(["U"] * n),
+        }
+    )
+    golden = oracle.replay(t)
+
+    d1, d2 = str(tmp_path / "r1"), str(tmp_path / "r2")
+    os.makedirs(d1), os.makedirs(d2)
+    pq.write_table(t.filter(pc.less(t["commit_seq"], cut)), os.path.join(d1, "p.parquet"))
+    # tail with 10% redelivery overlap
+    pq.write_table(
+        t.filter(pc.greater_equal(t["commit_seq"], int(cut * 0.9))),
+        os.path.join(d2, "p.parquet"),
+    )
+
+    spec = ReplaySpec(
+        out_dir=str(tmp_path / "out"), num_partitions=8, salt_buckets=4, hot_key_threshold=200
+    )
+    replay(d1, spec, run_id="u1")
+    spec_u = ReplaySpec(
+        out_dir=spec.out_dir, num_partitions=8, salt_buckets=4, hot_key_threshold=200, mode="update"
+    )
+    replay(d2, spec_u, run_id="u2")
+    assert_table_eq(load_path_dim(spec.out_dir), golden.path_dim, ["repo", "path"])
+
+
+def test_hot_key_set_persists_across_runs(tmp_path):
+    """The exactly-once hazard the job manifest closes: run 1 salts a hot
+    key; run 2's detection would NOT flag it (high threshold) but redelivers
+    overlapping events.  The persisted hot set keeps the routing stable, so
+    the redelivered events hit the watermarked salted partitions and apply
+    zero new rows."""
+    import glob as _glob
+
+    import numpy as np
+    import pyarrow as pa
+
+    n, cut = 2000, 1500
+    t = pa.table(
+        {
+            "repo": pa.array(["mega"] * n),
+            "path": pa.array(["hot.c"] * n),
+            "commit": pa.array([f"c{i}" for i in range(n)]),
+            "lang": pa.array(["c"] * n),
+            "content": pa.array([f"v{i}" for i in range(n)], pa.large_string()),
+            "commit_seq": pa.array(np.arange(n, dtype=np.int64)),
+            "op": pa.array(["U"] * n),
+        }
+    )
+    golden = oracle.replay(t)
+    d1, d2 = str(tmp_path / "r1"), str(tmp_path / "r2")
+    os.makedirs(d1), os.makedirs(d2)
+    pq.write_table(t.filter(pc.less(t["commit_seq"], cut)), os.path.join(d1, "p.parquet"))
+    # tail redelivers HALF of run 1 plus the new events
+    pq.write_table(
+        t.filter(pc.greater_equal(t["commit_seq"], cut // 2)), os.path.join(d2, "p.parquet")
+    )
+
+    spec1 = ReplaySpec(
+        out_dir=str(tmp_path / "out"), num_partitions=8, salt_buckets=4, hot_key_threshold=100
+    )
+    replay(d1, spec1, run_id="h1")
+    # run 2: threshold so high this run would never salt by itself
+    spec2 = ReplaySpec(
+        out_dir=spec1.out_dir, num_partitions=8, salt_buckets=4,
+        hot_key_threshold=10_000_000, mode="update",
+    )
+    replay(d2, spec2, run_id="h2")
+    assert_table_eq(load_path_dim(spec1.out_dir), golden.path_dim, ["repo", "path"])
+    # exactly-once on facts: total rows across all fact files == oracle's
+    fact_rows = sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in _glob.glob(os.path.join(spec1.out_dir, "change_fact", "*.parquet"))
+    )
+    assert fact_rows == len(golden.change_fact), "redelivered events re-applied!"
+
+
+def test_update_partitioning_mismatch_rejected(tmp_path, tiny_changes):
+    spec = ReplaySpec(out_dir=str(tmp_path / "out"), num_partitions=8, salt_buckets=1, hot_key_threshold=0)
+    replay(tiny_changes, spec)
+    bad = ReplaySpec(out_dir=spec.out_dir, num_partitions=16, salt_buckets=1, hot_key_threshold=0, mode="update")
+    import pytest
+
+    with pytest.raises(ValueError, match="partitioning mismatch"):
+        replay(tiny_changes, bad)
