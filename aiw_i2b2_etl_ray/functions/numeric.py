@@ -8,7 +8,6 @@ against a SQL oracle must round the DuckDB way, via these helpers.
 from __future__ import annotations
 
 import numpy as np
-import pyarrow as pa
 import pyarrow.compute as pc
 
 

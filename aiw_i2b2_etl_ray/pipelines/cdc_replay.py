@@ -26,15 +26,14 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 import ray.data as rd
-from ray.data.aggregate import Sum
 
 from ..config import ReplaySpec, out_paths
 from ..sources.changes import read_changes
 from ..stages import dims as dims_mod
-from ..stages.merge import PartitionMerger, load_path_dim, reduce_hot_rows
+from ..stages.merge import PartitionMerger, reduce_hot_rows
 from ..stages.normalize import Normalizer
 from ..state import manifest as mf
-from ..util import WORKER_ENV, worker_runtime_env
+from ..util import worker_runtime_env
 
 
 HOT_TOPK_PER_BLOCK = 512

@@ -8,11 +8,8 @@ hash-defined and rows-only checked.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
-import polars as pl
 import pyarrow as pa
 import ray.data as rd
 

@@ -12,7 +12,6 @@ reference's concept-tree machinery:
 from __future__ import annotations
 
 import pyarrow as pa
-import pyarrow.compute as pc
 import ray.data as rd
 
 from ..functions import strings

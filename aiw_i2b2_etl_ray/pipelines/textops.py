@@ -11,7 +11,6 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 import ray.data as rd
 
 from ..functions.hashing import rolling_fingerprint

@@ -95,8 +95,6 @@ def changes_from_events(sf_dir: str) -> rd.Dataset:
     )
 
     def derive(t: pa.Table) -> pa.Table:
-        import numpy as np
-
         eid = t["event_id"]
         eid_np = eid.to_numpy()
         uid_np = t["user_id"].to_numpy()
