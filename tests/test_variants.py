@@ -168,3 +168,31 @@ def test_update_partitioning_mismatch_rejected(tmp_path, tiny_changes):
 
     with pytest.raises(ValueError, match="partitioning mismatch"):
         replay(tiny_changes, bad)
+
+
+def test_wal_tail_microbatches(tmp_path, tiny_changes, tiny_oracle):
+    """The binlog/WAL-tail usage pattern: the log arrives as K sequential
+    micro-batches applied in update mode (each with a redelivered overlap);
+    converged state equals the one-shot replay."""
+    full = read_changes_table(tiny_changes)
+    max_seq = pc.max(full["commit_seq"]).as_py()
+    K = 5
+    bounds = [int(max_seq * i / K) for i in range(K + 1)]
+    bounds[-1] = max_seq + 1
+
+    spec0 = ReplaySpec(out_dir=str(tmp_path / "out"), num_partitions=4, salt_buckets=1, hot_key_threshold=0)
+    for i in range(K):
+        lo = max(0, bounds[i] - 200)  # overlap: redelivered events
+        hi = bounds[i + 1]
+        sl = full.filter(
+            pc.and_(pc.greater_equal(full["commit_seq"], lo), pc.less(full["commit_seq"], hi))
+        )
+        d = str(tmp_path / f"b{i}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(sl, os.path.join(d, "p.parquet"))
+        spec = ReplaySpec(
+            out_dir=spec0.out_dir, num_partitions=4, salt_buckets=1, hot_key_threshold=0,
+            mode="replace" if i == 0 else "update",
+        )
+        replay(d, spec, run_id=f"mb{i}")
+    assert_table_eq(load_path_dim(spec0.out_dir), tiny_oracle.path_dim, ["repo", "path"])
