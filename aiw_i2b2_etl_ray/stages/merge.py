@@ -399,6 +399,29 @@ def compact_path_dim(out_dir: str, num_partitions: int) -> int:
             .last()
         )
         _atomic_write(ensure_columns(merged.to_arrow(), PATH_DIM), part)
+        # refresh the partition's repo_live dimension partial: it excluded
+        # hot keys at merge time, but they now live in this part file — a
+        # later update run that never touches this partition must still see
+        # correct live counts in repo_dim (fold_dim_partials reads these).
+        dp_path = os.path.join(out_dir, "_dimpart", f"part-{pid:05d}.parquet")
+        fresh_live = (
+            merged.filter(pl.col("delete_date").is_null())
+            .group_by("repo")
+            .agg(pl.len().cast(pl.Int64).alias("live"))
+            .select(
+                pl.lit("repo_live").alias("kind"),
+                pl.col("repo").alias("key"),
+                pl.lit(None, dtype=pl.Int64).alias("mn"),
+                pl.lit(None, dtype=pl.Int64).alias("mx"),
+                "live",
+            )
+        )
+        if os.path.exists(dp_path):
+            prior = pl.from_arrow(pq.read_table(dp_path)).filter(
+                pl.col("kind") != "repo_live"
+            )
+            fresh_live = pl.concat([prior, fresh_live])
+        _atomic_write(fresh_live.to_arrow(), dp_path)
         moved += len(sub)
     for f in hot_files:
         os.remove(f)
