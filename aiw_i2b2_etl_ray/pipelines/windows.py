@@ -106,7 +106,7 @@ def session_windows(sf_dir: str) -> rd.Dataset:
 
 SQL_SESSION_WINDOWS = f"""
 WITH ordered AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > {SESSION_GAP_US}
               OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
   FROM events
@@ -114,7 +114,7 @@ WITH ordered AS (
 ),
 tagged AS (
   SELECT user_id, ts,
-         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS UNBOUNDED PRECEDING) AS sid
   FROM ordered
 )
