@@ -267,7 +267,20 @@ def replay(
     # a second full execution for schema inference.
     hot_mat = hot_rows_ds.materialize()
     hot_tbls = [t for t in ray.get(hot_mat.to_arrow_refs()) if len(t)]
-    from ..stages.merge import _atomic_write
+    from ..stages.merge import _atomic_write, expunge_keys_from_parts
+
+    # newly-hot transition: keys that crossed the salting threshold THIS run
+    # may have prior state in their canonical partition files — extract it
+    # into the hot fold so a key's state lives exclusively in hot runs
+    # (otherwise dimension partials double-count it).
+    persisted_prior = set((job or {}).get("hot_keys", []))
+    newly_hot = (hot_keys or set()) - persisted_prior
+    if newly_hot and spec.mode == "update":
+        extracted = expunge_keys_from_parts(
+            spec.out_dir, newly_hot, spec.num_partitions
+        )
+        if len(extracted):
+            hot_tbls.append(extracted)
 
     if hot_tbls:
         folded = reduce_hot_rows(pa.concat_tables(hot_tbls))

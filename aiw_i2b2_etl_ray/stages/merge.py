@@ -372,40 +372,71 @@ def reduce_hot_rows(hot: pa.Table) -> pa.Table:
     return ensure_columns(df.to_arrow(), PATH_DIM)
 
 
-def compact_path_dim(out_dir: str, num_partitions: int) -> int:
-    """LSM compaction: fold the hot-run files back into canonical partition
-    files so merge-on-read degenerates to a plain read.  Returns the number
-    of keys re-homed.  Maintenance op — safe to run between replays (writes
-    are atomic; hot files are removed only after their keys are merged)."""
+def compact_path_dim(out_dir: str, num_partitions: int | None = None) -> int:
+    """LSM compaction: consolidate all hot-run files into ONE LWW-reduced
+    hot file.  Returns the number of surviving hot keys.
+
+    Deliberately consolidation-only, never re-homing into partition files:
+    the engine's state invariant is that a key in the persisted hot set
+    lives EXCLUSIVELY in hot files (partition files + their dimension
+    partials never contain it), and a key must stay in the hot set forever
+    once salted (its event->partition routing is watermark-committed).
+    Re-homing would put hot-key state back into partition files while
+    future events still route salted — double-counting dimensions and
+    splitting state.  ``num_partitions`` is accepted for CLI compatibility
+    but unused."""
     import glob
 
+    hot_files = sorted(glob.glob(os.path.join(out_dir, "path_dim", "hot-*.parquet")))
+    if len(hot_files) <= 1:
+        return 0
+    hot = reduce_hot_rows(pa.concat_tables([pq.read_table(f) for f in hot_files]))
+    _atomic_write(hot, os.path.join(out_dir, "path_dim", "hot-compacted.parquet"))
+    for f in hot_files:
+        if not f.endswith("hot-compacted.parquet"):
+            os.remove(f)
+    return len(hot)
+
+
+def expunge_keys_from_parts(out_dir: str, keys: set[str], num_partitions: int) -> pa.Table:
+    """Newly-hot-key transition: extract the listed keys' rows from their
+    canonical partition files (and those partitions' repo_live dimension
+    partials), returning the extracted PATH_DIM rows so the caller folds
+    them into the hot runs.  Restores the exclusively-hot-owned invariant
+    when a previously-cold key crosses the salting threshold.  ``keys`` are
+    "repo\\x1fpath" strings (the hot-set encoding)."""
+    if not keys:
+        return PATH_DIM.empty_table()
+    key_rows = [k.split("\x1f", 1) for k in keys]
+    kt = pa.table(
+        {
+            "repo": pa.array([r for r, _ in key_rows]),
+            "path": pa.array([p for _, p in key_rows]),
+        }
+    )
     from ..functions.hashing import bucket_hash
 
-    hot_files = sorted(glob.glob(os.path.join(out_dir, "path_dim", "hot-*.parquet")))
-    if not hot_files:
-        return 0
-    hot = pa.concat_tables([pq.read_table(f) for f in hot_files])
-    hot = reduce_hot_rows(hot)
-    pids = bucket_hash(hot, ["repo", "path"], num_partitions)
-    moved = 0
+    pids = bucket_hash(kt, ["repo", "path"], num_partitions)
+    extracted = []
+    key_set = set(keys)
     for pid in sorted(set(pids.to_pylist())):
-        sub = hot.filter(pc.equal(pids, pid))
         part = os.path.join(out_dir, "path_dim", f"part-{pid:05d}.parquet")
-        base = pq.read_table(part) if os.path.exists(part) else PATH_DIM.empty_table()
-        merged = (
-            pl.from_arrow(pa.concat_tables([ensure_columns(base, PATH_DIM), sub]))
-            .sort("last_commit_seq", maintain_order=True)
-            .group_by(["repo", "path"], maintain_order=True)
-            .last()
+        if not os.path.exists(part):
+            continue
+        t = ensure_columns(pq.read_table(part), PATH_DIM)
+        df = pl.from_arrow(t).with_columns(
+            pl.concat_str([pl.col("repo"), pl.col("path")], separator="\x1f").alias("_k")
         )
-        _atomic_write(ensure_columns(merged.to_arrow(), PATH_DIM), part)
-        # refresh the partition's repo_live dimension partial: it excluded
-        # hot keys at merge time, but they now live in this part file — a
-        # later update run that never touches this partition must still see
-        # correct live counts in repo_dim (fold_dim_partials reads these).
+        hit = df.filter(pl.col("_k").is_in(list(key_set)))
+        if not len(hit):
+            continue
+        keep = df.filter(~pl.col("_k").is_in(list(key_set))).drop("_k")
+        _atomic_write(ensure_columns(keep.to_arrow(), PATH_DIM), part)
+        extracted.append(ensure_columns(hit.drop("_k").to_arrow(), PATH_DIM))
+        # refresh this partition's repo_live snapshot (now excluding the keys)
         dp_path = os.path.join(out_dir, "_dimpart", f"part-{pid:05d}.parquet")
         fresh_live = (
-            merged.filter(pl.col("delete_date").is_null())
+            keep.filter(pl.col("delete_date").is_null())
             .group_by("repo")
             .agg(pl.len().cast(pl.Int64).alias("live"))
             .select(
@@ -422,10 +453,9 @@ def compact_path_dim(out_dir: str, num_partitions: int) -> int:
             )
             fresh_live = pl.concat([prior, fresh_live])
         _atomic_write(fresh_live.to_arrow(), dp_path)
-        moved += len(sub)
-    for f in hot_files:
-        os.remove(f)
-    return moved
+    if not extracted:
+        return PATH_DIM.empty_table()
+    return pa.concat_tables(extracted)
 
 
 def load_path_dim(out_dir: str) -> pa.Table:

@@ -1,8 +1,14 @@
-"""LSM compaction: hot-run files folded back into canonical partitions."""
+"""LSM hot-run compaction (consolidation) + the newly-hot-key transition."""
 
 import glob
 import os
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from aiw_i2b2_etl_ray import oracle
 from aiw_i2b2_etl_ray.config import ReplaySpec
 from aiw_i2b2_etl_ray.pipelines.cdc_replay import replay
 from aiw_i2b2_etl_ray.stages.merge import compact_path_dim, load_path_dim
@@ -10,50 +16,78 @@ from aiw_i2b2_etl_ray.stages.merge import compact_path_dim, load_path_dim
 from .util import assert_table_eq
 
 
-def test_compaction_preserves_state(tmp_path, tiny_changes, tiny_oracle):
+def _mk(repo, path, commits, seq0, op="U", lang="c"):
+    n = len(commits)
+    return pa.table(
+        {
+            "repo": pa.array([repo] * n),
+            "path": pa.array([path] * n),
+            "commit": pa.array(commits),
+            "lang": pa.array([lang] * n),
+            "content": pa.array([f"{c}-body" for c in commits], pa.large_string()),
+            "commit_seq": pa.array(np.arange(seq0, seq0 + n, dtype=np.int64)),
+            "op": pa.array([op] * n),
+        }
+    )
+
+
+def test_compaction_consolidates_hot_runs(tmp_path, tiny_changes, tiny_oracle):
+    """Two salted runs leave two hot files; compaction folds them into one
+    and converged state is unchanged."""
     spec = ReplaySpec(
-        out_dir=str(tmp_path / "out"),
-        num_partitions=8,
-        salt_buckets=4,
-        hot_key_threshold=50,
+        out_dir=str(tmp_path / "out"), num_partitions=8, salt_buckets=4, hot_key_threshold=50
     )
     replay(tiny_changes, spec, run_id="c1")
-    assert glob.glob(os.path.join(spec.out_dir, "path_dim", "hot-*.parquet"))
-
-    moved = compact_path_dim(spec.out_dir, spec.num_partitions)
-    assert moved > 0
-    assert not glob.glob(os.path.join(spec.out_dir, "path_dim", "hot-*.parquet"))
+    # a second update run with a redelivery slice produces a 2nd hot file
+    spec_u = ReplaySpec(
+        out_dir=spec.out_dir, num_partitions=8, salt_buckets=4, hot_key_threshold=50, mode="update"
+    )
+    replay(tiny_changes, spec_u, run_id="c2")
+    hd = os.path.join(spec.out_dir, "path_dim", "hot-*.parquet")
+    if len(glob.glob(hd)) >= 2:
+        n = compact_path_dim(spec.out_dir)
+        assert n > 0
+        assert len(glob.glob(hd)) == 1
     assert_table_eq(load_path_dim(spec.out_dir), tiny_oracle.path_dim, ["repo", "path"])
 
 
-def test_compaction_keeps_repo_dim_correct_after_update(tmp_path):
-    """The re-homed-hot-key live-count case: replay with a salted mega key,
-    compact, then an update run that never touches that key — repo_dim must
-    still count the mega repo's live paths (the dimension partial is
-    refreshed by compaction)."""
-    import numpy as np
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+def test_newly_hot_key_no_double_count(tmp_path):
+    """A key that is COLD in run 1 (state in its partition file) and HOT in
+    run 2 must end with exactly one live-path count in repo_dim (the
+    expunge-on-transition path) and golden converged state."""
+    t1 = _mk("mega", "hot.c", ["a0"], seq0=0)  # cold: single event
+    churn = [f"b{i}" for i in range(1000)]
+    t2 = _mk("mega", "hot.c", churn, seq0=1)  # hot: heavy churn
+    golden = oracle.replay(pa.concat_tables([t1, t2]))
 
-    from aiw_i2b2_etl_ray import oracle
-    from aiw_i2b2_etl_ray.sources.changes import read_changes_table
+    d1, d2 = str(tmp_path / "r1"), str(tmp_path / "r2")
+    os.makedirs(d1), os.makedirs(d2)
+    pq.write_table(t1, os.path.join(d1, "p.parquet"))
+    pq.write_table(t2, os.path.join(d2, "p.parquet"))
 
-    from .util import assert_table_eq
-
-    n = 1200
-    # run 1: everything churns one hot key in repo 'mega'
-    t1 = pa.table(
-        {
-            "repo": pa.array(["mega"] * n),
-            "path": pa.array(["hot.c"] * n),
-            "commit": pa.array([f"c{i}" for i in range(n)]),
-            "lang": pa.array(["c"] * n),
-            "content": pa.array([f"v{i}" for i in range(n)], pa.large_string()),
-            "commit_seq": pa.array(np.arange(n, dtype=np.int64)),
-            "op": pa.array(["U"] * n),
-        }
+    spec = ReplaySpec(
+        out_dir=str(tmp_path / "out"), num_partitions=8, salt_buckets=4, hot_key_threshold=100
     )
-    # run 2 (tail): only a different repo's events
+    replay(d1, spec, run_id="n1")  # below threshold: no salting
+    spec_u = ReplaySpec(
+        out_dir=spec.out_dir, num_partitions=8, salt_buckets=4, hot_key_threshold=100, mode="update"
+    )
+    replay(d2, spec_u, run_id="n2")  # crosses threshold: salted + expunged
+
+    repo_dim = (
+        pq.read_table(os.path.join(spec.out_dir, "repo_dim", "repo_dim.parquet"))
+        .to_pandas()
+        .set_index("repo")
+    )
+    assert repo_dim.loc["mega", "n_paths_live"] == 1, repo_dim
+    assert_table_eq(load_path_dim(spec.out_dir), golden.path_dim, ["repo", "path"])
+
+
+def test_compaction_keeps_repo_dim_correct_after_update(tmp_path):
+    """Hot state consolidated by compaction still contributes live counts
+    through later update runs that never touch the hot key."""
+    n = 1200
+    t1 = _mk("mega", "hot.c", [f"c{i}" for i in range(n)], seq0=0)
     t2 = pa.table(
         {
             "repo": pa.array(["other"] * 10),
@@ -65,28 +99,27 @@ def test_compaction_keeps_repo_dim_correct_after_update(tmp_path):
             "op": pa.array(["U"] * 10),
         }
     )
+    golden = oracle.replay(pa.concat_tables([t1, t2]))
     d1, d2 = str(tmp_path / "r1"), str(tmp_path / "r2")
     os.makedirs(d1), os.makedirs(d2)
     pq.write_table(t1, os.path.join(d1, "p.parquet"))
     pq.write_table(t2, os.path.join(d2, "p.parquet"))
-    golden = oracle.replay(pa.concat_tables([t1, t2]))
 
     spec = ReplaySpec(
         out_dir=str(tmp_path / "out"), num_partitions=8, salt_buckets=4, hot_key_threshold=100
     )
     replay(d1, spec, run_id="k1")
-    compact_path_dim(spec.out_dir, spec.num_partitions)
+    compact_path_dim(spec.out_dir)
     spec_u = ReplaySpec(
         out_dir=spec.out_dir, num_partitions=8, salt_buckets=4, hot_key_threshold=100, mode="update"
     )
     replay(d2, spec_u, run_id="k2")
 
-    import pyarrow.parquet as _pq
-    import glob as _glob
-
-    repo_dim = _pq.read_table(
-        os.path.join(spec.out_dir, "repo_dim", "repo_dim.parquet")
-    ).to_pandas().set_index("repo")
+    repo_dim = (
+        pq.read_table(os.path.join(spec.out_dir, "repo_dim", "repo_dim.parquet"))
+        .to_pandas()
+        .set_index("repo")
+    )
     assert repo_dim.loc["mega", "n_paths_live"] == 1, repo_dim
     assert repo_dim.loc["other", "n_paths_live"] == 10
     assert_table_eq(load_path_dim(spec.out_dir), golden.path_dim, ["repo", "path"])
