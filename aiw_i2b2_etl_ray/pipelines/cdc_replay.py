@@ -282,11 +282,37 @@ def replay(
         if len(extracted):
             hot_tbls.append(extracted)
 
+    folded = None
     if hot_tbls:
         folded = reduce_hot_rows(pa.concat_tables(hot_tbls))
         _atomic_write(
             folded, os.path.join(paths["path_dim"], f"hot-{run_id}.parquet")
         )
+
+    if newly_hot and spec.mode == "update" and folded is not None and len(folded):
+        # pre-transition redeliveries in FUTURE runs route salted; cover
+        # them by raising every salt bucket's watermark to the key's folded
+        # winner seq (>= any applied seq for the key; genuinely new events
+        # always exceed it under the monotonic-log model).  A redelivery
+        # arriving IN the transition run itself is the one uncovered window
+        # — closing it needs a change-id filter over prior facts (bloom
+        # filter extension).
+        import polars as _pl
+
+        from ..stages.merge import _bump_salted_watermarks
+
+        fold_keys = _pl.from_arrow(folded).with_columns(
+            _pl.concat_str([_pl.col("repo"), _pl.col("path")], separator="\x1f").alias("_k")
+        )
+        subset = fold_keys.filter(_pl.col("_k").is_in(list(newly_hot))).drop("_k")
+        if len(subset):
+            _bump_salted_watermarks(
+                spec.out_dir,
+                subset.to_arrow(),
+                spec.num_partitions,
+                spec.salt_buckets,
+                run_id,
+            )
     # all hot runs (incl. prior update-mode runs), LWW-reduced, contribute
     # the live counts the partition partials exclude
     hot_files = sorted(glob.glob(os.path.join(paths["path_dim"], "hot-*.parquet")))

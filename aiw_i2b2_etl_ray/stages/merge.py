@@ -398,6 +398,58 @@ def compact_path_dim(out_dir: str, num_partitions: int | None = None) -> int:
     return len(hot)
 
 
+def _bump_salted_watermarks(
+    out_dir: str, extracted: pa.Table, num_partitions: int, salt_buckets: int, run_id: str
+) -> None:
+    """For each newly-hot key, raise the watermark of every salt bucket the
+    key can route to, up to the key's expunged last_commit_seq: a
+    pre-transition event redelivered later routes salted, and without this
+    bump would land on a bucket whose watermark doesn't cover it and
+    re-apply.  Safe because commit_seq is globally monotonic in the log —
+    genuinely new events always exceed any previously applied seq."""
+    import json as _json
+
+    import numpy as np
+    import polars as _pl
+
+    from ..stages.normalize import _SALT_PRIME
+
+    df = _pl.from_arrow(extracted).select(
+        _pl.concat_str(
+            [_pl.col("repo").fill_null("\x00"), _pl.col("path").fill_null("\x00")],
+            separator="\x1f",
+        )
+        .hash(seed=0)
+        .alias("kh"),
+        _pl.col("last_commit_seq"),
+    )
+    bumps: dict[int, int] = {}
+    P = np.uint64(num_partitions)
+    with np.errstate(over="ignore"):  # uint64 wrap-around is the hash math
+        for kh, seq in zip(df["kh"].to_numpy(), df["last_commit_seq"].to_numpy()):
+            for s_i in range(salt_buckets):
+                pid = int((np.uint64(kh) + np.uint64(s_i) * _SALT_PRIME) % P)
+                bumps[pid] = max(bumps.get(pid, -1), int(seq))
+    for pid, seq in bumps.items():
+        mpath = os.path.join(out_dir, "_manifest", f"part-{pid:05d}.json")
+        rec = {
+            "partition_id": pid,
+            "watermark_seq": -1,
+            "rows_applied": 0,
+            "dups_dropped": 0,
+            "conflicts_resolved": 0,
+            "rows_rejected": 0,
+            "schema_version": 1,
+            "run_id": run_id,
+        }
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                rec = _json.load(f)
+        if rec.get("watermark_seq", -1) < seq:
+            rec["watermark_seq"] = seq
+            _atomic_json(rec, mpath)
+
+
 def expunge_keys_from_parts(out_dir: str, keys: set[str], num_partitions: int) -> pa.Table:
     """Newly-hot-key transition: extract the listed keys' rows from their
     canonical partition files (and those partitions' repo_live dimension

@@ -123,3 +123,50 @@ def test_compaction_keeps_repo_dim_correct_after_update(tmp_path):
     assert repo_dim.loc["mega", "n_paths_live"] == 1, repo_dim
     assert repo_dim.loc["other", "n_paths_live"] == 10
     assert_table_eq(load_path_dim(spec.out_dir), golden.path_dim, ["repo", "path"])
+
+
+def test_pre_transition_redelivery_dropped(tmp_path):
+    """Exactly-once across the hot transition: an event applied while the
+    key was COLD, redelivered in a run AFTER the key went hot, must not
+    re-apply (salt-bucket watermarks were bumped at the transition)."""
+    import polars as pl
+
+    def salt_bucket(commit: str, S: int = 4) -> int:
+        # exact python-int modulo: numpy uint64 % python-int silently
+        # promotes to float64 and corrupts high bits
+        return pl.Series([commit]).hash(seed=1).to_list()[0] % S
+
+    # craft run-2 commits that AVOID a0's salt bucket, so that bucket's
+    # watermark stays -1 unless the transition bump raises it — without the
+    # bump, the redelivered a0 re-applies and the assertion fails
+    a0_bucket = salt_bucket("a0")
+    churn = [c for c in (f"b{i}" for i in range(4000)) if salt_bucket(c) != a0_bucket][
+        :1000
+    ]
+    t1 = _mk("mega", "hot.c", ["a0"], seq0=0)
+    t2 = _mk("mega", "hot.c", churn, seq0=1)
+    golden = oracle.replay(pa.concat_tables([t1, t2]))
+
+    d1, d2, d3 = (str(tmp_path / f"r{i}") for i in range(3))
+    for d in (d1, d2, d3):
+        os.makedirs(d)
+    pq.write_table(t1, os.path.join(d1, "p.parquet"))
+    pq.write_table(t2, os.path.join(d2, "p.parquet"))
+    pq.write_table(t1, os.path.join(d3, "p.parquet"))  # run 3 redelivers a0
+
+    spec = ReplaySpec(
+        out_dir=str(tmp_path / "out"), num_partitions=8, salt_buckets=4, hot_key_threshold=100
+    )
+    replay(d1, spec, run_id="p1")
+    spec_u = ReplaySpec(
+        out_dir=spec.out_dir, num_partitions=8, salt_buckets=4, hot_key_threshold=100, mode="update"
+    )
+    replay(d2, spec_u, run_id="p2")
+    replay(d3, spec_u, run_id="p3")
+
+    fact_rows = sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in glob.glob(os.path.join(spec.out_dir, "change_fact", "*.parquet"))
+    )
+    assert fact_rows == len(golden.change_fact), "pre-transition redelivery re-applied!"
+    assert_table_eq(load_path_dim(spec.out_dir), golden.path_dim, ["repo", "path"])
