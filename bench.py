@@ -196,9 +196,16 @@ def scaling() -> None:
     #           Measured ~0.99 on a quiet machine.
     #   8 -> 32 (saturated): the 32-CPU run hits the one-box ceiling the
     #           cluster wouldn't share; reported for transparency.
-    r32 = run(32)
-    r8 = run(8)
-    r2 = run(2)
+    # The sandbox host's wall times swing up to 2x with ambient load, so
+    # take the best of 2 interleaved reps per level (min time = least
+    # interference).
+    runs: dict[int, list] = {2: [], 8: [], 32: []}
+    for _ in range(2):
+        for ncpu in (32, 8, 2):
+            runs[ncpu].append(run(ncpu))
+    r2, r8, r32 = (
+        min(runs[n], key=lambda r: r["value"]) for n in (2, 8, 32)
+    )
     eff_primary = (r8["events_per_sec"] / r2["events_per_sec"]) / 4
     eff_saturated = (r32["events_per_sec"] / r8["events_per_sec"]) / 4
     print(
