@@ -58,6 +58,27 @@ class ReplaySpec:
     batch_size: int = 65536
     merge_concurrency: int | None = None  # None -> let Ray size the pool
 
+    def __post_init__(self):
+        if self.merge_policy not in ("last_writer_wins", "first_writer_wins"):
+            raise ValueError(f"unknown merge_policy: {self.merge_policy}")
+        if self.mode not in ("replace", "update"):
+            raise ValueError(f"unknown mode: {self.mode}")
+        # Hot-key salting's cross-bucket fold (reduce_hot_rows /
+        # load_path_dim / compact_path_dim) reduces by MAX last_commit_seq,
+        # which is only correct for last-writer-wins; first-writer-wins
+        # winners would need MIN-seq folds AND a different watermark-bump
+        # rule at the hot transition.  Rather than ship a subtly-wrong
+        # combination, reject it (the reference's first-writer dedup —
+        # providers — is a small dimension that never needs salting).
+        if self.merge_policy == "first_writer_wins" and (
+            self.salt_buckets > 1 and self.hot_key_threshold > 0
+        ):
+            raise ValueError(
+                "merge_policy='first_writer_wins' requires salting disabled "
+                "(salt_buckets=1 or hot_key_threshold=0): the cross-bucket "
+                "hot-key fold is last-writer-wins only"
+            )
+
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), sort_keys=True)
 

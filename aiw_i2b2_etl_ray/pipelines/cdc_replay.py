@@ -87,14 +87,16 @@ def find_hot_keys_local(files: list[str], threshold: int) -> set[str]:
     import duckdb
 
     con = duckdb.connect()
-    flist = ", ".join(f"'{f}'" for f in files)
+    # file list + threshold go through parameter binding, never string
+    # interpolation — a quote in a file name must not break the query
     rows = con.execute(
-        f"""
-        SELECT repo, path FROM read_parquet([{flist}], union_by_name=true)
+        """
+        SELECT repo, path FROM read_parquet($files, union_by_name=true)
         WHERE repo IS NOT NULL AND path IS NOT NULL
         GROUP BY repo, path
-        HAVING COUNT(*) >= {max(1, threshold // 2)}
-        """
+        HAVING COUNT(*) >= $thr
+        """,
+        {"files": list(files), "thr": max(1, threshold // 2)},
     ).fetchall()
     con.close()
     return {f"{r}\x1f{p}" for r, p in rows}
@@ -224,9 +226,49 @@ def replay(
                 f"{spec.salt_buckets}. Replay with matching parameters or "
                 "rebuild in replace mode."
             )
+        # Event->partition routing uses polars' hash(), which is NOT
+        # guaranteed stable across polars versions.  After an upgrade a
+        # redelivered event could silently land on a partition whose
+        # watermark doesn't cover it and re-apply — so refuse to update a
+        # job built under a different polars.
+        import polars as _pl
+
+        job_plv = job.get("polars_version")
+        if job_plv is not None and job_plv != _pl.__version__:
+            raise ValueError(
+                f"update-mode hash-provider mismatch: job was built with "
+                f"polars {job_plv}, this process runs {_pl.__version__}; "
+                "partition routing is not guaranteed stable across polars "
+                "versions. Rebuild in replace mode."
+            )
         persisted_hot = set(job.get("hot_keys", []))
         if persisted_hot:
             hot_keys = (hot_keys or set()) | persisted_hot
+
+    # --- newly-hot transition, BEFORE the merge ---------------------------
+    # Keys crossing the salting threshold THIS run may have prior state in
+    # their canonical partition files.  Extract that state now and raise the
+    # watermark of every salt bucket the key can route to, up to the key's
+    # last applied seq — so a pre-transition event redelivered IN THIS VERY
+    # RUN routes salted and is dropped by a bucket watermark that already
+    # covers it.  (Running this after the merge left that redelivery window
+    # open; the bump is safe because commit_seq is globally monotonic in the
+    # log, so genuinely new events always exceed any previously applied seq.)
+    from ..stages.merge import (
+        _atomic_write,
+        _bump_salted_watermarks,
+        expunge_keys_from_parts,
+    )
+
+    persisted_prior = set((job or {}).get("hot_keys", []))
+    newly_hot = (hot_keys or set()) - persisted_prior
+    extracted = None
+    if newly_hot and spec.mode == "update":
+        extracted = expunge_keys_from_parts(spec.out_dir, newly_hot, spec.num_partitions)
+        if len(extracted):
+            _bump_salted_watermarks(
+                spec.out_dir, extracted, spec.num_partitions, spec.salt_buckets, run_id
+            )
 
     norm = normalized(changes, spec, hot_keys)
 
@@ -267,20 +309,11 @@ def replay(
     # a second full execution for schema inference.
     hot_mat = hot_rows_ds.materialize()
     hot_tbls = [t for t in ray.get(hot_mat.to_arrow_refs()) if len(t)]
-    from ..stages.merge import _atomic_write, expunge_keys_from_parts
-
-    # newly-hot transition: keys that crossed the salting threshold THIS run
-    # may have prior state in their canonical partition files — extract it
-    # into the hot fold so a key's state lives exclusively in hot runs
-    # (otherwise dimension partials double-count it).
-    persisted_prior = set((job or {}).get("hot_keys", []))
-    newly_hot = (hot_keys or set()) - persisted_prior
-    if newly_hot and spec.mode == "update":
-        extracted = expunge_keys_from_parts(
-            spec.out_dir, newly_hot, spec.num_partitions
-        )
-        if len(extracted):
-            hot_tbls.append(extracted)
+    # extracted pre-transition state joins the hot fold so a key's state
+    # lives exclusively in hot runs (otherwise dimension partials
+    # double-count it)
+    if extracted is not None and len(extracted):
+        hot_tbls.append(extracted)
 
     folded = None
     if hot_tbls:
@@ -288,31 +321,6 @@ def replay(
         _atomic_write(
             folded, os.path.join(paths["path_dim"], f"hot-{run_id}.parquet")
         )
-
-    if newly_hot and spec.mode == "update" and folded is not None and len(folded):
-        # pre-transition redeliveries in FUTURE runs route salted; cover
-        # them by raising every salt bucket's watermark to the key's folded
-        # winner seq (>= any applied seq for the key; genuinely new events
-        # always exceed it under the monotonic-log model).  A redelivery
-        # arriving IN the transition run itself is the one uncovered window
-        # — closing it needs a change-id filter over prior facts (bloom
-        # filter extension).
-        import polars as _pl
-
-        from ..stages.merge import _bump_salted_watermarks
-
-        fold_keys = _pl.from_arrow(folded).with_columns(
-            _pl.concat_str([_pl.col("repo"), _pl.col("path")], separator="\x1f").alias("_k")
-        )
-        subset = fold_keys.filter(_pl.col("_k").is_in(list(newly_hot))).drop("_k")
-        if len(subset):
-            _bump_salted_watermarks(
-                spec.out_dir,
-                subset.to_arrow(),
-                spec.num_partitions,
-                spec.salt_buckets,
-                run_id,
-            )
     # all hot runs (incl. prior update-mode runs), LWW-reduced, contribute
     # the live counts the partition partials exclude
     hot_files = sorted(glob.glob(os.path.join(paths["path_dim"], "hot-*.parquet")))
@@ -330,6 +338,10 @@ def replay(
         _atomic_write(repo_t, os.path.join(paths["repo_dim"], "repo_dim.parquet"))
         _atomic_write(lang_t, os.path.join(paths["lang_dim"], "lang_dim.parquet"))
 
+    import polars as _pl
+
+    from .. import __version__ as _engine_version
+
     mf.write_job_manifest(
         spec.out_dir,
         {
@@ -338,6 +350,9 @@ def replay(
             "hot_keys": sorted(hot_keys or ()),
             "merge_policy": spec.merge_policy,
             "schema_version": spec.schema_version,
+            # routing-stability provenance (update runs refuse a mismatch)
+            "polars_version": _pl.__version__,
+            "engine_version": _engine_version,
         },
     )
 

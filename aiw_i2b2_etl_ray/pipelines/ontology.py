@@ -126,7 +126,7 @@ doc_counts AS (
   FROM documents GROUP BY lang
 )
 SELECT o.*,
-       COALESCE((SELECT SUM(d.n) FROM doc_counts d
-                 WHERE d.p LIKE o.c_fullname || '%'), 0) AS c_totalnum
+       CAST(COALESCE((SELECT SUM(d.n) FROM doc_counts d
+                 WHERE d.p LIKE o.c_fullname || '%'), 0) AS BIGINT) AS c_totalnum
 FROM onto o
 """

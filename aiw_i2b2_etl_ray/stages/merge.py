@@ -160,7 +160,13 @@ class PartitionMerger:
         # for the rejected side table too.
         wm_prev = self.watermarks.get(pid, -1)
         if wm_prev >= 0 and len(g):
-            g = g.filter(pc.greater(g["commit_seq"], wm_prev))
+            # null-safe: rows with null commit_seq (rejected upstream as
+            # "null_seq" by the Normalizer) pass the filter so they reach the
+            # rejected table deterministically on every delivery — they have
+            # no change-id ordering, so watermark exactly-once cannot apply.
+            g = g.filter(
+                pc.coalesce(pc.greater(g["commit_seq"], wm_prev), pa.scalar(True))
+            )
 
         reason = g["reject_reason"]
         ok = pc.is_null(reason)
@@ -432,6 +438,9 @@ def _bump_salted_watermarks(
                 bumps[pid] = max(bumps.get(pid, -1), int(seq))
     for pid, seq in bumps.items():
         mpath = os.path.join(out_dir, "_manifest", f"part-{pid:05d}.json")
+        # fresh records carry run_id=None, NOT the current run's id: the
+        # bump runs BEFORE the merge, and a crash-resume must not mistake a
+        # bump-only manifest for a partition this run already committed.
         rec = {
             "partition_id": pid,
             "watermark_seq": -1,
@@ -440,7 +449,7 @@ def _bump_salted_watermarks(
             "conflicts_resolved": 0,
             "rows_rejected": 0,
             "schema_version": 1,
-            "run_id": run_id,
+            "run_id": None,
         }
         if os.path.exists(mpath):
             with open(mpath) as f:

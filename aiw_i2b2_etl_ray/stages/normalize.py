@@ -66,6 +66,17 @@ class Normalizer:
 
         bad = pc.or_(pc.or_(blank(repo), blank(path)), blank(commit))
         reject_reason = pc.if_else(bad, pa.scalar("null_key"), pa.scalar(None, pa.string()))
+        # null commit_seq is rejected HERE (reason "null_seq") so malformed
+        # rows land deterministically in the rejected table in every mode —
+        # the merge's watermark filter compares commit_seq and would silently
+        # drop null-seq rows on update runs otherwise.
+        null_seq = pc.is_null(t["commit_seq"])
+        if pc.any(null_seq).as_py():
+            reject_reason = pc.if_else(
+                pc.and_(null_seq, pc.is_null(reject_reason)),
+                pa.scalar("null_seq"),
+                reject_reason,
+            )
 
         # --- content digest -------------------------------------------------
         # digest is carried as 32-byte binary through the shuffle (half the

@@ -170,3 +170,40 @@ def test_pre_transition_redelivery_dropped(tmp_path):
     )
     assert fact_rows == len(golden.change_fact), "pre-transition redelivery re-applied!"
     assert_table_eq(load_path_dim(spec.out_dir), golden.path_dim, ["repo", "path"])
+
+
+def test_transition_run_redelivery_dropped(tmp_path):
+    """Exactly-once IN the transition run itself: the run whose input makes
+    the key hot ALSO redelivers an event applied while the key was cold.
+    The pre-merge expunge+bump must cover it (this was the one documented
+    redelivery window before the bump moved ahead of the merge)."""
+    t1 = _mk("mega", "hot.c", ["a0"], seq0=0)  # cold: applied in run 1
+    churn = _mk("mega", "hot.c", [f"b{i}" for i in range(1000)], seq0=1)
+    # run 2 = churn (crosses the hot threshold) + redelivered a0
+    t2 = pa.concat_tables([churn, t1])
+    golden = oracle.replay(pa.concat_tables([t1, churn]))
+
+    d1, d2 = str(tmp_path / "r1"), str(tmp_path / "r2")
+    os.makedirs(d1), os.makedirs(d2)
+    pq.write_table(t1, os.path.join(d1, "p.parquet"))
+    pq.write_table(t2, os.path.join(d2, "p.parquet"))
+
+    spec = ReplaySpec(
+        out_dir=str(tmp_path / "out"), num_partitions=8, salt_buckets=4, hot_key_threshold=100
+    )
+    replay(d1, spec, run_id="t1")
+    spec_u = ReplaySpec(
+        out_dir=spec.out_dir, num_partitions=8, salt_buckets=4, hot_key_threshold=100, mode="update"
+    )
+    replay(d2, spec_u, run_id="t2")
+
+    facts = pa.concat_tables(
+        [
+            pq.read_table(f)
+            for f in glob.glob(os.path.join(spec.out_dir, "change_fact", "*.parquet"))
+        ]
+    )
+    n_a0 = len(facts.filter(pc.equal(facts["commit"], "a0")))
+    assert n_a0 == 1, f"redelivered a0 applied {n_a0} times in the transition run"
+    assert len(facts) == len(golden.change_fact)
+    assert_table_eq(load_path_dim(spec.out_dir), golden.path_dim, ["repo", "path"])
