@@ -230,15 +230,19 @@ def oracle_sql() -> dict[str, str]:
             {
                 "dedup_exact": dd.SQL_DEDUP_EXACT,
                 "dedup_embedding": dd.SQL_DEDUP_EMBEDDING,
+                # exact all-pairs shingle-join oracles (LSH recall is
+                # deterministically 1 on these inputs — see docstrings)
+                "dedup_minhash": dd.SQL_DEDUP_MINHASH,
+                "dedup_ngram_jaccard": dd.SQL_DEDUP_NGRAM_JACCARD,
                 "ann_topk": sim.SQL_ANN_TOPK,
                 "text_tokens": tx.SQL_TEXT_TOKENS,
                 "text_quality": tx.SQL_TEXT_QUALITY,
                 "text_fingerprint": tx.SQL_TEXT_FINGERPRINT,
             }
         )
-        # dedup_minhash / dedup_simhash / dedup_ngram_jaccard / ann_lsh /
-        # text_langid / multimodal_features: not SQL-expressible ->
-        # rows-only check (hash-based sketches / stateful plumbing).
+        # dedup_simhash / ann_lsh / text_rolling_fp / text_bpe_tokens /
+        # multimodal_*: hash/projection-defined or stubbed plumbing ->
+        # rows-only check.
     except ImportError:
         pass
     return sql

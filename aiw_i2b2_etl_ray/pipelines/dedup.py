@@ -58,60 +58,159 @@ MINHASH_PERMS = 64
 MINHASH_BANDS = 16
 JACCARD_TAU = 0.6
 
+_PAIR_COLS = {"doc_a": pa.int64(), "doc_b": pa.int64()}
+
+
+def _verify_pairs_fn(t: pa.Table) -> pa.Table:
+    """Vectorized-per-batch exact verify: each distinct doc's shingle set is
+    built ONCE per batch (cache keyed by doc id), then per-pair sorted-array
+    intersection — no per-pair re-tokenization."""
+    da, db = t["doc_a"].to_pylist(), t["doc_b"].to_pylist()
+    ta, tb = t["text_a"].to_pylist(), t["text_b"].to_pylist()
+    cache: dict[int, np.ndarray] = {}
+
+    def sset(doc_id: int, text: str) -> np.ndarray:
+        arr = cache.get(doc_id)
+        if arr is None:
+            arr = np.unique(sketch._token_ngrams(text, 3))
+            cache[doc_id] = arr
+        return arr
+
+    jac = np.empty(len(t), dtype=np.float64)
+    for i in range(len(t)):
+        sa, sb = sset(da[i], ta[i]), sset(db[i], tb[i])
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        union = sa.size + sb.size - inter
+        jac[i] = inter / max(1, union)
+    keep = jac >= JACCARD_TAU
+    return pa.table(
+        {
+            "doc_a": pa.array(np.asarray(da, dtype=np.int64)[keep]),
+            "doc_b": pa.array(np.asarray(db, dtype=np.int64)[keep]),
+            "jaccard": pa.array(round_half_away(jac[keep], 4)),
+        }
+    )
+
 
 def dedup_minhash_pairs(sf_dir: str) -> pd.DataFrame:
-    """MinHash+LSH near-duplicate pairs: per-batch signatures -> explode to
-    (band_id, band_key, doc) rows -> groupby band bucket -> candidate pairs
-    -> exact n-gram Jaccard verification >= tau.
+    """MinHash+LSH near-duplicate pairs, digest-before-shuffle end to end:
 
-    The LSH explode multiplies rows by `bands`, but each carries only
-    (ids + 8-byte key); texts ride along only at this test scale — at 100 TB
-    the verify step would re-fetch text by doc_id from the source instead
-    (documented partitioning assumption: bucket fits one group task).
+    1. per-batch MinHash signatures -> explode to ``(band_id, band_key,
+       doc_id)`` rows ONLY (24 B/row — the raw text never enters the band
+       shuffle; at 100 TB the old text-tiling plan would have moved
+       input x bands bytes through the exchange);
+    2. groupby band bucket -> candidate id pairs (docs sharing a bucket);
+    3. distributed pair dedup (the same pair surfaces from several bands);
+    4. texts re-fetched by doc id via TWO bucketed hash joins
+       (stages.join.bucketed_join — each side moves once, co-partitioned);
+       at 100 TB a bloom-filter semi-join would prune the docs side first;
+    5. vectorized exact n-gram Jaccard verify >= tau in ``map_batches``.
+
+    Docs with no tokens are excluded from banding (their signature is the
+    empty sentinel; matching "nothing" is meaningless and the SQL oracle's
+    shingle join excludes them naturally).
+
+    Oracle: at driver scale LSH recall is indistinguishable from 1
+    (all true pairs in the test tables have j >= 0.9; the per-pair miss
+    probability at j=0.9 with 16x4 bands is (1-0.9^4)^16 ~ 4e-8, and
+    MinHash is fully deterministic), so ``SQL_DEDUP_MINHASH`` — the exact
+    all-pairs inverted-index join — is an equality oracle on these inputs.
     """
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    from ..stages.join import bucketed_join
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def explode(t: pa.Table) -> pa.Table:
         sigs = sketch.minhash_signatures(t["text"], num_perm=MINHASH_PERMS)
+        nonempty = sigs[:, 0] != sketch._MAXH  # empty-shingle docs stay at the sentinel
+        sigs = sigs[nonempty]
+        ids = t["doc_id"].to_numpy()[nonempty]
         bands = sketch.lsh_bands(sigs, bands=MINHASH_BANDS)  # (n, B)
         n, B = bands.shape
         return pa.table(
             {
                 "band_id": pa.array(np.repeat(np.arange(B, dtype=np.int32), n)),
                 "band_key": pa.array(bands.T.reshape(-1).astype(np.int64)),
-                "doc_id": pa.array(np.tile(t["doc_id"].to_numpy(), B)),
-                "text": pa.array(list(t["text"].to_pylist()) * B, pa.string()),
+                "doc_id": pa.array(np.tile(ids, B)),
             }
         )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame(columns=["doc_a", "doc_b", "jaccard"])
-        g = g.sort_values("doc_id").drop_duplicates("doc_id")
-        rows = []
-        ids = g["doc_id"].to_numpy()
-        texts = g["text"].to_numpy()
-        for i in range(len(g)):
-            for j in range(i + 1, len(g)):
-                jac = sketch.jaccard(texts[i], texts[j])
-                if jac >= JACCARD_TAU:
-                    rows.append((int(ids[i]), int(ids[j]), round(jac, 4)))
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        ids = np.unique(g["doc_id"].to_numpy())
+        if ids.size < 2:
+            return pa.table({c: pa.array([], t) for c, t in _PAIR_COLS.items()})
+        iu = np.triu_indices(ids.size, k=1)
+        return pa.table(
+            {"doc_a": pa.array(ids[iu[0]]), "doc_b": pa.array(ids[iu[1]])}
+        )
 
-    pairs = (
-        ds.map_batches(explode, batch_format="pyarrow")
+    cands = (
+        docs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["band_id", "band_key"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        # distributed pair dedup — never materialized on the driver
+        .groupby(["doc_a", "doc_b"])
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
     )
-    # same pair can surface from multiple bands -> global dedup (tiny)
-    if len(pairs) == 0:
-        return pd.DataFrame(columns=["doc_a", "doc_b", "jaccard"])
-    return (
-        pairs.drop_duplicates(["doc_a", "doc_b"])
-        .sort_values(["doc_a", "doc_b"])
-        .reset_index(drop=True)
+
+    docs_a = docs.map_batches(
+        lambda t: pa.table({"doc_a": t["doc_id"], "text_a": t["text"]}),
+        batch_format="pyarrow",
     )
+    docs_b = docs.map_batches(
+        lambda t: pa.table({"doc_b": t["doc_id"], "text_b": t["text"]}),
+        batch_format="pyarrow",
+    )
+    witha = bucketed_join(cands, docs_a, on=["doc_a"])
+    both = bucketed_join(witha, docs_b, on=["doc_b"])
+    out = both.map_batches(_verify_pairs_fn, batch_format="pyarrow").to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame(
+            {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"),
+             "jaccard": pd.Series(dtype="float64")}
+        )
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+#: Exact all-pairs n-gram (3-token shingle) Jaccard via an inverted-index
+#: self-join — the independent formulation of the same quantity the engine
+#: computes (hashed-shingle sets are Jaccard-equivalent to string-shingle
+#: sets modulo 64-bit collisions).
+_SQL_SHINGLES = r"""
+toks AS (
+  SELECT doc_id, lang, CAST(n_chars // 200 AS INT) AS len_block,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, lang, len_block,
+    CASE WHEN len(tk)=0 OR (len(tk)=1 AND tk[1]='') THEN []
+         WHEN len(tk) < 3 THEN [array_to_string(tk,' ')]
+         ELSE list_transform(range(1, len(tk)-1),
+                             i -> tk[i]||' '||tk[i+1]||' '||tk[i+2])
+    END AS shingles
+  FROM toks
+),
+dsh AS (
+  SELECT doc_id, lang, len_block, unnest(list_distinct(shingles)) AS s FROM sh
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM dsh GROUP BY doc_id)
+"""
+
+SQL_DEDUP_MINHASH = f"""
+WITH {_SQL_SHINGLES},
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS i
+  FROM dsh a JOIN dsh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc_a, i.doc_b,
+       ROUND(CAST(i.i AS DOUBLE)/(sa.n + sb.n - i.i), 4) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE CAST(i.i AS DOUBLE)/(sa.n + sb.n - i.i) >= {JACCARD_TAU}
+"""
 
 
 # --- SimHash ----------------------------------------------------------------
@@ -138,27 +237,92 @@ def dedup_simhash(sf_dir: str) -> rd.Dataset:
 # --- n-gram Jaccard (blocked exact) -----------------------------------------
 
 
+NGRAM_BLOCK_CAP = 1024  # all-pairs bound; larger blocks switch to LSH prefilter
+
+
 def dedup_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
-    """Blocked exact n-gram Jaccard: block by (lang, length decile) to bound
-    the quadratic verify, then all-pairs within block >= tau."""
+    """Blocked exact n-gram Jaccard: block by (lang, length-bucket), then
+    within each block compute every doc's shingle-hash set ONCE (one
+    vectorized pass) and intersect sorted arrays per pair — no per-pair
+    re-tokenization, no unbounded quadratic text work.
+
+    Blocks above ``NGRAM_BLOCK_CAP`` docs do NOT run all-pairs: candidate
+    pairs come from an in-block MinHash band prefilter (same 16x4 banding
+    as dedup_minhash, recall ~1 at tau=0.6+), so one popular
+    (lang, length) block at 100 TB costs O(n x bands) not O(n^2).  The cap
+    never triggers at driver test scale (max observed block 836 at sf0.1),
+    so the exact SQL oracle holds there.
+    """
     ds = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "n_chars"]
     )
 
     def add_block(t: pa.Table) -> pa.Table:
         blk = (t["n_chars"].to_numpy() // 200).astype(np.int32)
-        return t.append_column("len_block", pa.array(blk))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "text": t["text"],
+                "lang": t["lang"],
+                "len_block": pa.array(blk),
+            }
+        )
 
     def block_pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("doc_id")
-        rows = []
-        ids, texts = g["doc_id"].to_numpy(), g["text"].to_numpy()
-        for i in range(len(g)):
-            for j in range(i + 1, len(g)):
-                jac = sketch.jaccard(texts[i], texts[j])
-                if jac >= JACCARD_TAU:
-                    rows.append((int(ids[i]), int(ids[j]), round(jac, 4)))
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+        ids = g["doc_id"].to_numpy()
+        texts = pa.array(g["text"].tolist(), pa.string())
+        flat, offsets = sketch._batch_shingle_hashes(texts, 3)
+        sets = [
+            np.unique(flat[offsets[i] : offsets[i + 1]]) for i in range(len(g))
+        ]
+        nonempty = np.array([s.size > 0 for s in sets], dtype=bool)
+        ids, sets = ids[nonempty], [s for s, m in zip(sets, nonempty) if m]
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame(
+                {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"),
+                 "jaccard": pd.Series(dtype="float64")}
+            )
+        if n <= NGRAM_BLOCK_CAP:
+            iu = np.triu_indices(n, k=1)
+            cand = zip(iu[0].tolist(), iu[1].tolist())
+        else:  # LSH prefilter inside the oversized block
+            sigs = sketch.minhash_signatures(
+                texts.filter(pa.array(nonempty)), num_perm=MINHASH_PERMS
+            )
+            bands = sketch.lsh_bands(sigs, bands=MINHASH_BANDS)
+            seen: set[tuple[int, int]] = set()
+            for bi in range(bands.shape[1]):
+                order = np.argsort(bands[:, bi], kind="stable")
+                keys = bands[order, bi]
+                start = 0
+                for end in range(1, len(keys) + 1):
+                    if end == len(keys) or keys[end] != keys[start]:
+                        grp = order[start:end]
+                        if len(grp) > 1:
+                            for x in range(len(grp)):
+                                for y in range(x + 1, len(grp)):
+                                    a, b = sorted((int(grp[x]), int(grp[y])))
+                                    seen.add((a, b))
+                        start = end
+            cand = sorted(seen)
+        rows_a, rows_b, rows_j = [], [], []
+        for i, j in cand:
+            sa, sb = sets[i], sets[j]
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            jac = inter / max(1, sa.size + sb.size - inter)
+            if jac >= JACCARD_TAU:
+                rows_a.append(int(ids[i]))
+                rows_b.append(int(ids[j]))
+                rows_j.append(jac)
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(rows_a, dtype="int64"),
+                "doc_b": pd.Series(rows_b, dtype="int64"),
+                "jaccard": round_half_away(np.array(rows_j, dtype=np.float64), 4),
+            }
+        )
 
     out = (
         ds.map_batches(add_block, batch_format="pyarrow")
@@ -167,8 +331,29 @@ def dedup_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     if len(out) == 0:
-        return pd.DataFrame(columns=["doc_a", "doc_b", "jaccard"])
+        return pd.DataFrame(
+            {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"),
+             "jaccard": pd.Series(dtype="float64")}
+        )
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH {_SQL_SHINGLES},
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS i
+  FROM dsh a JOIN dsh b
+    ON a.s = b.s AND a.lang = b.lang AND a.len_block = b.len_block
+   AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc_a, i.doc_b,
+       ROUND(CAST(i.i AS DOUBLE)/(sa.n + sb.n - i.i), 4) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE CAST(i.i AS DOUBLE)/(sa.n + sb.n - i.i) >= {JACCARD_TAU}
+"""
 
 
 # --- embedding cosine near-dup ----------------------------------------------
