@@ -237,12 +237,23 @@ def oracle_sql() -> dict[str, str]:
                 "ann_topk": sim.SQL_ANN_TOPK,
                 "text_tokens": tx.SQL_TEXT_TOKENS,
                 "text_quality": tx.SQL_TEXT_QUALITY,
+                "text_langid": tx.SQL_TEXT_LANGID,
                 "text_fingerprint": tx.SQL_TEXT_FINGERPRINT,
             }
         )
-        # dedup_simhash / ann_lsh / text_rolling_fp / text_bpe_tokens /
-        # multimodal_*: hash/projection-defined or stubbed plumbing ->
-        # rows-only check.
+        from aiw_i2b2_etl_ray.pipelines import multimodal as mm
+
+        sql.update(
+            {
+                # the decode stub is deterministic (sha256-derived), so the
+                # full plumbing is oracle-checkable
+                "multimodal_features": mm.SQL_MULTIMODAL_FEATURES,
+                "multimodal_frames": mm.SQL_MULTIMODAL_FRAMES,
+            }
+        )
+        # dedup_simhash / ann_lsh / text_rolling_fp / text_bpe_tokens:
+        # hash/projection-defined (xxhash, rolling poly-hash, lookahead
+        # regex) -> rows-only check; legitimately not SQL-expressible.
     except ImportError:
         pass
     return sql

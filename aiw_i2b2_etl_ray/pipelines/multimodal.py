@@ -136,8 +136,13 @@ class FrameSampler:
 
 
 def frame_sample(sf_dir: str, every_k: int = 4) -> rd.Dataset:
-    """Catalog op: sample every k-th frame from each binary payload."""
-    return _synthesize_binary(sf_dir).map_batches(
+    """Catalog op: sample every k-th frame from each binary payload,
+    emitting per-frame digests (sha256 + byte count).  The raw frame bytes
+    exist inside the pipeline (FrameSampler output) but never reach the
+    driver — digesting at the edge is both the scale-correct shape and what
+    makes the output value-comparable (raw binary stringifies differently
+    across pandas/duckdb bridges)."""
+    frames = _synthesize_binary(sf_dir).map_batches(
         FrameSampler,
         fn_constructor_kwargs={"every_k": every_k},
         batch_format="pyarrow",
@@ -145,3 +150,77 @@ def frame_sample(sf_dir: str, every_k: int = 4) -> rd.Dataset:
         concurrency=(1, 4),
         num_cpus=1,
     )
+
+    def digest(t: pa.Table) -> pa.Table:
+        fb = t["frame"]
+        shas = [hashlib.sha256(v.as_py() or b"").hexdigest() for v in fb]
+        nb = pa.array([len(v.as_py() or b"") for v in fb], pa.int64())
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "frame_idx": t["frame_idx"],
+                "frame_sha256": pa.array(shas, pa.string()),
+                "frame_bytes": nb,
+            }
+        )
+
+    return frames.map_batches(digest, batch_format="pyarrow")
+
+
+# --- DuckDB oracles ----------------------------------------------------------
+# The decode is a STUB, but a *deterministic* one (features derive from the
+# payload's sha256), so the whole plumbing — binary synthesis, actor-pool
+# decode, frame fan-out — is oracle-checkable end-to-end: the SQL recomputes
+# the same features from the same bytes (hex-digit arithmetic for the
+# sha256-derived fields, blob substring for the frame windows).
+
+_HEXB = (
+    "(strpos('0123456789abcdef', substr(hx,{a},1))-1)*16"
+    " + strpos('0123456789abcdef', substr(hx,{b},1))-1"
+)
+
+SQL_MULTIMODAL_FEATURES = f"""
+WITH h AS (
+  SELECT doc_id, sha256(text) AS hx,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM documents
+),
+b AS (
+  SELECT doc_id, n_bytes,
+         {_HEXB.format(a=1, b=2)} AS b0,
+         {_HEXB.format(a=3, b=4)} AS b1,
+         {_HEXB.format(a=5, b=6)} AS b2
+  FROM h
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+       n_bytes,
+       CAST(64 + b0 % 192 AS INT) AS width,
+       CAST(64 + b1 % 192 AS INT) AS height,
+       CAST(1 + b2 % 3 AS INT)    AS n_channels
+FROM b
+"""
+
+# DuckDB has no BLOB substring — byte windows go through hex (2 hex chars
+# per byte) and back via unhex, which is byte-exact for any payload.
+SQL_MULTIMODAL_FRAMES = """
+WITH p AS (SELECT doc_id, hex(encode(text)) AS ph FROM documents),
+f AS (
+  SELECT doc_id, ph,
+         GREATEST(1, (length(ph) // 2) // 64) AS nf
+  FROM p
+),
+w AS (
+  SELECT f.doc_id, CAST(fi AS INT) AS frame_idx,
+         unhex(substr(ph, CAST(fi*128+1 AS BIGINT), 128)) AS frame
+  FROM f, unnest(range(0, nf, 4)) AS t(fi)
+)
+SELECT doc_id, frame_idx,
+       -- DuckDB sha256 takes VARCHAR only; decode(frame) is byte-exact for
+       -- these payloads (driver tables are ASCII — verified), and sha256
+       -- of a VARCHAR hashes its utf8 bytes, matching the engine's
+       -- raw-bytes digest
+       sha256(decode(frame))                   AS frame_sha256,
+       CAST(octet_length(frame) AS BIGINT)     AS frame_bytes
+FROM w
+"""

@@ -133,11 +133,54 @@ def text_langid(sf_dir: str) -> rd.Dataset:
                 {
                     "doc_id": b["doc_id"],
                     "pred_lang": pred,
-                    "stopword_score": np.round(best_score, 4),
+                    "stopword_score": round_half_away(best_score, 4),
                 }
             )
 
     return ds.map_batches(LangId, batch_format="pandas", concurrency=(1, 8))
+
+
+def _langid_sql() -> str:
+    """DuckDB oracle generated from the SAME stopword tables: per-language
+    duplicate-counting hit rate over the same ASCII word tokenization of
+    lower(text); argmax tie-break = first max in sorted language order
+    (matching numpy argmax).  Token-less docs -> ('und', 0)."""
+    langs = sorted(_STOPWORDS)
+    hit_cols = ",\n         ".join(
+        "CAST(COUNT(*) FILTER (WHERE w IN ({})) AS DOUBLE) AS h_{}".format(
+            ", ".join(f"'{w}'" for w in sorted(_STOPWORDS[l])), l
+        )
+        for l in langs
+    )
+    scores = ",\n       ".join(f"h_{l} / GREATEST(n_tok, 1) AS s_{l}" for l in langs)
+    g = "GREATEST({})".format(", ".join(f"s_{l}" for l in langs))
+    pred = "CASE WHEN best IS NULL OR best = 0 THEN 'und' "
+    pred += " ".join(f"WHEN s_{l} = best THEN '{l}'" for l in langs[:-1])
+    pred += f" ELSE '{langs[-1]}' END"
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS w
+  FROM documents
+),
+counts AS (
+  SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS n_tok,
+         {hit_cols}
+  FROM tok GROUP BY doc_id
+),
+scored AS (
+  SELECT doc_id,
+       {scores}
+  FROM counts
+),
+best AS (SELECT *, {g} AS best FROM scored)
+SELECT d.doc_id,
+       COALESCE({pred}, 'und')            AS pred_lang,
+       ROUND(COALESCE(best, 0), 4)        AS stopword_score
+FROM documents d LEFT JOIN best USING (doc_id)
+"""
+
+
+SQL_TEXT_LANGID = _langid_sql()
 
 
 def text_fingerprint(sf_dir: str) -> rd.Dataset:

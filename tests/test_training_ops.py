@@ -109,8 +109,8 @@ def test_frame_sampling():
     from aiw_i2b2_etl_ray.pipelines.multimodal import frame_sample
 
     df = frame_sample(SF_DIR, every_k=4).to_pandas()
-    assert {"doc_id", "frame_idx", "frame"} == set(df.columns)
+    assert {"doc_id", "frame_idx", "frame_sha256", "frame_bytes"} == set(df.columns)
     assert (df["frame_idx"] % 4 == 0).all()
     # fan-out: at least one doc yields multiple frames
     assert df.groupby("doc_id").size().max() > 1
-    assert df["frame"].map(len).max() <= 64
+    assert df["frame_bytes"].max() <= 64
