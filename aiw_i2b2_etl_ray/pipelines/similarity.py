@@ -118,35 +118,52 @@ def _lsh_planes(dim: int) -> np.ndarray:
     return rng.standard_normal((LSH_PLANES, dim))
 
 
-def ann_lsh_topk(sf_dir: str) -> pd.DataFrame:
-    """Approximate top-k: random-hyperplane LSH buckets; each query only
-    scans candidates in its own bucket (plus 1-bit-flip neighbor buckets
-    for recall).  At scale the bucket id becomes the shuffle/partition key;
-    here buckets are computed per batch and searched via a grouped reduce.
-
-    Returns the same schema as ann_topk; recall vs the exact baseline is
-    asserted in tests (not equality — this is approximate by design)."""
-    qids, qmat = _load_queries(sf_dir)
+def _probe_map(qmat: np.ndarray) -> dict[int, list[int]]:
+    """bucket -> query indices probing it (Hamming ball of radius
+    LSH_PROBE_FLIPS around each query's signature)."""
     planes = _lsh_planes(qmat.shape[1])
     qsig = (qmat @ planes.T > 0).astype(np.uint16)
     qbits = (qsig << np.arange(LSH_PLANES, dtype=np.uint16)).sum(axis=1)
-    # query buckets + Hamming-ball multi-probe (radius LSH_PROBE_FLIPS):
-    # with near-random embeddings neighbor cosines are modest, so recall
-    # needs a wider probe — tuned empirically (8 planes / 2 flips ≈ 0.8
-    # recall while skipping ~25% of the corpus; real clustered embeddings
-    # fare far better).
-    probe = {int(b) for b in qbits}
-    frontier = set(probe)
-    for _ in range(LSH_PROBE_FLIPS):
-        nxt = {b ^ (1 << i) for b in frontier for i in range(LSH_PLANES)}
-        probe |= nxt
-        frontier = nxt
-    probe_ref = ray.put((qids, qmat, probe))
+    out: dict[int, set[int]] = {}
+    for qi, b0 in enumerate(qbits):
+        ball = {int(b0)}
+        frontier = set(ball)
+        for _ in range(LSH_PROBE_FLIPS):
+            nxt = {b ^ (1 << i) for b in frontier for i in range(LSH_PLANES)}
+            ball |= nxt
+            frontier = nxt
+        for b in ball:
+            out.setdefault(b, set()).add(qi)
+    return {b: sorted(qs) for b, qs in out.items()}
 
-    class BucketScan:
+
+def ann_lsh_topk(sf_dir: str, with_stats: bool = False):
+    """Approximate top-k, bucket-PARTITIONED: random-hyperplane LSH bucket
+    is the shuffle key.
+
+    1. stateless bucketize stage: sign-projection bucket per vector, rows
+       outside the union probe set dropped BEFORE the shuffle — non-probed
+       data never enters the exchange (at 100 TB, the probed fraction is
+       the only data that moves; with a pre-bucketed/partitioned index
+       layout even the scan prunes at the read);
+    2. ``groupby(bucket).map_groups``: each bucket scanned once against
+       exactly the queries whose Hamming ball (radius LSH_PROBE_FLIPS)
+       covers it — per-bucket top-k partials;
+    3. tiny driver fold to the global per-query top-k.
+
+    ``with_stats=True`` additionally returns a lineage dict with the
+    scanned-row count vs the corpus size (the probed fraction).  Recall vs
+    the exact baseline is asserted in tests (approximate by design)."""
+    qids, qmat = _load_queries(sf_dir)
+    pm = _probe_map(qmat)
+    probe_ref = ray.put((qids, qmat, pm))
+
+    class Bucketize:
         def __init__(self):
-            self.qids, self.qmat, self.probe = ray.get(probe_ref)
+            _, self.qmat, self.pm = ray.get(probe_ref)
             self.planes = _lsh_planes(self.qmat.shape[1])
+            self.probed = np.zeros(1 << LSH_PLANES, dtype=bool)
+            self.probed[list(self.pm)] = True
 
         def __call__(self, t: pa.Table) -> pa.Table:
             ids = t["vec_id"].to_numpy()
@@ -154,8 +171,24 @@ def ann_lsh_topk(sf_dir: str) -> pd.DataFrame:
             norm = m / (np.linalg.norm(m, axis=1, keepdims=True) + 1e-300)
             sig = (norm @ self.planes.T > 0).astype(np.uint16)
             bits = (sig << np.arange(LSH_PLANES, dtype=np.uint16)).sum(axis=1)
-            keep = np.array([int(b) in self.probe for b in bits]) & (ids >= N_QUERIES)
-            if not keep.any():
+            keep = self.probed[bits] & (ids >= N_QUERIES)
+            emb = pa.array(list(norm[keep]))  # pre-normalized, list<double>
+            return pa.table(
+                {
+                    "bucket": pa.array(bits[keep].astype(np.int32)),
+                    "vec_id": pa.array(ids[keep]),
+                    "embedding": emb,
+                }
+            )
+
+    class BucketSearch:
+        def __init__(self):
+            self.qids, self.qmat, self.pm = ray.get(probe_ref)
+
+        def __call__(self, g: pa.Table) -> pa.Table:
+            bucket = int(g["bucket"][0].as_py())
+            qidx = self.pm.get(bucket, [])
+            if not qidx:
                 return pa.table(
                     {
                         "query_id": pa.array([], pa.int64()),
@@ -163,16 +196,17 @@ def ann_lsh_topk(sf_dir: str) -> pd.DataFrame:
                         "cosine": pa.array([], pa.float64()),
                     }
                 )
-            ids, norm = ids[keep], norm[keep]
-            cos = norm @ self.qmat.T
-            out_q, out_v, out_c = [], [], []
+            ids = g["vec_id"].to_numpy()
+            norm = np.stack(g["embedding"].to_pandas().to_numpy())
+            cos = norm @ self.qmat[qidx].T  # (bucket_rows, n_probing_queries)
             k = min(TOP_K, len(ids))
             part = np.argpartition(-cos, k - 1, axis=0)[:k]
-            for qi in range(cos.shape[1]):
-                sel = part[:, qi]
+            out_q, out_v, out_c = [], [], []
+            for ci, qi in enumerate(qidx):
+                sel = part[:, ci]
                 out_q.extend([self.qids[qi]] * len(sel))
                 out_v.extend(ids[sel])
-                out_c.extend(cos[sel, qi])
+                out_c.extend(cos[sel, ci])
             return pa.table(
                 {
                     "query_id": pa.array(np.asarray(out_q, np.int64)),
@@ -182,15 +216,30 @@ def ann_lsh_topk(sf_dir: str) -> pd.DataFrame:
             )
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    partials = ds.map_batches(BucketScan, batch_format="pyarrow", concurrency=(1, 8)).to_pandas()
-    if len(partials) == 0:
-        return pd.DataFrame(columns=["query_id", "rank", "vec_id", "cosine"])
-    out = (
-        partials.sort_values(["query_id", "cosine", "vec_id"], ascending=[True, False, True])
-        .groupby("query_id", sort=True)
-        .head(TOP_K)
-        .reset_index(drop=True)
+    bucketed = ds.map_batches(Bucketize, batch_format="pyarrow", concurrency=(1, 8))
+    if with_stats:
+        bucketed = bucketed.materialize()  # one execution serves count + search
+        scanned = bucketed.count()
+    partials = (
+        bucketed.groupby("bucket")
+        .map_groups(BucketSearch, batch_format="pyarrow", concurrency=(1, 8))
+        .to_pandas()
     )
-    out["rank"] = out.groupby("query_id").cumcount() + 1
-    out["cosine"] = round_half_away(out["cosine"], 4)
-    return out[["query_id", "rank", "vec_id", "cosine"]]
+    if len(partials) == 0:
+        out = pd.DataFrame(columns=["query_id", "rank", "vec_id", "cosine"])
+    else:
+        out = (
+            partials.sort_values(
+                ["query_id", "cosine", "vec_id"], ascending=[True, False, True]
+            )
+            .groupby("query_id", sort=True)
+            .head(TOP_K)
+            .reset_index(drop=True)
+        )
+        out["rank"] = out.groupby("query_id").cumcount() + 1
+        out["cosine"] = round_half_away(out["cosine"], 4)
+        out = out[["query_id", "rank", "vec_id", "cosine"]]
+    if with_stats:
+        total = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"]).count()
+        return out, {"rows_scanned": scanned, "rows_total": total}
+    return out

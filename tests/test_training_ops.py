@@ -72,11 +72,13 @@ def test_ann_lsh_recall_vs_bruteforce():
     from aiw_i2b2_etl_ray.pipelines.similarity import ann_lsh_topk, ann_topk
 
     exact = ann_topk(SF_DIR)
-    approx = ann_lsh_topk(SF_DIR)
+    approx, stats = ann_lsh_topk(SF_DIR, with_stats=True)
     e = set(map(tuple, exact[["query_id", "vec_id"]].itertuples(index=False)))
     a = set(map(tuple, approx[["query_id", "vec_id"]].itertuples(index=False)))
     recall = len(e & a) / max(1, len(e))
     assert recall >= 0.3, f"LSH recall too low: {recall}"
+    # bucket partitioning: only the probed fraction enters the shuffle/scan
+    assert stats["rows_scanned"] < stats["rows_total"], stats
     # exact result has full k per query
     assert (exact.groupby("query_id").size() == 5).all()
 
