@@ -18,6 +18,29 @@ from dataclasses import dataclass
 
 
 @dataclass(frozen=True)
+class ModifierSpec:
+    """One modifier property (the reference's ModifierSpec in the concepts
+    config section, ConceptsSection.java:51-87): when ``extract`` yields a
+    non-null string for an event, the fact stage emits one EXTRA fact row
+    with ``modifier_cd=name`` and the (255-truncated) value — the per-fact
+    modifier fan-out of dest/table/PropositionFactHandler.java:163-186.
+    Base rows always carry ``modifier_cd='@'`` (ObservationFact default).
+
+    extract: callable(pyarrow.Table of raw change columns) -> pyarrow
+        string Array (null = modifier absent for that event).  Must be a
+        picklable top-level callable; it runs inside the Normalizer, so the
+        extracted value (not the payload) rides the shuffle.
+    """
+
+    name: str
+    extract: object = None  # Callable[[pa.Table], pa.Array]
+
+    def __post_init__(self):
+        if not self.name or self.name == "@" or "__" in self.name:
+            raise ValueError(f"invalid modifier name: {self.name!r}")
+
+
+@dataclass(frozen=True)
 class ReplaySpec:
     """Everything a CDC replay run needs.
 
@@ -97,6 +120,7 @@ def out_paths(spec: ReplaySpec) -> dict[str, str]:
             "path_dim",
             "repo_dim",
             "lang_dim",
+            "modifier_dim",
             "change_fact",
             "rejected",
             "_manifest",

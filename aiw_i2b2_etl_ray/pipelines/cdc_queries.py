@@ -9,11 +9,53 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
+from ..config import ModifierSpec
 from ..sources.changes import CHANGES_FROM_EVENTS_SQL, changes_from_events
 from ..stages import dims as dims_mod
 from .cdc_replay import replay_table
 
 _NP = 16  # partitions at correctness scale
+
+
+# --- modifier specs for the catalog stream ----------------------------------
+# content = lang ':' props ':' digit (changes_from_events); the extractors
+# run in the Normalizer, so only the extracted value crosses the shuffle.
+
+
+def _extract_props(t: pa.Table) -> pa.Array:
+    """The props field of the payload (positional: between the lang prefix
+    and the 2-char ':d' suffix); empty -> absent (null)."""
+    import polars as pl
+
+    df = pl.from_arrow(t.select(["content", "lang"]))
+    val = df.select(
+        pl.col("content")
+        .cast(pl.String)
+        .str.slice(
+            pl.col("lang").str.len_chars() + 1,
+            pl.col("content").cast(pl.String).str.len_chars()
+            - pl.col("lang").str.len_chars()
+            - 3,
+        )
+        .alias("v")
+    )["v"]
+    out = val.to_frame().select(
+        pl.when(pl.col("v").str.len_chars() > 0).then(pl.col("v")).alias("v")
+    )["v"]
+    return out.to_arrow()
+
+
+def _extract_del(t: pa.Table) -> pa.Array:
+    """Tombstone marker modifier: present iff op='D' (the conditional case)."""
+    return pc.if_else(
+        pc.equal(t["op"], "D"), pa.scalar("tombstone"), pa.scalar(None, pa.string())
+    )
+
+
+MODIFIER_SPECS = (
+    ModifierSpec(name="PROPS", extract=_extract_props),
+    ModifierSpec(name="DEL", extract=_extract_del),
+)
 
 
 def cdc_path_dim(sf_dir: str) -> rd.Dataset:
@@ -22,6 +64,60 @@ def cdc_path_dim(sf_dir: str) -> rd.Dataset:
 
 def cdc_change_fact(sf_dir: str) -> rd.Dataset:
     return replay_table(changes_from_events(sf_dir), emit="fact", num_partitions=_NP)
+
+
+def cdc_change_fact_mod(sf_dir: str) -> rd.Dataset:
+    """The fan-out-aware fact table: base rows (modifier_cd='@') plus one
+    extra row per matched modifier property (PROPS always, DEL on
+    tombstones) — the reference's one-event->N-fact-rows semantics."""
+    return replay_table(
+        changes_from_events(sf_dir),
+        emit="fact",
+        num_partitions=_NP,
+        modifier_specs=MODIFIER_SPECS,
+    )
+
+
+def cdc_modifier_dim(sf_dir: str) -> pa.Table:
+    """modifier_dimension analog: one row per distinct modifier code with
+    path, first-seen seq and fact count (dedup pattern ST6 — each modifier
+    path emitted once)."""
+    import polars as pl
+    import ray
+
+    fact = cdc_change_fact_mod(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t.select(["modifier_cd", "commit_seq"]))
+            .filter(pl.col("modifier_cd") != "@")
+            .group_by("modifier_cd")
+            .agg(
+                pl.col("commit_seq").min().alias("mn"),
+                pl.len().cast(pl.Int64).alias("n"),
+            )
+            .to_arrow()
+        )
+
+    mat = fact.map_batches(partial, batch_format="pyarrow").materialize()
+    tbls = [t for t in ray.get(mat.to_arrow_refs()) if len(t)]
+    from ..schemas import MODIFIER_DIM, ensure_columns
+
+    if not tbls:
+        return MODIFIER_DIM.empty_table()
+    agg = (
+        pl.from_arrow(pa.concat_tables(tbls))
+        .group_by("modifier_cd")
+        .agg(pl.col("mn").min().alias("first_seen_seq"), pl.col("n").sum().alias("n_facts"))
+        .with_columns(
+            (pl.lit("\\Mod\\") + pl.col("modifier_cd") + pl.lit("\\")).alias(
+                "modifier_path"
+            ),
+            pl.col("modifier_cd").alias("name_char"),
+        )
+        .sort("modifier_cd")
+    )
+    return ensure_columns(agg.to_arrow(), MODIFIER_DIM)
 
 
 def cdc_repo_dim(sf_dir: str) -> pa.Table:
@@ -103,8 +199,44 @@ SQL_CHANGE_FACT = f"""
 WITH {CHANGES_FROM_EVENTS_SQL}, {_VALID}
 SELECT repo, path, "commit", commit_seq, op, lang,
        sha256(content)                 AS content_sha256,
-       CAST(length(content) AS BIGINT) AS content_len
+       CAST(length(content) AS BIGINT) AS content_len,
+       '@'                             AS modifier_cd,
+       CAST(NULL AS VARCHAR)           AS tval_modifier
 FROM dedup
+"""
+
+#: base fact columns shared by every fan-out arm
+_FACT_COLS = """repo, path, "commit", commit_seq, op, lang,
+       sha256(content)                 AS content_sha256,
+       CAST(length(content) AS BIGINT) AS content_len"""
+
+SQL_CHANGE_FACT_MOD = f"""
+WITH {CHANGES_FROM_EVENTS_SQL}, {_VALID}
+SELECT {_FACT_COLS}, '@' AS modifier_cd, CAST(NULL AS VARCHAR) AS tval_modifier
+FROM dedup
+UNION ALL
+SELECT {_FACT_COLS}, 'PROPS',
+       substr(content, length(lang)+2, length(content)-length(lang)-3)
+FROM dedup WHERE length(content)-length(lang)-3 > 0
+UNION ALL
+SELECT {_FACT_COLS}, 'DEL', 'tombstone'
+FROM dedup WHERE op = 'D'
+"""
+
+SQL_MODIFIER_DIM = f"""
+WITH {CHANGES_FROM_EVENTS_SQL}, {_VALID},
+mods AS (
+  SELECT 'PROPS' AS modifier_cd, commit_seq FROM dedup
+  WHERE length(content)-length(lang)-3 > 0
+  UNION ALL
+  SELECT 'DEL', commit_seq FROM dedup WHERE op = 'D'
+)
+SELECT modifier_cd,
+       '\\Mod\\' || modifier_cd || '\\' AS modifier_path,
+       modifier_cd                      AS name_char,
+       MIN(commit_seq)                  AS first_seen_seq,
+       CAST(COUNT(*) AS BIGINT)         AS n_facts
+FROM mods GROUP BY modifier_cd
 """
 
 SQL_REPO_DIM = f"""

@@ -103,7 +103,10 @@ def find_hot_keys_local(files: list[str], threshold: int) -> set[str]:
 
 
 def normalized(
-    changes: rd.Dataset, spec: ReplaySpec, hot_keys: set[str] | None = None
+    changes: rd.Dataset,
+    spec: ReplaySpec,
+    hot_keys: set[str] | None = None,
+    modifier_specs: tuple = (),
 ) -> rd.Dataset:
     hot_ref = ray.put(hot_keys) if hot_keys else None
     # stateless tasks, not an actor pool: elastic parallelism, no pool
@@ -113,7 +116,7 @@ def normalized(
     # no explicit batch_size: one call per read block avoids a re-batching
     # copy (sha/hash kernels are size-agnostic)
     return changes.map_batches(
-        Normalizer(spec.num_partitions, spec.salt_buckets, hot_ref),
+        Normalizer(spec.num_partitions, spec.salt_buckets, hot_ref, modifier_specs),
         batch_format="pyarrow",
         zero_copy_batch=True,
         **worker_runtime_env(),
@@ -145,6 +148,7 @@ def replay(
     *,
     resume: bool = False,
     run_id: str | None = None,
+    modifier_specs: tuple = (),
     _debug_skip_partitions=None,
 ) -> dict:
     """Full checkpointed replay.  Returns output paths + lineage summary.
@@ -270,7 +274,7 @@ def replay(
                 spec.out_dir, extracted, spec.num_partitions, spec.salt_buckets, run_id
             )
 
-    norm = normalized(changes, spec, hot_keys)
+    norm = normalized(changes, spec, hot_keys, modifier_specs)
 
     skip = set()
     if resume:
@@ -300,6 +304,7 @@ def replay(
         mode=spec.mode,
         schema_version=spec.schema_version,
         merge_policy=spec.merge_policy,
+        modifier_names=tuple(s.name for s in modifier_specs),
     )
     hot_rows_ds = merged_groups(norm, merger_kwargs, spec)
 
@@ -333,10 +338,14 @@ def replay(
     # dims: fold the per-partition partials the mergers wrote (tiny driver
     # reduce — the fact table is never re-read)
     summary: dict = {"run_id": run_id, "out": paths}
-    repo_t, lang_t = dims_mod.fold_dim_partials(paths["_dimpart"], hot_all)
+    repo_t, lang_t, mod_t = dims_mod.fold_dim_partials(paths["_dimpart"], hot_all)
     if len(repo_t):
         _atomic_write(repo_t, os.path.join(paths["repo_dim"], "repo_dim.parquet"))
         _atomic_write(lang_t, os.path.join(paths["lang_dim"], "lang_dim.parquet"))
+    if len(mod_t):
+        _atomic_write(
+            mod_t, os.path.join(paths["modifier_dim"], "modifier_dim.parquet")
+        )
 
     import polars as _pl
 
@@ -371,11 +380,19 @@ def replay(
 
 
 def replay_table(
-    changes: rd.Dataset, *, emit: str, num_partitions: int = 16
+    changes: rd.Dataset,
+    *,
+    emit: str,
+    num_partitions: int = 16,
+    modifier_specs: tuple = (),
 ) -> rd.Dataset:
     """Run normalize+merge and return one logical output as a Dataset
     (emit='path_dim' or 'fact'); nothing is written.  Used by the
     driver-facing queries() and by tests."""
     spec = ReplaySpec(num_partitions=num_partitions, salt_buckets=1, hot_key_threshold=0)
-    norm = normalized(changes, spec, None)
-    return merged_groups(norm, {"emit": emit}, spec)
+    norm = normalized(changes, spec, None, modifier_specs)
+    return merged_groups(
+        norm,
+        {"emit": emit, "modifier_names": tuple(s.name for s in modifier_specs)},
+        spec,
+    )

@@ -103,6 +103,25 @@ CHANGE_FACT = pa.schema(
         ("lang", pa.string()),
         ("content_sha256", pa.string()),
         ("content_len", pa.int64()),
+        # modifier fan-out (reference: one extra fact row per matched
+        # modifier property, modifier_cd default '@' on the base row —
+        # dest/table/PropositionFactHandler.java:163-186,
+        # ObservationFact.java:28-70)
+        ("modifier_cd", pa.string()),
+        ("tval_modifier", pa.string()),
+    ]
+)
+
+#: modifier_dimension analog (dest/table/ModifierDimension.java,
+#: ModifierDimensionHandler.java:32-38; path dedup ModifierDimensionLoader
+#: .java:38-48): one row per distinct modifier code observed in the stream.
+MODIFIER_DIM = pa.schema(
+    [
+        ("modifier_cd", pa.string()),
+        ("modifier_path", pa.string()),
+        ("name_char", pa.string()),
+        ("first_seen_seq", pa.int64()),
+        ("n_facts", pa.int64()),
     ]
 )
 

@@ -90,19 +90,25 @@ def both_dims(fact_ds: rd.Dataset, path_dim: pa.Table) -> tuple[pa.Table, pa.Tab
 
 
 def fold_dim_partials(dimpart_dir: str, hot_path_dim: pa.Table | None = None):
-    """(repo_dim, lang_dim) from the per-partition partial files the merge
-    stage wrote — a driver-side fold over ~num_partitions tiny tables; the
-    fact table is never re-read.  ``hot_path_dim`` (the folded hot-key
-    winners, which partition partials exclude) contributes extra live
-    counts."""
+    """(repo_dim, lang_dim, modifier_dim) from the per-partition partial
+    files the merge stage wrote — a driver-side fold over ~num_partitions
+    tiny tables; the fact table is never re-read.  ``hot_path_dim`` (the
+    folded hot-key winners, which partition partials exclude) contributes
+    extra live counts."""
     import glob
     import os
 
     import pyarrow.parquet as pq
 
+    from ..schemas import MODIFIER_DIM
+
     files = sorted(glob.glob(os.path.join(dimpart_dir, "*.parquet")))
     if not files:
-        return REPO_DIM.empty_table(), LANG_DIM.empty_table()
+        return (
+            REPO_DIM.empty_table(),
+            LANG_DIM.empty_table(),
+            MODIFIER_DIM.empty_table(),
+        )
     parts = [pl.from_arrow(pq.read_table(f)) for f in files]
     if hot_path_dim is not None and len(hot_path_dim):
         hot_live = (
@@ -149,9 +155,23 @@ def fold_dim_partials(dimpart_dir: str, hot_path_dim: pa.Table | None = None):
         .select(pl.col("key").alias("lang"), pl.col("mn").alias("first_seen_seq"))
         .sort("lang")
     )
+    from ..schemas import MODIFIER_DIM
+
+    mod_out = (
+        agg.filter(pl.col("kind") == "mod")
+        .select(
+            pl.col("key").alias("modifier_cd"),
+            (pl.lit("\\Mod\\") + pl.col("key") + pl.lit("\\")).alias("modifier_path"),
+            pl.col("key").alias("name_char"),
+            pl.col("mn").alias("first_seen_seq"),
+            pl.col("live").alias("n_facts"),
+        )
+        .sort("modifier_cd")
+    )
     return (
         ensure_columns(repo_out.to_arrow(), REPO_DIM),
         ensure_columns(lang_out.to_arrow(), LANG_DIM),
+        ensure_columns(mod_out.to_arrow(), MODIFIER_DIM),
     )
 
 

@@ -97,10 +97,10 @@ def _path_dim_from_last(last: pl.DataFrame) -> pa.Table:
     return ensure_columns(out, PATH_DIM)
 
 
-def _state_to_events(state: pa.Table) -> pl.DataFrame:
+def _state_to_events(state: pa.Table, modifier_names: tuple = ()) -> pl.DataFrame:
     """Prior path_dim rows -> synthetic events for re-reduction (update mode)."""
     df = pl.from_arrow(state)
-    return df.select(
+    cols = [
         pl.col("repo"),
         pl.col("path"),
         pl.col("last_commit").alias("commit"),
@@ -113,7 +113,33 @@ def _state_to_events(state: pa.Table) -> pl.DataFrame:
         pl.col("content_sha256"),
         pl.lit(None, dtype=pl.Int64).alias("content_len"),
         pl.col("size").cast(pl.Int64),
+    ]
+    # modifier values are fact-level, not state: synthetic events carry none
+    cols += [pl.lit(None, dtype=pl.String).alias(f"mod__{n}") for n in modifier_names]
+    return df.select(cols)
+
+
+def fan_out_facts(df: pl.DataFrame, modifier_names: tuple = ()) -> pl.DataFrame:
+    """Per-fact modifier fan-out (PropositionFactHandler.java:163-186): the
+    base row gets modifier_cd='@'; each non-null ``mod__<name>`` value emits
+    one extra row with modifier_cd=name and the 255-truncated value (the
+    M6-style truncation, AbstractFactHandler.java:83-86).  Vectorized: one
+    filter+concat per configured modifier, no row loops."""
+    mod_cols = [f"mod__{n}" for n in modifier_names]
+    base = df.drop(mod_cols).with_columns(
+        pl.lit("@").alias("modifier_cd"),
+        pl.lit(None, dtype=pl.String).alias("tval_modifier"),
     )
+    parts = [base]
+    for n in modifier_names:
+        hit = df.filter(pl.col(f"mod__{n}").is_not_null())
+        parts.append(
+            hit.with_columns(
+                pl.lit(n).alias("modifier_cd"),
+                pl.col(f"mod__{n}").str.slice(0, 255).alias("tval_modifier"),
+            ).drop(mod_cols)
+        )
+    return pl.concat(parts) if len(parts) > 1 else parts[0]
 
 
 class PartitionMerger:
@@ -137,12 +163,14 @@ class PartitionMerger:
         mode: str = "replace",
         schema_version: int = 1,
         merge_policy: str = "last_writer_wins",
+        modifier_names: tuple = (),
     ):
         self.emit = emit
         self.out_dirs = out_dirs or {}
         self.run_id = run_id
         self.mode = mode
         self.schema_version = schema_version
+        self.modifier_names = tuple(modifier_names)
         if merge_policy not in ("last_writer_wins", "first_writer_wins"):
             raise ValueError(f"unknown merge_policy: {merge_policy}")
         self.merge_policy = merge_policy
@@ -173,7 +201,9 @@ class PartitionMerger:
         rejected = g.filter(pc.invert(ok))
         g = g.filter(ok)
 
-        df = pl.from_arrow(g.select(_MERGED_COLS))
+        df = pl.from_arrow(
+            g.select(_MERGED_COLS + [f"mod__{n}" for n in self.modifier_names])
+        )
         if df.schema["content_sha256"] == pl.Binary:
             # shuffle carries the raw 32-byte digest; outputs are hex
             df = df.with_columns(pl.col("content_sha256").bin.encode("hex"))
@@ -187,7 +217,7 @@ class PartitionMerger:
         if self.mode == "update" and self.emit == "checkpoint":
             part = os.path.join(self.out_dirs["path_dim"], f"part-{pid:05d}.parquet")
             if os.path.exists(part):
-                prior = _state_to_events(pq.read_table(part))
+                prior = _state_to_events(pq.read_table(part), self.modifier_names)
 
         merged = df if prior is None else pl.concat(
             [prior.select(df.columns), df], how="vertical"
@@ -212,7 +242,9 @@ class PartitionMerger:
         if self.emit == "path_dim":
             return _path_dim_from_last(last)
         if self.emit == "fact":
-            return ensure_columns(facts_df.to_arrow(), CHANGE_FACT)
+            return ensure_columns(
+                fan_out_facts(facts_df, self.modifier_names).to_arrow(), CHANGE_FACT
+            )
 
         # --- checkpoint mode -------------------------------------------------
         path_dim = _path_dim_from_last(last)
@@ -244,7 +276,9 @@ class PartitionMerger:
             path_dim, os.path.join(self.out_dirs["path_dim"], f"part-{pid:05d}.parquet")
         )
         self._write_dim_partials(pid, facts_df, path_dim)
-        facts = ensure_columns(facts_df.to_arrow(), CHANGE_FACT)
+        facts = ensure_columns(
+            fan_out_facts(facts_df, self.modifier_names).to_arrow(), CHANGE_FACT
+        )
         fact_name = (
             f"part-{pid:05d}.parquet"
             if self.mode == "replace"
@@ -262,7 +296,8 @@ class PartitionMerger:
                 rej, os.path.join(self.out_dirs["rejected"], f"part-{pid:05d}-{self.run_id}.parquet")
             )
 
-        self._commit_manifest(pid, len(facts), dups, conflicts, len(rejected), wm_new)
+        # rows_applied counts APPLIED EVENTS (base rows), not fan-out rows
+        self._commit_manifest(pid, len(facts_df), dups, conflicts, len(rejected), wm_new)
         return hot_rows
 
     def _write_dim_partials(self, pid: int, facts_df: pl.DataFrame, path_dim: pa.Table):
@@ -306,6 +341,25 @@ class PartitionMerger:
                     ]
                 )
             )
+            # modifier_dim partials: per-modifier first-seen seq + fact count
+            for name in self.modifier_names:
+                hit = f.filter(pl.col(f"mod__{name}").is_not_null())
+                if len(hit):
+                    parts.append(
+                        pl.DataFrame(
+                            {
+                                "kind": ["mod"],
+                                "key": [name],
+                                "mn": [int(hit["commit_seq"].min())],
+                                "mx": [int(hit["commit_seq"].max())],
+                                "live": [len(hit)],
+                            }
+                        ).with_columns(
+                            pl.col("mn").cast(pl.Int64),
+                            pl.col("mx").cast(pl.Int64),
+                            pl.col("live").cast(pl.Int64),
+                        )
+                    )
         if len(path_dim):
             live = (
                 pl.from_arrow(path_dim)

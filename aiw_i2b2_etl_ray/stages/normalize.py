@@ -40,12 +40,22 @@ class Normalizer:
     worker, never re-shipped per batch).
     """
 
-    def __init__(self, num_partitions: int, salt_buckets: int, hot_keys_ref=None):
+    def __init__(
+        self,
+        num_partitions: int,
+        salt_buckets: int,
+        hot_keys_ref=None,
+        modifier_specs: tuple = (),
+    ):
         self.num_partitions = np.uint64(num_partitions)
         self.salt_buckets = np.uint64(max(salt_buckets, 1))
         self._hot_ref = hot_keys_ref
         self._hot_loaded = hot_keys_ref is None
         self.hot_keys = None  # set[str] of "repo\x1fpath"
+        # modifier extraction happens HERE, pre-shuffle, so only the small
+        # extracted value (not the payload it derives from) crosses the
+        # exchange — same digest-before-shuffle rule as content_sha256
+        self.modifier_specs = tuple(modifier_specs)
 
     def _load_hot(self):
         if not self._hot_loaded:
@@ -127,10 +137,15 @@ class Normalizer:
             "content_len": clen,
             "size": t["size"] if "size" in t.column_names else pa.nulls(n, pa.int64()),
             "pkey": pa.array(pkey.astype(np.int32)),
-            "is_hot": pa.array(
-                is_hot if is_hot is not None else np.zeros(n, dtype=bool)
-            ),
-            "reject_reason": reject_reason,
         }
-        assert list(out)[:-2] == SHUFFLE_COLUMNS  # schema drift guard
+        assert list(out) == SHUFFLE_COLUMNS  # schema drift guard
+        for spec in self.modifier_specs:
+            val = spec.extract(t)
+            if not isinstance(val, (pa.Array, pa.ChunkedArray)):
+                val = pa.array(val, pa.string())
+            out[f"mod__{spec.name}"] = pc.cast(val, pa.string())
+        out["is_hot"] = pa.array(
+            is_hot if is_hot is not None else np.zeros(n, dtype=bool)
+        )
+        out["reject_reason"] = reject_reason
         return pa.table(out)

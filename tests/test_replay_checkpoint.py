@@ -126,3 +126,62 @@ def test_hot_key_salting(tmp_path, tiny_changes, tiny_oracle):
     hot_files = glob.glob(os.path.join(spec.out_dir, "path_dim", "hot-*.parquet"))
     assert hot_files, "hot keys should be folded into a hot run file"
     _check_outputs(spec, tiny_oracle)
+
+
+def test_modifier_fanout_write_path(tmp_path):
+    """replay() with modifier specs writes fan-out facts + modifier_dim;
+    lineage rows_applied still counts base events."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import glob
+    import os
+
+    from aiw_i2b2_etl_ray.config import ModifierSpec, ReplaySpec
+    from aiw_i2b2_etl_ray.pipelines.cdc_replay import replay
+
+    n = 100
+    t = pa.table(
+        {
+            "repo": pa.array([f"r{i%5}" for i in range(n)]),
+            "path": pa.array([f"f{i%20}.c" for i in range(n)]),
+            "commit": pa.array([f"c{i}" for i in range(n)]),
+            "lang": pa.array(["c"] * n),
+            "content": pa.array([f"body-{i}" for i in range(n)], pa.large_string()),
+            "commit_seq": pa.array(np.arange(n, dtype=np.int64)),
+            "op": pa.array(["D" if i % 10 == 0 else "U" for i in range(n)]),
+        }
+    )
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    pq.write_table(t, os.path.join(d, "p.parquet"))
+
+    def ext_even(tb):
+        import pyarrow.compute as pc
+
+        seq = tb["commit_seq"]
+        even = pa.array(seq.to_numpy() % 2 == 0)
+        return pc.if_else(even, pc.cast(seq, pa.string()), pa.scalar(None, pa.string()))
+
+    specs = (ModifierSpec(name="EVEN", extract=ext_even),)
+    spec = ReplaySpec(
+        out_dir=str(tmp_path / "out"), num_partitions=4, salt_buckets=1, hot_key_threshold=0
+    )
+    summary = replay(d, spec, run_id="m1", modifier_specs=specs)
+    assert summary["lineage"]["rows_applied"] == n  # base events only
+
+    facts = pa.concat_tables(
+        [pq.read_table(f) for f in glob.glob(os.path.join(spec.out_dir, "change_fact", "*.parquet"))]
+    )
+    base = facts.filter(pa.compute.equal(facts["modifier_cd"], "@"))
+    mod = facts.filter(pa.compute.equal(facts["modifier_cd"], "EVEN"))
+    assert len(base) == n
+    assert len(mod) == n // 2
+    assert set(mod["tval_modifier"].to_pylist()) == {str(i) for i in range(0, n, 2)}
+
+    md = pq.read_table(os.path.join(spec.out_dir, "modifier_dim", "modifier_dim.parquet"))
+    row = md.to_pylist()[0]
+    assert row["modifier_cd"] == "EVEN"
+    assert row["modifier_path"] == "\\Mod\\EVEN\\"
+    assert row["n_facts"] == n // 2
+    assert row["first_seen_seq"] == 0
