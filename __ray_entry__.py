@@ -36,6 +36,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_key_map": cq.cdc_key_map,  # surrogate-id mapping table
         "cdc_change_fact_mod": cq.cdc_change_fact_mod,  # modifier fan-out
         "cdc_modifier_dim": cq.cdc_modifier_dim,  # modifier_dimension analog
+        "cdc_author_dim": cq.cdc_author_dim,  # provider_dimension analog
         # --- reference operator families (SURVEY.md §2) --------------------
         "eav_encode": an.eav_encode,  # M6
         "str_normalize": an.str_normalize,  # M7/M8
@@ -127,6 +128,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_key_map": cq.SQL_KEY_MAP,
         "cdc_change_fact_mod": cq.SQL_CHANGE_FACT_MOD,
         "cdc_modifier_dim": cq.SQL_MODIFIER_DIM,
+        "cdc_author_dim": cq.SQL_AUTHOR_DIM,
         "eav_encode": """
             SELECT event_id,
                    CASE WHEN value IS NULL THEN '@' ELSE 'N' END AS valtype_cd,

@@ -264,6 +264,96 @@ SELECT lang, MIN(commit_seq) AS first_seen_seq
 FROM dedup GROUP BY lang
 """
 
+def cdc_author_dim(sf_dir: str) -> pa.Table:
+    """Author dimension (provider_dimension analog,
+    ProviderDimensionFactory.java:119-188): per author_id —
+
+    - display name by FIRST-writer-wins (the provider dedup rule ST3:
+      insert only if not yet cached == keep the name of the earliest
+      event; several user_ids share an author_id so this is a real reduce);
+    - first/last activity seq (the max-date reduction A5);
+    - an A-Z hierarchy path from the name's initial
+      (ProviderConceptTreeBuilder.java:30-100 alpha folders).
+
+    Physical plan: per-batch argmin/min/max partials (combiner), tiny
+    driver fold — min/max/argmin are insensitive to redelivered duplicates,
+    so no change-id dedup pass is needed (duplicates carry identical seq
+    and name)."""
+    import polars as pl
+    import ray
+
+    ds = changes_from_events(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(
+                t.select(["author_id", "author_name", "commit_seq", "repo", "path", "commit"])
+            )
+            .filter(  # validity parity with _VALID
+                (pl.col("repo").fill_null("") != "")
+                & (pl.col("path").fill_null("") != "")
+                & (pl.col("commit").fill_null("") != "")
+            )
+            .sort("commit_seq")
+            .group_by("author_id", maintain_order=True)
+            .agg(
+                pl.col("author_name").first().alias("name_at_mn"),
+                pl.col("commit_seq").min().alias("mn"),
+                pl.col("commit_seq").max().alias("mx"),
+            )
+            .to_arrow()
+        )
+
+    mat = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    tbls = [t for t in ray.get(mat.to_arrow_refs()) if len(t)]
+    from ..schemas import AUTHOR_DIM, ensure_columns
+
+    if not tbls:
+        return AUTHOR_DIM.empty_table()
+    agg = (
+        pl.from_arrow(pa.concat_tables(tbls))
+        .sort("mn")
+        .group_by("author_id", maintain_order=True)
+        .agg(
+            pl.col("name_at_mn").first().alias("author_name"),
+            pl.col("mn").min().alias("first_seen_seq"),
+            pl.col("mx").max().alias("last_seen_seq"),
+        )
+        .with_columns(
+            (
+                pl.lit("\\Provider\\")
+                + pl.col("author_name").str.slice(0, 1)
+                + pl.lit("\\")
+                + pl.col("author_name")
+                + pl.lit("\\")
+            ).alias("author_path")
+        )
+        .sort("author_id")
+    )
+    return ensure_columns(agg.to_arrow(), AUTHOR_DIM)
+
+
+SQL_AUTHOR_DIM = f"""
+WITH {CHANGES_FROM_EVENTS_SQL}, {_VALID},
+ranked AS (
+  SELECT author_id, author_name, commit_seq,
+         ROW_NUMBER() OVER (PARTITION BY author_id ORDER BY commit_seq) AS rn
+  FROM valid
+),
+agg AS (
+  SELECT author_id, MIN(commit_seq) AS mn, MAX(commit_seq) AS mx
+  FROM valid GROUP BY author_id
+)
+SELECT a.author_id,
+       r.author_name,
+       '\\Provider\\' || substr(r.author_name, 1, 1) || '\\'
+         || r.author_name || '\\'  AS author_path,
+       a.mn AS first_seen_seq,
+       a.mx AS last_seen_seq
+FROM agg a JOIN ranked r ON r.author_id = a.author_id AND r.rn = 1
+"""
+
+
 def cdc_key_map(sf_dir: str):
     """Surrogate-key mapping table (patient/encounter_mapping analog):
     dense int64 per distinct live (repo, path), in (repo, path) order."""

@@ -112,6 +112,19 @@ CHANGE_FACT = pa.schema(
     ]
 )
 
+#: provider_dimension analog (dest/table/ProviderDimension.java,
+#: ProviderDimensionFactory.java:119-188 first-writer-wins dedup + max-date
+#: name reduce; A-Z hierarchy ProviderConceptTreeBuilder.java:30-100).
+AUTHOR_DIM = pa.schema(
+    [
+        ("author_id", pa.string()),
+        ("author_name", pa.string()),
+        ("author_path", pa.string()),
+        ("first_seen_seq", pa.int64()),
+        ("last_seen_seq", pa.int64()),
+    ]
+)
+
 #: modifier_dimension analog (dest/table/ModifierDimension.java,
 #: ModifierDimensionHandler.java:32-38; path dedup ModifierDimensionLoader
 #: .java:38-48): one row per distinct modifier code observed in the stream.

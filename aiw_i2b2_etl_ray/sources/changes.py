@@ -81,6 +81,7 @@ def read_changes_table(path: str) -> pa.Table:
 
 _N_REPOS = 37
 _N_PATHS = 101
+_N_AUTHORS = 23
 _DUP_MOD = 10  # every 10th event is redelivered (exact duplicate change-id)
 _DEL_MOD = 11  # every 11th event is a tombstone
 _REJ_MOD = 89  # every 89th event has an empty path -> rejected
@@ -108,6 +109,12 @@ def changes_from_events(sf_dir: str) -> rd.Dataset:
             t["event_type"], pc.coalesce(t["props"], ""), s(m(eid_np, 7)), ":"
         )
         op = pc.if_else(pa.array(eid_np % _DEL_MOD == 0), "D", "U")
+        # author (provider analog): several user_ids share an author_id, so
+        # first-writer-wins on the display name is a REAL reduction; the
+        # name's initial spans A-Z for the alpha hierarchy
+        author_id = pc.binary_join_element_wise("a", s(m(uid_np, _N_AUTHORS)), "")
+        initial = pa.array([chr(65 + int(u % 26)) for u in uid_np], pa.string())
+        author_name = pc.binary_join_element_wise(initial, "_u", s(t["user_id"]), "")
         out = pa.table(
             {
                 "repo": repo,
@@ -117,6 +124,8 @@ def changes_from_events(sf_dir: str) -> rd.Dataset:
                 "content": pc.cast(content, pa.large_string()),
                 "commit_seq": eid,
                 "op": op,
+                "author_id": author_id,
+                "author_name": author_name,
             }
         )
         # redeliver every DUP_MOD-th event (exact duplicate row)
@@ -138,7 +147,9 @@ CHANGES_FROM_EVENTS_SQL = f"""
       event_type || ':' || COALESCE(props, '') || ':'
         || CAST(event_id % 7 AS VARCHAR)                                    AS content,
       event_id                                                              AS commit_seq,
-      CASE WHEN event_id % {_DEL_MOD} = 0 THEN 'D' ELSE 'U' END             AS op
+      CASE WHEN event_id % {_DEL_MOD} = 0 THEN 'D' ELSE 'U' END             AS op,
+      'a' || CAST(user_id % {_N_AUTHORS} AS VARCHAR)                        AS author_id,
+      chr(65 + CAST(user_id % 26 AS INT)) || '_u' || CAST(user_id AS VARCHAR) AS author_name
     FROM events
   ),
   changes AS (
