@@ -69,7 +69,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     cat.update(
         {
-            "ontology_table": on.ontology_table,  # K2/O2 metadata emission
+            "ontology_table": on.ontology_table,  # K2/O2 metadata emission (3-level)
+            "concept_descendants": on.concept_descendants,  # LevelReader analog
             "lang_stats": on.lang_stats,  # A4 statistics + rollup
             "event_rank": wn.event_rank,  # O1/ST9 per-key ordering
             "tumbling_counts": wn.tumbling_counts,  # windowed aggregate
@@ -211,6 +212,7 @@ def oracle_sql() -> dict[str, str]:
     sql.update(
         {
             "ontology_table": on.SQL_ONTOLOGY_TABLE,
+            "concept_descendants": on.SQL_CONCEPT_DESCENDANTS,
             "lang_stats": on.SQL_LANG_STATS,
             "event_rank": wn.SQL_EVENT_RANK,
             "tumbling_counts": wn.SQL_TUMBLING_COUNTS,

@@ -19,44 +19,135 @@ from ..functions import strings
 ROOT = "Lang"
 
 
+def _distinct_pairs(sf_dir: str) -> list[tuple[str, str]]:
+    """Distinct (lang, source) via per-batch combiner partials + a tiny
+    driver fold (the domain is small by construction; the full rows never
+    leave their block — reference table discovery analog,
+    ksb/TableAccessReader.java:97-150)."""
+    import polars as pl
+
+    import ray
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pl.from_arrow(t).unique().to_arrow()
+
+    mat = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    tbls = [t for t in ray.get(mat.to_arrow_refs()) if len(t)]
+    if not tbls:
+        return []
+    df = pl.from_arrow(pa.concat_tables(tbls)).unique().sort(["lang", "source"])
+    return list(zip(df["lang"].to_list(), df["source"].to_list()))
+
+
 def ontology_table(sf_dir: str) -> pa.Table:
-    """Two-level language ontology from the discovered lang domain.
-    Domain discovery is a distinct-shuffle; the tree assembly is
-    driver-side (the ontology is small by construction, like the
-    reference's in-memory concept tree)."""
-    langs = sorted(
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"]).unique("lang")
-    )
-    n = len(langs)
+    """Three-level concept hierarchy discovered from the data:
+    root -> lang -> source (depth >= 3, the reference's arbitrary-depth
+    metadata tree, ksb/I2b2KnowledgeSourceBackend.java:85-2249).
+
+    Synonym dedup (PropositionConceptTreeBuilder.java:128-133): the same
+    source concept appearing under a second lang keeps its row but is
+    flagged ``c_synonym_cd='Y'`` (the reference marks duplicate concept ids
+    SYNONYM instead of inserting a second primary row).
+
+    Domain discovery is distributed (combiner partials); tree assembly is
+    driver-side, like the reference's in-memory concept tree."""
+    pairs = _distinct_pairs(sf_dir)
+    langs = sorted({l for l, _ in pairs})
     root_path = strings.hierarchy_path(pa.array([ROOT]))[0].as_py()
-    rows = {
-        "c_hlevel": pa.array([0] + [1] * n, pa.int64()),
-        "c_fullname": pa.array(
-            [root_path]
-            + [
-                strings.hierarchy_path(pa.array([ROOT]), pa.array([l]))[0].as_py()
-                for l in langs
-            ],
-            pa.string(),
-        ),
-        "c_name": pa.array([ROOT] + langs, pa.string()),
-        "c_basecode": pa.array(
-            [None] + [f"LANG:{l}" for l in langs], pa.string()
-        ),
-        "c_visualattributes": pa.array(["FA"] + ["LA"] * n, pa.string()),
-    }
-    return pa.table(rows)
+
+    hlevel = [0] + [1] * len(langs)
+    fullname = [root_path] + [f"\\{ROOT}\\{l}\\" for l in langs]
+    name = [ROOT] + langs
+    basecode: list[str | None] = [None] + [f"LANG:{l}" for l in langs]
+    vis = ["FA"] * (1 + len(langs))
+    syn = ["N"] * (1 + len(langs))
+
+    seen_src: set[str] = set()
+    for l, s in pairs:  # sorted (lang, source) == first occurrence order
+        hlevel.append(2)
+        fullname.append(f"\\{ROOT}\\{l}\\{s}\\")
+        name.append(s)
+        basecode.append(f"SRC:{s}")
+        vis.append("LA")
+        syn.append("Y" if s in seen_src else "N")
+        seen_src.add(s)
+
+    return pa.table(
+        {
+            "c_hlevel": pa.array(hlevel, pa.int64()),
+            "c_fullname": pa.array(fullname, pa.string()),
+            "c_name": pa.array(name, pa.string()),
+            "c_basecode": pa.array(basecode, pa.string()),
+            "c_visualattributes": pa.array(vis, pa.string()),
+            "c_synonym_cd": pa.array(syn, pa.string()),
+        }
+    )
 
 
-SQL_ONTOLOGY_TABLE = r"""
-WITH langs AS (SELECT DISTINCT lang FROM documents)
-SELECT CAST(0 AS BIGINT) AS c_hlevel, '\Lang\' AS c_fullname,
-       'Lang' AS c_name, CAST(NULL AS VARCHAR) AS c_basecode,
-       'FA' AS c_visualattributes
-UNION ALL
-SELECT CAST(1 AS BIGINT), '\Lang\' || lang || '\', lang,
-       'LANG:' || lang, 'LA'
-FROM langs
+_SQL_ONTO = r"""
+pairs AS (SELECT DISTINCT lang, source FROM documents),
+langs AS (SELECT DISTINCT lang FROM documents),
+onto AS (
+  SELECT CAST(0 AS BIGINT) AS c_hlevel, '\Lang\' AS c_fullname,
+         'Lang' AS c_name, CAST(NULL AS VARCHAR) AS c_basecode,
+         'FA' AS c_visualattributes, 'N' AS c_synonym_cd,
+         CAST(NULL AS VARCHAR) AS c_parent
+  UNION ALL
+  SELECT CAST(1 AS BIGINT), '\Lang\' || lang || '\', lang,
+         'LANG:' || lang, 'FA', 'N', '\Lang\'
+  FROM langs
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), '\Lang\' || lang || '\' || source || '\', source,
+         'SRC:' || source, 'LA',
+         CASE WHEN ROW_NUMBER() OVER (PARTITION BY source ORDER BY lang) > 1
+              THEN 'Y' ELSE 'N' END,
+         '\Lang\' || lang || '\'
+  FROM pairs
+)
+"""
+
+SQL_ONTOLOGY_TABLE = f"""
+WITH {_SQL_ONTO}
+SELECT c_hlevel, c_fullname, c_name, c_basecode, c_visualattributes,
+       c_synonym_cd
+FROM onto
+"""
+
+DESCENDANT_ROOT = "\\Lang\\en\\"
+
+
+def concept_descendants(sf_dir: str) -> pa.Table:
+    """Descendants-of-path query (ksb/LevelReader.java:87-115,127-141): all
+    concepts strictly under ``DESCENDANT_ROOT``, by path-prefix match over
+    the discovered hierarchy — the reference's C_FULLNAME LIKE 'path%'
+    child/descendant reads.  The oracle walks the same tree with a
+    recursive CTE over parent edges, so prefix semantics are checked
+    against genuine edge-traversal semantics."""
+    onto = ontology_table(sf_dir)
+    paths = onto["c_fullname"]
+    import pyarrow.compute as pc
+
+    mask = pc.and_(
+        pc.starts_with(paths, DESCENDANT_ROOT),
+        pc.invert(pc.equal(paths, DESCENDANT_ROOT)),
+    )
+    return onto.filter(mask).select(
+        ["c_hlevel", "c_fullname", "c_name", "c_basecode"]
+    )
+
+
+SQL_CONCEPT_DESCENDANTS = f"""
+WITH RECURSIVE {_SQL_ONTO},
+walk AS (
+  SELECT c_hlevel, c_fullname, c_name, c_basecode
+  FROM onto WHERE c_parent = '{DESCENDANT_ROOT}'
+  UNION ALL
+  SELECT o.c_hlevel, o.c_fullname, o.c_name, o.c_basecode
+  FROM onto o JOIN walk w ON o.c_parent = w.c_fullname
+)
+SELECT * FROM walk
 """
 
 
@@ -91,19 +182,42 @@ SELECT '(all)', CAST(COUNT(*) AS BIGINT) FROM documents
 def ontology_with_totals(sf_dir: str) -> pa.Table:
     """C_TOTALNUM maintenance (A6, dest/I2b2QueryResultsHandler.java:
     344-352,858-873) + the per-subtree prefix-match count join (J5,
-    :720-748): each ontology row gets the count of documents whose concept
-    path falls under it — the root's total is the prefix rollup.  Counts
-    come from a grouped reduce; the (small) ontology is matched driver-side
-    by path prefix, never a row-level shuffle join."""
+    :720-748) + the HIERARCHICAL statistics rollup
+    (dest/I2b2Statistics.java:28-120): every row of the 3-level hierarchy
+    gets the count of documents under its subtree — leaf = per-(lang,
+    source) count, lang folder = sum over its sources, root = corpus total.
+    Counts come from a distributed per-batch partial aggregate; the (small)
+    ontology is matched driver-side by path prefix, never a row-level
+    shuffle join."""
+    import polars as pl
+
+    import ray
+
     onto = ontology_table(sf_dir)
-    # counts via the distributed partial-aggregate pipeline (tiny result)
-    stats = lang_stats(sf_dir).to_pandas()
-    stats = stats[stats["lang"] != "(all)"]
-    lang_n = dict(zip(stats["lang"], stats["n_docs"].astype(int)))
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .group_by(["lang", "source"])
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+            .to_arrow()
+        )
+
+    mat = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    tbls = [t for t in ray.get(mat.to_arrow_refs()) if len(t)]
+    counts = (
+        pl.from_arrow(pa.concat_tables(tbls))
+        .group_by(["lang", "source"])
+        .agg(pl.col("n").sum())
+        if tbls
+        else pl.DataFrame({"lang": [], "source": [], "n": []})
+    )
+    doc_paths = {
+        f"\\{ROOT}\\{l}\\{s}\\": int(n)
+        for l, s, n in zip(counts["lang"], counts["source"], counts["n"])
+    }
     paths = onto["c_fullname"].to_pylist()
-    # prefix-match: a doc with lang L lives at \Lang\L\; row total = sum of
-    # counts whose concept path starts with this row's path
-    doc_paths = {f"\\{ROOT}\\{l}\\": n for l, n in lang_n.items()}
     totals = [
         sum(n for p, n in doc_paths.items() if p.startswith(row_path))
         for row_path in paths
@@ -111,21 +225,15 @@ def ontology_with_totals(sf_dir: str) -> pa.Table:
     return onto.append_column("c_totalnum", pa.array(totals, pa.int64()))
 
 
-SQL_ONTOLOGY_WITH_TOTALS = r"""
-WITH onto AS (
-  SELECT CAST(0 AS BIGINT) AS c_hlevel, '\Lang\' AS c_fullname,
-         'Lang' AS c_name, CAST(NULL AS VARCHAR) AS c_basecode,
-         'FA' AS c_visualattributes
-  UNION ALL
-  SELECT CAST(1 AS BIGINT), '\Lang\' || lang || '\', lang,
-         'LANG:' || lang, 'LA'
-  FROM (SELECT DISTINCT lang FROM documents)
-),
+SQL_ONTOLOGY_WITH_TOTALS = f"""
+WITH {_SQL_ONTO},
 doc_counts AS (
-  SELECT '\Lang\' || lang || '\' AS p, CAST(COUNT(*) AS BIGINT) AS n
-  FROM documents GROUP BY lang
+  SELECT '\\Lang\\' || lang || '\\' || source || '\\' AS p,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY lang, source
 )
-SELECT o.*,
+SELECT o.c_hlevel, o.c_fullname, o.c_name, o.c_basecode,
+       o.c_visualattributes, o.c_synonym_cd,
        CAST(COALESCE((SELECT SUM(d.n) FROM doc_counts d
                  WHERE d.p LIKE o.c_fullname || '%'), 0) AS BIGINT) AS c_totalnum
 FROM onto o
