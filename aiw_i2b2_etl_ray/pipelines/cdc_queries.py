@@ -58,24 +58,78 @@ MODIFIER_SPECS = (
 )
 
 
+# --- shared materialized merge ----------------------------------------------
+# The write path (replay()) computes every output in ONE pass; the read-only
+# catalog mirrors that by materializing the merge ONCE per sf_dir and
+# deriving every table from it — path_dim is the per-key LWW reduce over the
+# already-deduped facts (the same reduction the merger performs), repo/lang
+# dims fold the facts.  Without this, each catalog query re-ran
+# normalize+shuffle from scratch.
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=4)
+def _fact_cached(sf_dir: str) -> rd.Dataset:
+    return replay_table(
+        changes_from_events(sf_dir), emit="fact", num_partitions=_NP
+    ).materialize()
+
+
+@lru_cache(maxsize=4)
+def _fact_mod_cached(sf_dir: str) -> rd.Dataset:
+    return replay_table(
+        changes_from_events(sf_dir),
+        emit="fact",
+        num_partitions=_NP,
+        modifier_specs=MODIFIER_SPECS,
+    ).materialize()
+
+
+@lru_cache(maxsize=4)
+def _path_dim_cached(sf_dir: str) -> rd.Dataset:
+    import polars as pl
+
+    from ..stages.merge import _path_dim_from_last
+
+    def to_pdim(g: pa.Table) -> pa.Table:
+        last = (
+            pl.from_arrow(
+                g.select(
+                    ["repo", "path", "commit", "lang", "commit_seq", "op", "content_sha256"]
+                )
+            )
+            .with_columns(pl.lit(None, dtype=pl.Int64).alias("size"))
+            .sort("commit_seq", maintain_order=True)
+            .group_by(["repo", "path"], maintain_order=True)
+            .last()
+        )
+        return _path_dim_from_last(last)
+
+    # per-repo groups keep the inner reduce vectorized (few calls, not one
+    # per path); facts are already deduped so this is exactly the merger's
+    # last-writer-wins reduction
+    return (
+        _fact_cached(sf_dir)
+        .groupby("repo")
+        .map_groups(to_pdim, batch_format="pyarrow")
+        .materialize()
+    )
+
+
 def cdc_path_dim(sf_dir: str) -> rd.Dataset:
-    return replay_table(changes_from_events(sf_dir), emit="path_dim", num_partitions=_NP)
+    return _path_dim_cached(sf_dir)
 
 
 def cdc_change_fact(sf_dir: str) -> rd.Dataset:
-    return replay_table(changes_from_events(sf_dir), emit="fact", num_partitions=_NP)
+    return _fact_cached(sf_dir)
 
 
 def cdc_change_fact_mod(sf_dir: str) -> rd.Dataset:
     """The fan-out-aware fact table: base rows (modifier_cd='@') plus one
     extra row per matched modifier property (PROPS always, DEL on
     tombstones) — the reference's one-event->N-fact-rows semantics."""
-    return replay_table(
-        changes_from_events(sf_dir),
-        emit="fact",
-        num_partitions=_NP,
-        modifier_specs=MODIFIER_SPECS,
-    )
+    return _fact_mod_cached(sf_dir)
 
 
 def cdc_modifier_dim(sf_dir: str) -> pa.Table:
@@ -85,7 +139,7 @@ def cdc_modifier_dim(sf_dir: str) -> pa.Table:
     import polars as pl
     import ray
 
-    fact = cdc_change_fact_mod(sf_dir)
+    fact = _fact_mod_cached(sf_dir)
 
     def partial(t: pa.Table) -> pa.Table:
         return (
@@ -121,21 +175,16 @@ def cdc_modifier_dim(sf_dir: str) -> pa.Table:
 
 
 def cdc_repo_dim(sf_dir: str) -> pa.Table:
-    fact = replay_table(changes_from_events(sf_dir), emit="fact", num_partitions=_NP)
-    pdim = replay_table(
-        changes_from_events(sf_dir), emit="path_dim", num_partitions=_NP
-    )
     import ray
 
     pdim_t = pa.concat_tables(
-        [t for t in ray.get(pdim.materialize().to_arrow_refs()) if len(t)]
+        [t for t in ray.get(_path_dim_cached(sf_dir).to_arrow_refs()) if len(t)]
     )
-    return dims_mod.repo_dim(fact, pdim_t)
+    return dims_mod.repo_dim(_fact_cached(sf_dir), pdim_t)
 
 
 def cdc_lang_dim(sf_dir: str) -> pa.Table:
-    fact = replay_table(changes_from_events(sf_dir), emit="fact", num_partitions=_NP)
-    return dims_mod.lang_dim(fact)
+    return dims_mod.lang_dim(_fact_cached(sf_dir))
 
 
 def cdc_rejected(sf_dir: str) -> rd.Dataset:
