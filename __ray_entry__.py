@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "eav_inequality": sq.eav_inequality,  # M6 inequality arm
         }
     )
+    from aiw_i2b2_etl_ray.pipelines import graph as gr
     from aiw_i2b2_etl_ray.pipelines import ontology as on
     from aiw_i2b2_etl_ray.pipelines import windows as wn
 
@@ -73,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "concept_descendants": on.concept_descendants,  # LevelReader analog
             "lang_stats": on.lang_stats,  # A4 statistics + rollup
             "event_rank": wn.event_rank,  # O1/ST9 per-key ordering
+            "derivation_reach": gr.derivation_reach,  # J2 bounded graph walk
             "tumbling_counts": wn.tumbling_counts,  # windowed aggregate
             "session_windows": wn.session_windows,  # gap sessionization
         }
@@ -206,6 +208,7 @@ def oracle_sql() -> dict[str, str]:
             "eav_inequality": sq.SQL_EAV_INEQUALITY,
         }
     )
+    from aiw_i2b2_etl_ray.pipelines import graph as gr
     from aiw_i2b2_etl_ray.pipelines import ontology as on
     from aiw_i2b2_etl_ray.pipelines import windows as wn
 
@@ -215,6 +218,7 @@ def oracle_sql() -> dict[str, str]:
             "concept_descendants": on.SQL_CONCEPT_DESCENDANTS,
             "lang_stats": on.SQL_LANG_STATS,
             "event_rank": wn.SQL_EVENT_RANK,
+            "derivation_reach": gr.SQL_DERIVATION_REACH,
             "tumbling_counts": wn.SQL_TUMBLING_COUNTS,
             "session_windows": wn.SQL_SESSION_WINDOWS,
         }

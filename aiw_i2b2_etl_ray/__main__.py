@@ -37,6 +37,12 @@ def main(argv: list[str] | None = None) -> int:
     st = sub.add_parser("status", help="print the checkpoint manifest")
     st.add_argument("--out", required=True)
 
+    rt = sub.add_parser(
+        "retract", help="retract all rows one source system (lang) contributed"
+    )
+    rt.add_argument("--out", required=True)
+    rt.add_argument("--langs", required=True, help="comma-separated lang codes")
+
     args = p.parse_args(argv)
 
     import ray
@@ -67,6 +73,10 @@ def main(argv: list[str] | None = None) -> int:
         from .state.manifest import read_manifest
 
         print(json.dumps(read_manifest(args.out)))
+    elif args.cmd == "retract":
+        from .pipelines.retract import retract_source
+
+        print(json.dumps(retract_source(args.out, set(args.langs.split(",")))))
     ray.shutdown()
     return 0
 

@@ -80,6 +80,11 @@ class ReplaySpec:
     max_seq: int | None = None
     batch_size: int = 65536
     merge_concurrency: int | None = None  # None -> let Ray size the pool
+    #: bounded merge state (SURVEY §7.5 item 1): a partition whose shuffled
+    #: group exceeds this many rows is merged in key-hash slices with
+    #: streaming row-group writes, so the merge working set (sort + prior
+    #: join + outputs) stays O(cap) instead of O(partition).  None = off.
+    state_cap_rows: int | None = None
 
     def __post_init__(self):
         if self.merge_policy not in ("last_writer_wins", "first_writer_wins"):
@@ -123,6 +128,7 @@ def out_paths(spec: ReplaySpec) -> dict[str, str]:
             "modifier_dim",
             "change_fact",
             "rejected",
+            "archive",
             "_manifest",
             "_dimpart",  # per-partition dimension partials (internal)
         )

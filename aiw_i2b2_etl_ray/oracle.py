@@ -75,6 +75,9 @@ def replay(events: pa.Table) -> OracleResult:
                 "lang": r.get("lang"),
                 "content_sha256": _sha(content),
                 "content_len": None if content is None else len(content),
+                # base fact row default (fan-out tested via replay specs)
+                "modifier_cd": "@",
+                "tval_modifier": None,
             }
         )
         applied[key] = {

@@ -305,6 +305,7 @@ def replay(
         schema_version=spec.schema_version,
         merge_policy=spec.merge_policy,
         modifier_names=tuple(s.name for s in modifier_specs),
+        state_cap_rows=spec.state_cap_rows,
     )
     hot_rows_ds = merged_groups(norm, merger_kwargs, spec)
 

@@ -140,6 +140,17 @@ MODIFIER_DIM = pa.schema(
 
 REJECTED = CHANGES.append(pa.field("reason", pa.string()))
 
+#: ARCHIVE_OBSERVATION_FACT analog (i2b2_data_tables_1_7_h2.sql:139-163):
+#: the reference KEEPS replaced/overwritten rows; we archive the prior
+#: path_dim state row whenever an update run's winner displaces it.
+ARCHIVE = pa.schema(
+    list(PATH_DIM)
+    + [
+        ("replaced_by_seq", pa.int64()),  # the winning event's commit_seq
+        ("archived_run_id", pa.string()),
+    ]
+)
+
 MANIFEST = pa.schema(
     [
         ("partition_id", pa.int32()),

@@ -50,7 +50,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from .. import __version__ as _ENGINE_VERSION
-from ..schemas import CHANGE_FACT, PATH_DIM, REJECTED, ensure_columns
+from ..schemas import ARCHIVE, CHANGE_FACT, PATH_DIM, REJECTED, ensure_columns
 
 _MERGED_COLS = [
     "repo",
@@ -69,6 +69,51 @@ def _atomic_write(table: pa.Table, path: str) -> None:
     tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
     pq.write_table(table, tmp)
     os.replace(tmp, path)
+
+
+def _key_slice_ids(t: pa.Table, n_slices: int):
+    """Deterministic key-hash slice id per row (numpy array): the
+    bounded-state split — all rows of one (repo, path) land in one slice."""
+    import numpy as np
+
+    kh = (
+        pl.from_arrow(t.select(["repo", "path"]))
+        .select(
+            pl.concat_str(
+                [pl.col("repo").fill_null("\x00"), pl.col("path").fill_null("\x00")],
+                separator="\x1f",
+            )
+            .hash(seed=7)
+            .alias("kh")
+        )["kh"]
+        .to_numpy()
+    )
+    return (kh % np.uint64(n_slices)).astype(np.int64)
+
+
+class _StreamingWriter:
+    """Atomic multi-row-group Parquet writer: row groups stream to a tmp
+    file; close() renames into place (nothing if no rows were written)."""
+
+    def __init__(self, path: str, schema: pa.Schema):
+        self.path = path
+        self.schema = schema
+        self.tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        self._w = None
+        self.rows = 0
+
+    def write(self, t: pa.Table):
+        if not len(t):
+            return
+        if self._w is None:
+            self._w = pq.ParquetWriter(self.tmp, self.schema)
+        self._w.write_table(t)
+        self.rows += len(t)
+
+    def close(self):
+        if self._w is not None:
+            self._w.close()
+            os.replace(self.tmp, self.path)
 
 
 def _atomic_json(obj: dict, path: str) -> None:
@@ -164,6 +209,7 @@ class PartitionMerger:
         schema_version: int = 1,
         merge_policy: str = "last_writer_wins",
         modifier_names: tuple = (),
+        state_cap_rows: int | None = None,
     ):
         self.emit = emit
         self.out_dirs = out_dirs or {}
@@ -171,6 +217,7 @@ class PartitionMerger:
         self.mode = mode
         self.schema_version = schema_version
         self.modifier_names = tuple(modifier_names)
+        self.state_cap_rows = state_cap_rows
         if merge_policy not in ("last_writer_wins", "first_writer_wins"):
             raise ValueError(f"unknown merge_policy: {merge_policy}")
         self.merge_policy = merge_policy
@@ -182,7 +229,7 @@ class PartitionMerger:
             self.watermarks = {}
 
     # -- pure vectorized core -------------------------------------------------
-    def _reduce(self, g: pa.Table, pid: int):
+    def _reduce(self, g: pa.Table, pid: int, slice_spec: tuple | None = None):
         # watermark first: redelivered rows (applied OR rejected in a prior
         # run) are dropped before any other processing — exactly-once holds
         # for the rejected side table too.
@@ -214,10 +261,19 @@ class PartitionMerger:
         dups = n_in - len(df)
 
         prior = None
+        prior_raw = None
         if self.mode == "update" and self.emit == "checkpoint":
             part = os.path.join(self.out_dirs["path_dim"], f"part-{pid:05d}.parquet")
             if os.path.exists(part):
-                prior = _state_to_events(pq.read_table(part), self.modifier_names)
+                prior_raw = pq.read_table(part)
+                if slice_spec is not None:
+                    # bounded-state mode: keep only this key-hash slice of
+                    # the prior (re-read per slice trades IO for O(cap)
+                    # memory; keys never cross slices by construction)
+                    s_i, s_n = slice_spec
+                    mask = _key_slice_ids(prior_raw, s_n) == s_i
+                    prior_raw = prior_raw.filter(pa.array(mask))
+                prior = _state_to_events(prior_raw, self.modifier_names)
 
         merged = df if prior is None else pl.concat(
             [prior.select(df.columns), df], how="vertical"
@@ -233,26 +289,22 @@ class PartitionMerger:
             rej_max = pc.max(rejected["commit_seq"]).as_py()
             if rej_max is not None:
                 wm_new = max(wm_new, int(rej_max))
-        return df, last, rejected, dups, conflicts, wm_new
+        return df, last, rejected, dups, conflicts, wm_new, prior_raw
 
-    def __call__(self, g: pa.Table) -> pa.Table:
-        pid = g["pkey"][0].as_py()
-        facts_df, last, rejected, dups, conflicts, wm_new = self._reduce(g, pid)
-
-        if self.emit == "path_dim":
-            return _path_dim_from_last(last)
-        if self.emit == "fact":
-            return ensure_columns(
-                fan_out_facts(facts_df, self.modifier_names).to_arrow(), CHANGE_FACT
-            )
-
-        # --- checkpoint mode -------------------------------------------------
+    def _slice_result(self, sub: pa.Table, pid: int, slice_spec: tuple | None):
+        """One slice's full merge result (the whole partition when
+        slice_spec is None)."""
+        facts_df, last, rejected, dups, conflicts, wm_new, prior_raw = self._reduce(
+            sub, pid, slice_spec
+        )
         path_dim = _path_dim_from_last(last)
         hot_mask = None
-        if "is_hot" in g.column_names and pc.any(pc.coalesce(g["is_hot"], False)).as_py():
+        if "is_hot" in sub.column_names and pc.any(
+            pc.coalesce(sub["is_hot"], False)
+        ).as_py():
             # keys that arrived salted: their winners go to the driver reduce
             hot_keys = pl.from_arrow(
-                g.filter(pc.coalesce(g["is_hot"], False)).select(["repo", "path"])
+                sub.filter(pc.coalesce(sub["is_hot"], False)).select(["repo", "path"])
             ).unique()
             pd_df = pl.from_arrow(path_dim)
             hot_mask = (
@@ -272,19 +324,28 @@ class PartitionMerger:
         else:
             hot_rows = path_dim.slice(0, 0)
 
-        _atomic_write(
-            path_dim, os.path.join(self.out_dirs["path_dim"], f"part-{pid:05d}.parquet")
-        )
-        self._write_dim_partials(pid, facts_df, path_dim)
+        # ARCHIVE_OBSERVATION_FACT analog: a prior state row displaced by a
+        # newer winner is archived, not dropped (i2b2_data_tables_1_7_h2
+        # .sql:139-163).  Hot-key folds are exempt (their state lives in
+        # LSM hot runs, compacted separately).
+        arch = None
+        if prior_raw is not None and len(prior_raw) and "archive" in self.out_dirs:
+            pr = pl.from_arrow(ensure_columns(prior_raw, PATH_DIM))
+            cur = last.select(
+                pl.col("repo"), pl.col("path"), pl.col("commit_seq").alias("replaced_by_seq")
+            )
+            arch_df = (
+                pr.join(cur, on=["repo", "path"], how="inner")
+                .filter(pl.col("replaced_by_seq") != pl.col("last_commit_seq"))
+                .with_columns(pl.lit(self.run_id).alias("archived_run_id"))
+            )
+            if len(arch_df):
+                arch = ensure_columns(arch_df.to_arrow(), ARCHIVE)
+
         facts = ensure_columns(
             fan_out_facts(facts_df, self.modifier_names).to_arrow(), CHANGE_FACT
         )
-        fact_name = (
-            f"part-{pid:05d}.parquet"
-            if self.mode == "replace"
-            else f"part-{pid:05d}-{self.run_id}.parquet"
-        )
-        _atomic_write(facts, os.path.join(self.out_dirs["change_fact"], fact_name))
+        rej = None
         if len(rejected):
             rej = ensure_columns(
                 rejected.rename_columns(
@@ -292,20 +353,110 @@ class PartitionMerger:
                 ),
                 REJECTED,
             )
-            _atomic_write(
-                rej, os.path.join(self.out_dirs["rejected"], f"part-{pid:05d}-{self.run_id}.parquet")
+        partials = self._dim_partial_frames(facts_df, path_dim)
+        counters = dict(
+            applied=len(facts_df), dups=dups, conflicts=conflicts,
+            rejected=0 if rej is None else len(rej), wm=wm_new,
+        )
+        return path_dim, hot_rows, facts, rej, arch, partials, counters
+
+    def __call__(self, g: pa.Table) -> pa.Table:
+        pid = g["pkey"][0].as_py()
+
+        if self.emit == "path_dim":
+            _, last = self._reduce(g, pid)[0:2]
+            return _path_dim_from_last(last)
+        if self.emit == "fact":
+            facts_df = self._reduce(g, pid)[0]
+            return ensure_columns(
+                fan_out_facts(facts_df, self.modifier_names).to_arrow(), CHANGE_FACT
             )
 
+        # --- checkpoint mode -------------------------------------------------
+        # Bounded state (SURVEY §7.5 item 1): above state_cap_rows the
+        # partition merges in key-hash slices — per-slice sort/prior-join/
+        # outputs are O(cap), streamed to the part files as row groups.
+        cap = self.state_cap_rows
+        n_slices = 1
+        if cap and len(g) > cap:
+            n_slices = -(-len(g) // cap)
+        fact_name = (
+            f"part-{pid:05d}.parquet"
+            if self.mode == "replace"
+            else f"part-{pid:05d}-{self.run_id}.parquet"
+        )
+        w_path = _StreamingWriter(
+            os.path.join(self.out_dirs["path_dim"], f"part-{pid:05d}.parquet"), PATH_DIM
+        )
+        w_fact = _StreamingWriter(
+            os.path.join(self.out_dirs["change_fact"], fact_name), CHANGE_FACT
+        )
+        w_rej = _StreamingWriter(
+            os.path.join(self.out_dirs["rejected"], f"part-{pid:05d}-{self.run_id}.parquet"),
+            REJECTED,
+        )
+        w_arch = None
+        if "archive" in self.out_dirs:
+            w_arch = _StreamingWriter(
+                os.path.join(self.out_dirs["archive"], f"part-{pid:05d}-{self.run_id}.parquet"),
+                ARCHIVE,
+            )
+
+        slice_ids = _key_slice_ids(g, n_slices) if n_slices > 1 else None
+        hot_parts, partial_frames = [], []
+        totals = dict(applied=0, dups=0, conflicts=0, rejected=0, wm=-1)
+        for s_i in range(n_slices):
+            if slice_ids is None:
+                sub, spec = g, None
+            else:
+                sub, spec = g.filter(pa.array(slice_ids == s_i)), (s_i, n_slices)
+            path_dim, hot_rows, facts, rej, arch, partials, c = self._slice_result(
+                sub, pid, spec
+            )
+            w_path.write(path_dim)
+            w_fact.write(facts)
+            if rej is not None:
+                w_rej.write(rej)
+            if arch is not None and w_arch is not None:
+                w_arch.write(arch)
+            if len(hot_rows):
+                hot_parts.append(hot_rows)
+            partial_frames.extend(partials)
+            for k in ("applied", "dups", "conflicts", "rejected"):
+                totals[k] += c[k]
+            totals["wm"] = max(totals["wm"], c["wm"])
+
+        # path_dim / change_fact part files are always (re)written, even
+        # empty (the prior part file was consumed into the slices above);
+        # rejected / archive only when rows exist (matching prior behavior)
+        if w_path.rows == 0:
+            _atomic_write(PATH_DIM.empty_table(), w_path.path)
+        else:
+            w_path.close()
+        if w_fact.rows == 0:
+            _atomic_write(CHANGE_FACT.empty_table(), w_fact.path)
+        else:
+            w_fact.close()
+        w_rej.close()
+        if w_arch is not None:
+            w_arch.close()
+
+        self._commit_dim_partials(pid, partial_frames)
         # rows_applied counts APPLIED EVENTS (base rows), not fan-out rows
-        self._commit_manifest(pid, len(facts_df), dups, conflicts, len(rejected), wm_new)
+        self._commit_manifest(
+            pid, totals["applied"], totals["dups"], totals["conflicts"],
+            totals["rejected"], totals["wm"],
+        )
+        hot_rows = (
+            pa.concat_tables(hot_parts) if hot_parts else PATH_DIM.empty_table()
+        )
         return hot_rows
 
-    def _write_dim_partials(self, pid: int, facts_df: pl.DataFrame, path_dim: pa.Table):
-        """Per-partition dimension partials (the combiner side of repo_dim /
-        lang_dim): per-repo first/last applied seq (from this run's facts,
-        folded with the prior partial in update mode) + per-repo live-path
-        count and per-lang first-seen (state snapshots from the converged
-        partition).  The driver folds these tiny files — no second pass over
+    def _dim_partial_frames(self, facts_df: pl.DataFrame, path_dim: pa.Table) -> list:
+        """Per-partition dimension partial frames (the combiner side of
+        repo_dim / lang_dim / modifier_dim): per-repo first/last applied seq
+        + per-repo live-path count + per-lang first-seen + per-modifier
+        counts.  The driver folds these tiny tables — no second pass over
         the fact table.  Hot-key winners are NOT in ``path_dim`` here; the
         driver adds the hot fold's live counts separately."""
         parts = []
@@ -375,6 +526,9 @@ class PartitionMerger:
                 )
             )
             parts.append(live)
+        return parts
+
+    def _commit_dim_partials(self, pid: int, parts: list):
         dp_path = os.path.join(self.out_dirs["_dimpart"], f"part-{pid:05d}.parquet")
         if self.mode == "update" and os.path.exists(dp_path):
             # fold the prior partial: min/max fold for seq bounds; live is a
@@ -383,7 +537,7 @@ class PartitionMerger:
             prior = pl.from_arrow(pq.read_table(dp_path)).filter(
                 pl.col("kind") != "repo_live"
             )
-            parts.append(prior)
+            parts = parts + [prior]
         if not parts:
             return
         folded = (

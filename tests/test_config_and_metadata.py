@@ -13,7 +13,13 @@ from aiw_i2b2_etl_ray.sources.mappings import load_mapping_tsv, recode
 
 
 def test_spec_json_roundtrip():
-    spec = ReplaySpec(out_dir="/tmp/x", num_partitions=7, mode="update", merge_policy="first_writer_wins")
+    spec = ReplaySpec(
+        out_dir="/tmp/x",
+        num_partitions=7,
+        mode="update",
+        merge_policy="first_writer_wins",
+        salt_buckets=1,  # first_writer_wins requires salting disabled
+    )
     assert ReplaySpec.from_json(spec.to_json()) == spec
 
 

@@ -127,3 +127,80 @@ def test_cli_replay_and_status(tmp_path, tiny_changes):
     assert s.returncode == 0
     manifest = json.loads(s.stdout.strip().splitlines()[-1])
     assert len(manifest) == 4
+
+
+def test_state_cap_slicing_identical(tmp_path):
+    """Bounded merge state: replaying a partition LARGER than the injected
+    state cap (key-hash sliced, streamed row groups) produces identical
+    converged tables and lineage as the unbounded merge — including across
+    an update run with prior state."""
+    import glob
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aiw_i2b2_etl_ray.config import ReplaySpec
+    from aiw_i2b2_etl_ray.pipelines.cdc_replay import replay
+    from aiw_i2b2_etl_ray.state import manifest as mf
+
+    from .util import assert_table_eq
+
+    def mk(n, seq0):
+        return pa.table(
+            {
+                "repo": pa.array([f"r{i%7}" for i in range(n)]),
+                "path": pa.array([f"f{i%50}.c" for i in range(n)]),
+                "commit": pa.array([f"c{seq0+i}" for i in range(n)]),
+                "lang": pa.array(["c"] * n),
+                "content": pa.array([f"b{seq0+i}" for i in range(n)], pa.large_string()),
+                "commit_seq": pa.array(np.arange(seq0, seq0 + n, dtype=np.int64)),
+                "op": pa.array(["D" if i % 13 == 0 else "U" for i in range(n)]),
+            }
+        )
+
+    d1, d2 = str(tmp_path / "in1"), str(tmp_path / "in2")
+    os.makedirs(d1), os.makedirs(d2)
+    pq.write_table(mk(600, 0), os.path.join(d1, "p.parquet"))
+    pq.write_table(mk(400, 600), os.path.join(d2, "p.parquet"))
+
+    outs = {}
+    for tag, cap in (("nocap", None), ("cap", 100)):
+        spec = ReplaySpec(
+            out_dir=str(tmp_path / tag), num_partitions=2, salt_buckets=1,
+            hot_key_threshold=0, state_cap_rows=cap,
+        )
+        replay(d1, spec, run_id="s1")
+        spec_u = ReplaySpec(
+            out_dir=spec.out_dir, num_partitions=2, salt_buckets=1,
+            hot_key_threshold=0, mode="update", state_cap_rows=cap,
+        )
+        replay(d2, spec_u, run_id="s2")
+        rd = {}
+        for name in ("path_dim", "change_fact", "archive", "repo_dim"):
+            files = sorted(glob.glob(os.path.join(spec.out_dir, name, "*.parquet")))
+            rd[name] = pa.concat_tables([pq.read_table(f) for f in files]) if files else None
+        rd["wm"] = mf.watermarks(spec.out_dir)
+        mt = mf.manifest_table(spec.out_dir)
+        rd["lineage"] = {c: sum(mt[c].to_pylist()) for c in ("rows_applied", "dups_dropped", "conflicts_resolved")}
+        outs[tag] = rd
+
+    # slicing must have actually engaged: the capped run's fact part files
+    # carry multiple streamed row groups (one per key-hash slice)
+    cap_fact_files = sorted(
+        glob.glob(os.path.join(str(tmp_path / "cap"), "change_fact", "*.parquet"))
+    )
+    assert max(pq.ParquetFile(f).metadata.num_row_groups for f in cap_fact_files) > 1
+
+    a, b = outs["nocap"], outs["cap"]
+    assert a["wm"] == b["wm"]
+    assert a["lineage"] == b["lineage"], (a["lineage"], b["lineage"])
+    assert_table_eq(a["path_dim"].to_pandas(), b["path_dim"].to_pandas(), ["repo", "path"])
+    assert_table_eq(
+        a["change_fact"].to_pandas(), b["change_fact"].to_pandas(), ["repo", "path", "commit_seq"]
+    )
+    assert_table_eq(
+        a["archive"].to_pandas(), b["archive"].to_pandas(), ["repo", "path", "last_commit_seq"]
+    )
+    assert_table_eq(a["repo_dim"].to_pandas(), b["repo_dim"].to_pandas(), ["repo"])
