@@ -77,17 +77,36 @@ def minhash_signatures(
         texts = texts.combine_chunks()
     a, b = _perm_params(num_perm, seed)
     flat, offsets = _batch_shingle_hashes(texts, ngram)
-    sigs = np.full((len(texts), num_perm), _MAXH, dtype=np.uint64)
+    n = len(texts)
+    sigs = np.full((n, num_perm), _MAXH, dtype=np.uint64)
+    if not len(flat):
+        return sigs
+    # Vectorized across docs: hash ALL shingles x perms in memory-bounded
+    # chunks (aligned to doc boundaries) and segment-min per doc via
+    # np.minimum.reduceat — no per-doc Python loop.  uint64 wrap-around
+    # keeps this a valid (if not mathematically mod-p) universal-ish
+    # family; all that matters is determinism + uniformity.
+    CHUNK_SHINGLES = 200_000  # x num_perm x 8B ~ 100 MB working set
+    start = 0
     with np.errstate(over="ignore"):
-        for i in range(len(texts)):
-            sh = flat[offsets[i] : offsets[i + 1]]
-            if not len(sh):
-                continue
-            # (shingles, perms); uint64 wrap-around keeps this a valid
-            # (if not mathematically mod-p) universal-ish family — all that
-            # matters is determinism + uniformity.
-            hv = (sh[:, None] * a[None, :] + b[None, :]) % _MERSENNE
-            sigs[i] = hv.min(axis=0)
+        while start < n:
+            end = start
+            while end < n and offsets[end + 1] - offsets[start] <= CHUNK_SHINGLES:
+                end += 1
+            end = max(end, start + 1)  # a single huge doc still processes
+            lo, hi = offsets[start], offsets[end]
+            if hi > lo:
+                hv = (flat[lo:hi, None] * a[None, :] + b[None, :]) % _MERSENNE
+                lens = np.diff(offsets[start : end + 1])
+                nz = lens > 0
+                if nz.any():
+                    # empty docs occupy no rows, so consecutive nonempty
+                    # starts bound each doc's rows exactly
+                    segs = (offsets[start:end] - lo)[nz]
+                    sigs[np.arange(start, end)[nz]] = np.minimum.reduceat(
+                        hv, segs, axis=0
+                    )
+            start = end
     return sigs
 
 

@@ -60,6 +60,23 @@ JACCARD_TAU = 0.6
 
 _PAIR_COLS = {"doc_a": pa.int64(), "doc_b": pa.int64()}
 
+#: candidate-pair count below which texts are fetched via a broadcast
+#: semi-join (one filtered corpus pass) instead of bucketed hash joins
+PAIR_GATHER_LIMIT = 200_000
+
+
+def _spread(ds: rd.Dataset, min_rows_per_block: int = 64) -> rd.Dataset:
+    """Split a small single-row-group input into enough blocks to use the
+    whole CPU pool for the sketch stage.  Parquet row counts are metadata
+    (no execution); a big corpus already arrives in many blocks, so this
+    repartition only ever touches driver-test-scale inputs."""
+    import ray
+
+    n = ds.count()  # parquet metadata only
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    target = min(cpus * 2, max(1, n // min_rows_per_block))
+    return ds.repartition(target) if target > 1 and n < 1_000_000 else ds
+
 
 def _verify_pairs_fn(t: pa.Table) -> pa.Table:
     """Vectorized-per-batch exact verify: each distinct doc's shingle set is
@@ -118,7 +135,9 @@ def dedup_minhash_pairs(sf_dir: str) -> pd.DataFrame:
     """
     from ..stages.join import bucketed_join
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _spread(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    )
 
     def explode(t: pa.Table) -> pa.Table:
         sigs = sketch.minhash_signatures(t["text"], num_perm=MINHASH_PERMS)
@@ -148,22 +167,65 @@ def dedup_minhash_pairs(sf_dir: str) -> pd.DataFrame:
         docs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["band_id", "band_key"])
         .map_groups(bucket_pairs, batch_format="pyarrow")
-        # distributed pair dedup — never materialized on the driver
-        .groupby(["doc_a", "doc_b"])
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        .materialize()
     )
 
-    docs_a = docs.map_batches(
-        lambda t: pa.table({"doc_a": t["doc_id"], "text_a": t["text"]}),
-        batch_format="pyarrow",
-    )
-    docs_b = docs.map_batches(
-        lambda t: pa.table({"doc_b": t["doc_id"], "text_b": t["text"]}),
-        batch_format="pyarrow",
-    )
-    witha = bucketed_join(cands, docs_a, on=["doc_a"])
-    both = bucketed_join(witha, docs_b, on=["doc_b"])
-    out = both.map_batches(_verify_pairs_fn, batch_format="pyarrow").to_pandas()
+    # Adaptive verify-fetch physical plan (candidate count is known and
+    # bounded after LSH; the same pair can surface from several bands):
+    #  - small candidate set (the common case; bounded by the output-size
+    #    class): dedup the pairs driver-side, broadcast the needed doc-id
+    #    set, ONE filtered pass over the corpus picks candidate texts (no
+    #    shuffle), verify vectorized;
+    #  - large candidate set: distributed pair dedup, then two bucketed
+    #    hash joins fetch texts co-partitioned, verify distributed — the
+    #    >driver-memory path.
+    n_pairs = cands.count()
+    if n_pairs == 0:
+        return pd.DataFrame(
+            {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"),
+             "jaccard": pd.Series(dtype="float64")}
+        )
+    if n_pairs <= PAIR_GATHER_LIMIT:
+        import ray
+
+        pairs = cands.to_pandas().drop_duplicates(["doc_a", "doc_b"])
+        need = np.unique(
+            np.concatenate([pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy()])
+        )
+        need_ref = ray.put(need)
+
+        class PickTexts:
+            def __init__(self):
+                self.need = ray.get(need_ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                mask = np.isin(t["doc_id"].to_numpy(), self.need)
+                return t.filter(pa.array(mask))
+
+        texts = docs.map_batches(
+            PickTexts, batch_format="pyarrow", concurrency=(1, 8)
+        ).to_pandas()
+        merged = pairs.merge(
+            texts.rename(columns={"doc_id": "doc_a", "text": "text_a"}), on="doc_a"
+        ).merge(
+            texts.rename(columns={"doc_id": "doc_b", "text": "text_b"}), on="doc_b"
+        )
+        out = _verify_pairs_fn(pa.Table.from_pandas(merged, preserve_index=False)).to_pandas()
+    else:
+        cands = cands.groupby(["doc_a", "doc_b"]).map_groups(
+            lambda g: g.slice(0, 1), batch_format="pyarrow"
+        )
+        docs_a = docs.map_batches(
+            lambda t: pa.table({"doc_a": t["doc_id"], "text_a": t["text"]}),
+            batch_format="pyarrow",
+        )
+        docs_b = docs.map_batches(
+            lambda t: pa.table({"doc_b": t["doc_id"], "text_b": t["text"]}),
+            batch_format="pyarrow",
+        )
+        witha = bucketed_join(cands, docs_a, on=["doc_a"])
+        both = bucketed_join(witha, docs_b, on=["doc_b"])
+        out = both.map_batches(_verify_pairs_fn, batch_format="pyarrow").to_pandas()
     if len(out) == 0:
         return pd.DataFrame(
             {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"),
