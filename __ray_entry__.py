@@ -82,11 +82,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from aiw_i2b2_etl_ray.sources import declarative as dl
     from aiw_i2b2_etl_ray.sources import mappings as mp
 
+    from aiw_i2b2_etl_ray.pipelines import extraction as ex
+
     cat.update(
         {
-            "declarative_read": dl.declarative_read,  # S1/S2 reader
+            "declarative_read": dl.declarative_read,  # S1 reader
+            "declarative_read_phenotype": dl.declarative_read_phenotype,  # S2 variant
             "recode_events": mp.recode_events,  # S5 mapping recode
             "ontology_with_totals": on.ontology_with_totals,  # A6+J5
+            "value_precedence": ex.value_precedence,  # M3+M4 precedence chain
+            "date_resolution": ex.date_resolution,  # M5 encounter fallback
+            "visit_default": ex.visit_default,  # M13
         }
     )
     try:  # training-data ops (dedup / similarity / text) — added as built
@@ -226,11 +232,17 @@ def oracle_sql() -> dict[str, str]:
     from aiw_i2b2_etl_ray.sources import declarative as dl
     from aiw_i2b2_etl_ray.sources import mappings as mp
 
+    from aiw_i2b2_etl_ray.pipelines import extraction as ex
+
     sql.update(
         {
             "declarative_read": dl.SQL_DECLARATIVE_READ,
+            "declarative_read_phenotype": dl.SQL_DECLARATIVE_READ_PHENOTYPE,
             "recode_events": mp.SQL_RECODE_EVENTS,
             "ontology_with_totals": on.SQL_ONTOLOGY_WITH_TOTALS,
+            "value_precedence": ex.SQL_VALUE_PRECEDENCE,
+            "date_resolution": ex.SQL_DATE_RESOLUTION,
+            "visit_default": ex.SQL_VISIT_DEFAULT,
         }
     )
     try:

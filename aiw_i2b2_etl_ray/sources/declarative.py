@@ -108,6 +108,58 @@ def declarative_read(sf_dir: str) -> rd.Dataset:
     return read_entity(sf_dir, ENCOUNTERS_SPEC, key_set=list(range(1, 501)))
 
 
+# --- phenotype-variant spec set (S2, I2B2DataSourceBackendForPhenotype) ----
+# Same machinery, different spec family: a "labs/vitals"-style event entity
+# with a pushed-down row predicate and a two-hop dimension join chain.
+
+def _phenotype_spec():
+    import pyarrow.dataset as pads
+
+    return EntitySpec(
+        table="lineitem",
+        columns=(
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+            "l_quantity",
+            "l_extendedprice",
+        ),
+        renames={
+            "l_orderkey": "encounter_id",
+            "l_linenumber": "instance_num",
+            "l_quantity": "nval_num",
+            "l_extendedprice": "observation_amount",
+        },
+        # predicate pushdown: only "abnormal" observations leave storage
+        filter_expr=(pads.field("l_quantity") >= 45),
+        joins=(
+            JoinSpec(
+                table="part",
+                left_on="l_partkey",
+                right_on="p_partkey",
+                columns=("p_type",),
+            ),
+        ),
+    )
+
+
+def declarative_read_phenotype(sf_dir: str) -> rd.Dataset:
+    """S2 variant: predicate-pushed read + dimension join, no key set."""
+    return read_entity(sf_dir, _phenotype_spec())
+
+
+SQL_DECLARATIVE_READ_PHENOTYPE = """
+SELECT l.l_orderkey   AS encounter_id,
+       l.l_linenumber AS instance_num,
+       l.l_partkey,
+       l.l_quantity      AS nval_num,
+       l.l_extendedprice AS observation_amount,
+       p.p_type
+FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_quantity >= 45
+"""
+
+
 SQL_DECLARATIVE_READ = """
 SELECT o.o_orderkey  AS encounter_id,
        o.o_custkey   AS patient_id,
