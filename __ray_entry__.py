@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         {
             "ontology_table": on.ontology_table,  # K2/O2 metadata emission (3-level)
             "concept_descendants": on.concept_descendants,  # LevelReader analog
+            "table_access": on.table_access,  # TableAccessReader discovery
             "lang_stats": on.lang_stats,  # A4 statistics + rollup
             "event_rank": wn.event_rank,  # O1/ST9 per-key ordering
             "derivation_reach": gr.derivation_reach,  # J2 bounded graph walk
@@ -222,6 +223,7 @@ def oracle_sql() -> dict[str, str]:
         {
             "ontology_table": on.SQL_ONTOLOGY_TABLE,
             "concept_descendants": on.SQL_CONCEPT_DESCENDANTS,
+            "table_access": on.SQL_TABLE_ACCESS,
             "lang_stats": on.SQL_LANG_STATS,
             "event_rank": wn.SQL_EVENT_RANK,
             "derivation_reach": gr.SQL_DERIVATION_REACH,

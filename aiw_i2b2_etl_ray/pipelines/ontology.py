@@ -115,6 +115,59 @@ SELECT c_hlevel, c_fullname, c_name, c_basecode, c_visualattributes,
 FROM onto
 """
 
+def table_access(sf_dir: str) -> pa.Table:
+    """Metadata-table discovery (ksb/TableAccessReader.java:97-150 with
+    existence probing :122-124): discover the source tables present in the
+    warehouse directory (glob), probe each (parquet footer — no data read),
+    and emit the TABLE_ACCESS-style catalog row per table."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    rows = []
+    for f in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        name = os.path.basename(f)[: -len(".parquet")]
+        md = pq.ParquetFile(f).metadata  # existence + shape probe only
+        rows.append(
+            (
+                name.upper()[:4] + f"_{len(rows)}",  # c_table_cd-style code
+                name,
+                f"\\Tables\\{name}\\",
+                md.num_rows,
+                md.num_columns,
+            )
+        )
+    return pa.table(
+        {
+            "c_table_cd": pa.array([r[0] for r in rows], pa.string()),
+            "c_table_name": pa.array([r[1] for r in rows], pa.string()),
+            "c_fullname": pa.array([r[2] for r in rows], pa.string()),
+            "n_rows": pa.array([r[3] for r in rows], pa.int64()),
+            "n_columns": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+
+
+def _table_access_sql() -> str:
+    tables = (
+        "customer documents embeddings events lineitem nation orders part "
+        "region supplier"
+    ).split()  # the driver-registered views, in glob (sorted) order
+    arms = []
+    for i, t in enumerate(tables):
+        arms.append(
+            f"SELECT '{t.upper()[:4]}_{i}' AS c_table_cd, '{t}' AS c_table_name, "
+            f"'\\Tables\\{t}\\' AS c_fullname, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            f"(SELECT CAST(COUNT(*) AS BIGINT) FROM information_schema.columns "
+            f"WHERE table_name = '{t}') AS n_columns FROM {t}"
+        )
+    return "\nUNION ALL\n".join(arms)
+
+
+SQL_TABLE_ACCESS = _table_access_sql()
+
+
 DESCENDANT_ROOT = "\\Lang\\en\\"
 
 
