@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "event_rank": wn.event_rank,  # O1/ST9 per-key ordering
             "derivation_reach": gr.derivation_reach,  # J2 bounded graph walk
             "tumbling_counts": wn.tumbling_counts,  # windowed aggregate
+            "hopping_counts": wn.hopping_counts,  # overlapping-window aggregate
             "session_windows": wn.session_windows,  # gap sessionization
         }
     )
@@ -111,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "dedup_embedding": dd.dedup_embedding,
                 "ann_topk": sim.ann_topk,
                 "ann_lsh": sim.ann_lsh_topk,
+                "ann_ivf": sim.ann_ivf_topk,
                 "text_tokens": tx.text_tokens,
                 "text_quality": tx.text_quality,
                 "text_langid": tx.text_langid,
@@ -228,6 +230,7 @@ def oracle_sql() -> dict[str, str]:
             "event_rank": wn.SQL_EVENT_RANK,
             "derivation_reach": gr.SQL_DERIVATION_REACH,
             "tumbling_counts": wn.SQL_TUMBLING_COUNTS,
+            "hopping_counts": wn.SQL_HOPPING_COUNTS,
             "session_windows": wn.SQL_SESSION_WINDOWS,
         }
     )

@@ -243,3 +243,134 @@ def ann_lsh_topk(sf_dir: str, with_stats: bool = False):
         total = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"]).count()
         return out, {"rows_scanned": scanned, "rows_total": total}
     return out
+
+
+# --- IVF (inverted-file) approximate variant --------------------------------
+
+IVF_LISTS = 16  # coarse centroids
+IVF_NPROBE = 4  # centroids probed per query
+
+
+def _train_centroids(sf_dir: str, sample_rows: int = 2048) -> np.ndarray:
+    """Deterministic coarse-quantizer training: Lloyd iterations on a
+    bounded head sample, driver-side (the classic IVF recipe — train on a
+    sample, assign the full corpus distributed).  Init = the first
+    IVF_LISTS eligible vectors; 5 iterations; empty cells keep their
+    previous centroid.  Everything is seedless-deterministic."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).slice(0, sample_rows)
+    m = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True) + 1e-300
+    cents = m[:IVF_LISTS].copy()
+    for _ in range(5):
+        assign = (m @ cents.T).argmax(axis=1)
+        for c in range(IVF_LISTS):
+            members = m[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                cents[c] = v / (np.linalg.norm(v) + 1e-300)
+    return cents
+
+
+def ann_ivf_topk(sf_dir: str, with_stats: bool = False):
+    """IVF approximate top-k, list-PARTITIONED (the scale path the prompt
+    names alongside LSH): a sample-trained coarse quantizer assigns every
+    vector to its nearest centroid list; each query probes only its
+    IVF_NPROBE nearest lists.  Identical physical plan to ann_lsh_topk —
+    stateless assign stage drops non-probed rows BEFORE the shuffle, list
+    id is the shuffle key, per-list scan against exactly the probing
+    queries, tiny driver fold."""
+    qids, qmat = _load_queries(sf_dir)
+    cents = _train_centroids(sf_dir)
+    qsim = qmat @ cents.T  # (nq, lists)
+    probe: dict[int, list[int]] = {}
+    for qi in range(len(qids)):
+        for c in np.argsort(-qsim[qi])[:IVF_NPROBE]:
+            probe.setdefault(int(c), []).append(qi)
+    probe_ref = ray.put((qids, qmat, cents, probe))
+
+    class Assign:
+        def __init__(self):
+            _, self.qmat, self.cents, self.probe = ray.get(probe_ref)
+            self.probed = np.zeros(IVF_LISTS, dtype=bool)
+            self.probed[list(self.probe)] = True
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t["vec_id"].to_numpy()
+            m = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+            norm = m / (np.linalg.norm(m, axis=1, keepdims=True) + 1e-300)
+            lists = (norm @ self.cents.T).argmax(axis=1)
+            keep = self.probed[lists] & (ids >= N_QUERIES)
+            return pa.table(
+                {
+                    "list_id": pa.array(lists[keep].astype(np.int32)),
+                    "vec_id": pa.array(ids[keep]),
+                    "embedding": pa.array(list(norm[keep])),
+                }
+            )
+
+    class ListSearch:
+        def __init__(self):
+            self.qids, self.qmat, _, self.probe = ray.get(probe_ref)
+
+        def __call__(self, g: pa.Table) -> pa.Table:
+            lid = int(g["list_id"][0].as_py())
+            qidx = self.probe.get(lid, [])
+            if not qidx:
+                return pa.table(
+                    {
+                        "query_id": pa.array([], pa.int64()),
+                        "vec_id": pa.array([], pa.int64()),
+                        "cosine": pa.array([], pa.float64()),
+                    }
+                )
+            ids = g["vec_id"].to_numpy()
+            norm = np.stack(g["embedding"].to_pandas().to_numpy())
+            cos = norm @ self.qmat[qidx].T
+            k = min(TOP_K, len(ids))
+            part = np.argpartition(-cos, k - 1, axis=0)[:k]
+            out_q, out_v, out_c = [], [], []
+            for ci, qi in enumerate(qidx):
+                sel = part[:, ci]
+                out_q.extend([self.qids[qi]] * len(sel))
+                out_v.extend(ids[sel])
+                out_c.extend(cos[sel, ci])
+            return pa.table(
+                {
+                    "query_id": pa.array(np.asarray(out_q, np.int64)),
+                    "vec_id": pa.array(np.asarray(out_v, np.int64)),
+                    "cosine": pa.array(np.asarray(out_c, np.float64)),
+                }
+            )
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    assigned = ds.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 8))
+    if with_stats:
+        assigned = assigned.materialize()
+        scanned = assigned.count()
+    partials = (
+        assigned.groupby("list_id")
+        .map_groups(ListSearch, batch_format="pyarrow", concurrency=(1, 8))
+        .to_pandas()
+    )
+    if len(partials) == 0:
+        out = pd.DataFrame(columns=["query_id", "rank", "vec_id", "cosine"])
+    else:
+        out = (
+            partials.sort_values(
+                ["query_id", "cosine", "vec_id"], ascending=[True, False, True]
+            )
+            .groupby("query_id", sort=True)
+            .head(TOP_K)
+            .reset_index(drop=True)
+        )
+        out["rank"] = out.groupby("query_id").cumcount() + 1
+        out["cosine"] = round_half_away(out["cosine"], 4)
+        out = out[["query_id", "rank", "vec_id", "cosine"]]
+    if with_stats:
+        total = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"]).count()
+        return out, {"rows_scanned": scanned, "rows_total": total}
+    return out

@@ -122,3 +122,56 @@ SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
        CAST(COUNT(*) AS BIGINT) AS n_events
 FROM tagged GROUP BY user_id, sid
 """
+
+
+HOP_US = WINDOW_US // 2  # hopping window: size WINDOW_US, hop = size/2
+
+
+def hopping_counts(sf_dir: str) -> rd.Dataset:
+    """Hopping (sliding) window counts per user: size = 1h, hop = 30min —
+    each event contributes to exactly size/hop (=2) overlapping windows.
+    Window assignment is a stateless fan-out map (2 rows per event, ids
+    only), then the same partial-preaggregated grouped count as the
+    tumbling variant — raw rows never shuffle, only (user, window, partial
+    count) triples."""
+    import polars as pl
+
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    arms = WINDOW_US // HOP_US
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).with_columns(
+            (pl.col("ts").cast(pl.Int64) // HOP_US).alias("h")
+        )
+        parts = [
+            df.with_columns((pl.col("h") - i).alias("window_hop"))
+            for i in range(arms)
+        ]
+        return (
+            pl.concat(parts)
+            .group_by(["user_id", "window_hop"])
+            .agg(pl.len().cast(pl.Int64).alias("pn"))
+            .to_arrow()
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "window_hop"])
+        .aggregate(Sum("pn", alias_name="n_events"))
+    )
+
+
+SQL_HOPPING_COUNTS = f"""
+WITH h AS (
+  SELECT user_id, CAST(epoch_us(ts) // {HOP_US} AS BIGINT) AS h FROM events
+),
+fanned AS (
+  SELECT user_id, h - 0 AS window_hop FROM h
+  UNION ALL
+  SELECT user_id, h - 1 FROM h
+)
+SELECT user_id, window_hop, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM fanned GROUP BY user_id, window_hop
+"""

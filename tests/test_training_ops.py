@@ -116,3 +116,15 @@ def test_frame_sampling():
     # fan-out: at least one doc yields multiple frames
     assert df.groupby("doc_id").size().max() > 1
     assert df["frame_bytes"].max() <= 64
+
+
+def test_ann_ivf_recall_vs_bruteforce():
+    from aiw_i2b2_etl_ray.pipelines.similarity import ann_ivf_topk, ann_topk
+
+    exact = ann_topk(SF_DIR)
+    approx, stats = ann_ivf_topk(SF_DIR, with_stats=True)
+    e = set(map(tuple, exact[["query_id", "vec_id"]].itertuples(index=False)))
+    a = set(map(tuple, approx[["query_id", "vec_id"]].itertuples(index=False)))
+    recall = len(e & a) / max(1, len(e))
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    assert stats["rows_scanned"] < stats["rows_total"], stats
