@@ -81,6 +81,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "session_windows": wn.session_windows,  # gap sessionization
         }
     )
+    from aiw_i2b2_etl_ray.pipelines import temporal_joins as tj
+    from aiw_i2b2_etl_ray.pipelines import window_funcs as wf
+
+    cat.update(
+        {
+            "asof_join": tj.asof_join_events_orders,  # as-of (latest-prior) join
+            "range_join": tj.range_join_orders_shipments,  # interval join, no equi-key
+            "cumulative_value": wf.cumulative_value,  # running-sum window frame
+            "sliding_avg": wf.sliding_avg,  # bounded sliding frame
+            "topk_per_group": wf.topk_orders_per_customer,  # ROW_NUMBER<=k analog
+            "rollup_pricing": wf.rollup_pricing,  # GROUP BY ROLLUP grouping sets
+            "users_per_type": wf.users_per_type,  # grouped COUNT(DISTINCT)
+            "value_quantiles": wf.value_quantiles,  # exact quantile_cont analog
+        }
+    )
     from aiw_i2b2_etl_ray.sources import declarative as dl
     from aiw_i2b2_etl_ray.sources import mappings as mp
 
@@ -232,6 +247,21 @@ def oracle_sql() -> dict[str, str]:
             "tumbling_counts": wn.SQL_TUMBLING_COUNTS,
             "hopping_counts": wn.SQL_HOPPING_COUNTS,
             "session_windows": wn.SQL_SESSION_WINDOWS,
+        }
+    )
+    from aiw_i2b2_etl_ray.pipelines import temporal_joins as tj
+    from aiw_i2b2_etl_ray.pipelines import window_funcs as wf
+
+    sql.update(
+        {
+            "asof_join": tj.SQL_ASOF_JOIN,
+            "range_join": tj.SQL_RANGE_JOIN,
+            "cumulative_value": wf.SQL_CUMULATIVE_VALUE,
+            "sliding_avg": wf.SQL_SLIDING_AVG,
+            "topk_per_group": wf.SQL_TOPK_PER_CUSTOMER,
+            "rollup_pricing": wf.SQL_ROLLUP_PRICING,
+            "users_per_type": wf.SQL_USERS_PER_TYPE,
+            "value_quantiles": wf.SQL_VALUE_QUANTILES,
         }
     )
     from aiw_i2b2_etl_ray.sources import declarative as dl

@@ -1,0 +1,265 @@
+"""SQL-window-function analogs: running/cumulative aggregates, sliding
+frames, per-group top-k, ROLLUP grouping sets, and grouped COUNT(DISTINCT).
+
+All follow the engine's two physical contracts:
+
+* per-key ordered logic = one keyed shuffle (``groupby(key).map_groups``)
+  with vectorized in-group kernels — the same partitioned-sort contract the
+  CDC merge and sessionization use (stages/merge.py, pipelines/windows.py);
+* unordered aggregates = per-batch partial combine in ``map_batches`` before
+  the (tiny) keyed groupby, so raw rows never shuffle.
+
+Reference analog: the reference leans on source-SQL window functions and
+ordered comparators (dsb/I2B2DataSourceBackend.java:256-290,
+dest/table/PropositionFactHandler.java:53-96); here each is a first-class
+distributed operator.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import polars as pl
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from ..functions.numeric import round_half_away, round_half_away_pc
+from ..util import worker_runtime_env
+
+
+def cumulative_value(sf_dir: str) -> rd.Dataset:
+    """Per-user running sum of ``value`` in (ts, event_id) order — the
+    cumulative-aggregate window frame (SUM ... ROWS UNBOUNDED PRECEDING).
+    One keyed shuffle; the in-group kernel is a numpy cumsum."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def cum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        run = np.cumsum(np.nan_to_num(g["value"].to_numpy(), nan=0.0))
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "running_value": round_half_away(run, 4),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(cum, batch_format="pandas")
+
+
+SQL_CUMULATIVE_VALUE = """
+SELECT event_id, user_id,
+       ROUND(SUM(COALESCE(value, 0)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS UNBOUNDED PRECEDING), 4) AS running_value
+FROM events
+"""
+
+
+def sliding_avg(sf_dir: str) -> rd.Dataset:
+    """Per-user 3-row moving average of ``value`` (ROWS 2 PRECEDING) —
+    the bounded sliding frame.  pandas rolling() inside the keyed group."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def slide(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        avg = g["value"].rolling(3, min_periods=1).mean().to_numpy()
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "avg3": round_half_away(avg, 4),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(slide, batch_format="pandas")
+
+
+SQL_SLIDING_AVG = """
+SELECT event_id, user_id,
+       ROUND(AVG(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS avg3
+FROM events
+"""
+
+
+def topk_orders_per_customer(sf_dir: str) -> rd.Dataset:
+    """Top-3 orders by price per customer (ROW_NUMBER <= 3 analog).
+
+    Scale shape: each batch first prunes to its local per-customer top-3
+    (a combiner), so at most 3 rows per (batch, customer) shuffle; the
+    keyed group then takes the global top-3.  Never ships a customer's
+    full order history through the exchange."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).sort(
+            ["o_custkey", "o_totalprice", "o_orderkey"], descending=[False, True, False]
+        )
+        return df.group_by("o_custkey", maintain_order=True).head(3).to_arrow()
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="mergesort"
+        ).head(3)
+        g = g.reset_index(drop=True)
+        g["rk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["o_custkey", "o_orderkey", "o_totalprice", "rk"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", **worker_runtime_env())
+        .groupby("o_custkey")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+SQL_TOPK_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+) WHERE rk <= 3
+"""
+
+
+def rollup_pricing(sf_dir: str) -> rd.Dataset:
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus): the three grouping
+    levels emitted from ONE pass.  The finest level is computed with the
+    usual partial-combine + small groupby; the coarser levels are folded
+    from that tiny result (a few rows) in a final single-block map — the
+    raw table is read exactly once and never re-shuffled."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_linestatus", "l_quantity"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .group_by(["l_returnflag", "l_linestatus"])
+            .agg(
+                pl.len().cast(pl.Int64).alias("pn"),
+                pl.col("l_quantity").sum().alias("pq"),
+            )
+            .to_arrow()
+        )
+
+    finest = (
+        ds.map_batches(partial, batch_format="pyarrow", **worker_runtime_env())
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("pn", alias_name="n_items"), Sum("pq", alias_name="sum_qty"))
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        lvl1 = df.group_by("l_returnflag").agg(
+            pl.col("n_items").sum(), pl.col("sum_qty").sum()
+        ).with_columns(pl.lit(None, dtype=pl.Utf8).alias("l_linestatus"))
+        lvl0 = df.select(
+            pl.col("n_items").sum(), pl.col("sum_qty").sum()
+        ).with_columns(
+            pl.lit(None, dtype=pl.Utf8).alias("l_returnflag"),
+            pl.lit(None, dtype=pl.Utf8).alias("l_linestatus"),
+        )
+        cols = ["l_returnflag", "l_linestatus", "n_items", "sum_qty"]
+        out = pl.concat([df.select(cols), lvl1.select(cols), lvl0.select(cols)])
+        out = out.with_columns(pl.col("n_items").cast(pl.Int64))
+        t = out.to_arrow()
+        return t.set_column(
+            t.column_names.index("sum_qty"), "sum_qty", round_half_away_pc(t["sum_qty"], 2)
+        )
+
+    # the finest level is a handful of rows — fold all grouping sets in one block
+    return finest.repartition(1).map_batches(fold, batch_format="pyarrow")
+
+
+SQL_ROLLUP_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+def users_per_type(sf_dir: str) -> rd.Dataset:
+    """COUNT(DISTINCT user_id) per event_type — the distributed
+    distinct-then-count plan: per-batch pair dedup (combiner), one keyed
+    shuffle to global-dedup the (type, user) pairs, then a per-batch
+    partial count folded by a second tiny groupby.  Raw events never
+    shuffle; at most |types|*|users| pairs do."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+
+    def pair_dedup(t: pa.Table) -> pa.Table:
+        return pl.from_arrow(t).unique(subset=["event_type", "user_id"]).to_arrow()
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .group_by("event_type")
+            .agg(pl.len().cast(pl.Int64).alias("pn"))
+            .to_arrow()
+        )
+
+    from ray.data.aggregate import Count
+
+    pairs = (
+        ds.map_batches(pair_dedup, batch_format="pyarrow", **worker_runtime_env())
+        .groupby(["event_type", "user_id"])
+        .aggregate(Count())  # vectorized global pair-dedup; count discarded
+        .select_columns(["event_type", "user_id"])
+    )
+    return (
+        pairs.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("pn", alias_name="n_users"))
+    )
+
+
+SQL_USERS_PER_TYPE = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+QUANTS = (0.25, 0.5, 0.75)
+
+
+def value_quantiles(sf_dir: str) -> rd.Dataset:
+    """Exact continuous quantiles (p25/p50/p75) of ``value`` per
+    event_type — linear interpolation, matching SQL ``quantile_cont``.
+    One keyed shuffle; numpy quantile inside the group.  (Exactness
+    requires the group's values on one worker — the engine's documented
+    per-partition-fits-a-worker contract; the approximate path for
+    unbounded groups is the HLL/sketch family in pipelines/sketches.py.)"""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def quants(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["value"].dropna().to_numpy()
+        qs = np.quantile(v, QUANTS) if len(v) else np.full(len(QUANTS), np.nan)
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "p25": [round_half_away(qs[0], 4)],
+                "p50": [round_half_away(qs[1], 4)],
+                "p75": [round_half_away(qs[2], 4)],
+            }
+        )
+
+    return ds.groupby("event_type").map_groups(quants, batch_format="pandas")
+
+
+SQL_VALUE_QUANTILES = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.25), 4) AS p25,
+       ROUND(quantile_cont(value, 0.50), 4) AS p50,
+       ROUND(quantile_cont(value, 0.75), 4) AS p75
+FROM events GROUP BY event_type
+"""
