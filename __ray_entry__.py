@@ -96,6 +96,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "value_quantiles": wf.value_quantiles,  # exact quantile_cont analog
         }
     )
+    from aiw_i2b2_etl_ray.pipelines import sketches as sk
+
+    cat.update(
+        {
+            # mergeable sketches: the unbounded-cardinality scale path
+            "approx_distinct_users": sk.approx_distinct_users,  # HLL (hash-defined)
+            "approx_median_hist": sk.approx_median_hist,  # histogram quantile
+        }
+    )
     from aiw_i2b2_etl_ray.sources import declarative as dl
     from aiw_i2b2_etl_ray.sources import mappings as mp
 
@@ -264,6 +273,11 @@ def oracle_sql() -> dict[str, str]:
             "value_quantiles": wf.SQL_VALUE_QUANTILES,
         }
     )
+    from aiw_i2b2_etl_ray.pipelines import sketches as sk
+
+    # approx_distinct_users: HLL is xxhash-defined -> rows-only check; the
+    # error-bound contract is pinned in tests/test_sketches.py
+    sql.update({"approx_median_hist": sk.SQL_APPROX_MEDIAN_HIST})
     from aiw_i2b2_etl_ray.sources import declarative as dl
     from aiw_i2b2_etl_ray.sources import mappings as mp
 
