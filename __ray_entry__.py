@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "text_bpe_tokens": tx.text_bpe_tokens,
                 "multimodal_features": mm.multimodal_features,
                 "multimodal_frames": mm.frame_sample,
+                "multimodal_resize": mm.multimodal_resize,
             }
         )
     except ImportError:
@@ -322,6 +323,7 @@ def oracle_sql() -> dict[str, str]:
                 # full plumbing is oracle-checkable
                 "multimodal_features": mm.SQL_MULTIMODAL_FEATURES,
                 "multimodal_frames": mm.SQL_MULTIMODAL_FRAMES,
+                "multimodal_resize": mm.SQL_MULTIMODAL_RESIZE,
             }
         )
         # dedup_simhash / ann_lsh / text_rolling_fp / text_bpe_tokens:

@@ -224,3 +224,66 @@ SELECT doc_id, frame_idx,
        CAST(octet_length(frame) AS BIGINT)     AS frame_bytes
 FROM w
 """
+
+
+# --- resize ------------------------------------------------------------------
+
+RESIZE_TARGET = 224
+
+
+def multimodal_resize(sf_dir: str, target: int = RESIZE_TARGET) -> rd.Dataset:
+    """Aspect-ratio-preserving resize plan: decode (actor pool) -> compute
+    output geometry scaled so max(out_w, out_h) == target.  The pixel
+    resampling itself is part of the decode STUB (no codecs here); the
+    geometry math is exact integer arithmetic, so — like the other
+    multimodal stages — the full chained plumbing (binary synthesis ->
+    actor-pool decode -> vectorized resize) is oracle-checkable.
+
+    Reference-free op: this is a training-data pipeline stage (image
+    preprocessing), not a reference analog."""
+    feats = _synthesize_binary(sf_dir).map_batches(
+        MultimodalFeatures,
+        batch_format="pyarrow",
+        batch_size=BINARY_BATCH_SIZE,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+
+    def geometry(t: pa.Table) -> pa.Table:
+        w = t["width"].to_numpy().astype(np.int64)
+        h = t["height"].to_numpy().astype(np.int64)
+        m = np.maximum(w, h)
+        out_w = (w * target) // m
+        out_h = (h * target) // m
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "width": t["width"],
+                "height": t["height"],
+                "out_w": pa.array(out_w.astype(np.int32)),
+                "out_h": pa.array(out_h.astype(np.int32)),
+                "n_pixels_out": pa.array(out_w * out_h),
+            }
+        )
+
+    # geometry is stateless integer math -> plain vectorized tasks, no actors
+    return feats.map_batches(geometry, batch_format="pyarrow")
+
+
+SQL_MULTIMODAL_RESIZE = f"""
+WITH h AS (SELECT doc_id, sha256(text) AS hx FROM documents),
+b AS (
+  SELECT doc_id,
+         CAST(64 + ({_HEXB.format(a=1, b=2)}) % 192 AS BIGINT) AS w,
+         CAST(64 + ({_HEXB.format(a=3, b=4)}) % 192 AS BIGINT) AS h
+  FROM h
+)
+SELECT doc_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST((w * {RESIZE_TARGET}) // GREATEST(w, h) AS INT) AS out_w,
+       CAST((h * {RESIZE_TARGET}) // GREATEST(w, h) AS INT) AS out_h,
+       ((w * {RESIZE_TARGET}) // GREATEST(w, h))
+         * ((h * {RESIZE_TARGET}) // GREATEST(w, h)) AS n_pixels_out
+FROM b
+"""
