@@ -94,6 +94,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "rollup_pricing": wf.rollup_pricing,  # GROUP BY ROLLUP grouping sets
             "users_per_type": wf.users_per_type,  # grouped COUNT(DISTINCT)
             "value_quantiles": wf.value_quantiles,  # exact quantile_cont analog
+            "pivot_event_counts": wf.pivot_event_counts,  # fixed-vocab pivot
+            "unpivot_lineitem": wf.unpivot_lineitem,  # melt to EAV rows
         }
     )
     from aiw_i2b2_etl_ray.pipelines import sketches as sk
@@ -272,6 +274,8 @@ def oracle_sql() -> dict[str, str]:
             "rollup_pricing": wf.SQL_ROLLUP_PRICING,
             "users_per_type": wf.SQL_USERS_PER_TYPE,
             "value_quantiles": wf.SQL_VALUE_QUANTILES,
+            "pivot_event_counts": wf.SQL_PIVOT_EVENT_COUNTS,
+            "unpivot_lineitem": wf.SQL_UNPIVOT_LINEITEM,
         }
     )
     from aiw_i2b2_etl_ray.pipelines import sketches as sk

@@ -263,3 +263,83 @@ SELECT event_type,
        ROUND(quantile_cont(value, 0.75), 4) AS p75
 FROM events GROUP BY event_type
 """
+
+
+PIVOT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+def pivot_event_counts(sf_dir: str) -> rd.Dataset:
+    """Pivot: one row per user, one count column per event_type (the
+    fixed-vocabulary pivot a star-schema report needs).  Plan: per-batch
+    conditional-count partials (already pivoted — the combiner), then one
+    small keyed groupby sum; the type vocabulary is a compile-time constant
+    so no discovery pass or second shuffle is needed."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        return (
+            df.group_by("user_id")
+            .agg(
+                *[
+                    (pl.col("event_type") == et).sum().cast(pl.Int64).alias(f"n_{et}")
+                    for et in PIVOT_TYPES
+                ]
+            )
+            .to_arrow()
+        )
+
+    aggs = [Sum(f"n_{et}", alias_name=f"n_{et}") for et in PIVOT_TYPES]
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", **worker_runtime_env())
+        .groupby("user_id")
+        .aggregate(*aggs)
+    )
+
+
+SQL_PIVOT_EVENT_COUNTS = """
+SELECT user_id,
+       CAST(COUNT(*) FILTER (event_type = 'click')    AS BIGINT) AS n_click,
+       CAST(COUNT(*) FILTER (event_type = 'view')     AS BIGINT) AS n_view,
+       CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(COUNT(*) FILTER (event_type = 'signup')   AS BIGINT) AS n_signup,
+       CAST(COUNT(*) FILTER (event_type = 'error')    AS BIGINT) AS n_error
+FROM events GROUP BY user_id
+"""
+
+
+UNPIVOT_COLS = ("l_quantity", "l_extendedprice", "l_discount")
+
+
+def unpivot_lineitem(sf_dir: str) -> rd.Dataset:
+    """Unpivot/melt: selected measure columns -> (key, metric, value) rows.
+    A stateless per-batch flat map (3x fan-out of ids + one float each) —
+    no shuffle at all; the EAV-ification the reference's fact loader
+    performs row-wise (AbstractFactHandler), here columnar."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", *UNPIVOT_COLS],
+    )
+
+    def melt(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        out = df.unpivot(
+            on=list(UNPIVOT_COLS),
+            index=["l_orderkey", "l_linenumber"],
+            variable_name="metric",
+            value_name="metric_value",
+        )
+        return out.with_columns(
+            pl.col("metric_value").cast(pl.Float64)
+        ).to_arrow()
+
+    return ds.map_batches(melt, batch_format="pyarrow", **worker_runtime_env())
+
+
+SQL_UNPIVOT_LINEITEM = """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS metric_value FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+"""
