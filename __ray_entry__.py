@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "unpivot_lineitem": wf.unpivot_lineitem,  # melt to EAV rows
         }
     )
+    from aiw_i2b2_etl_ray.pipelines import mixing as mx
     from aiw_i2b2_etl_ray.pipelines import sketches as sk
 
     cat.update(
@@ -105,6 +106,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # mergeable sketches: the unbounded-cardinality scale path
             "approx_distinct_users": sk.approx_distinct_users,  # HLL (hash-defined)
             "approx_median_hist": sk.approx_median_hist,  # histogram quantile
+            # training-data curation: sampling / mixing / packing
+            "sample_per_lang": mx.sample_per_lang,  # stratified hash sample
+            "mix_sources": mx.mix_sources,  # weighted source mixing
+            "pack_sequences": mx.pack_sequences,  # context-window packing
         }
     )
     from aiw_i2b2_etl_ray.sources import declarative as dl
@@ -283,6 +288,15 @@ def oracle_sql() -> dict[str, str]:
     # approx_distinct_users: HLL is xxhash-defined -> rows-only check; the
     # error-bound contract is pinned in tests/test_sketches.py
     sql.update({"approx_median_hist": sk.SQL_APPROX_MEDIAN_HIST})
+    from aiw_i2b2_etl_ray.pipelines import mixing as mx
+
+    sql.update(
+        {
+            "sample_per_lang": mx.SQL_SAMPLE_PER_LANG,
+            "mix_sources": mx.SQL_MIX_SOURCES,
+            "pack_sequences": mx.SQL_PACK_SEQUENCES,
+        }
+    )
     from aiw_i2b2_etl_ray.sources import declarative as dl
     from aiw_i2b2_etl_ray.sources import mappings as mp
 

@@ -1,0 +1,157 @@
+"""Training-data curation ops: stratified sampling, weighted source
+mixing, and sequence packing.
+
+These are the dataset-shaping stages a pre-training pipeline runs after
+dedup/quality filtering.  All three are deterministic (hash- or
+order-defined, no RNG state), so results are stable across runs, cluster
+sizes and partitionings — the property that makes them resumable and
+driver-oracle-checkable.
+
+Scale shapes:
+* sampling/mixing are per-row hash decisions (embarrassingly parallel, no
+  shuffle; the per-group sample adds the usual local-top-k combiner before
+  one tiny keyed fold);
+* packing needs per-group *order* — one keyed shuffle, then a vectorized
+  prefix-sum, the same partitioned-sort contract as sessionization
+  (pipelines/windows.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import polars as pl
+import pyarrow as pa
+import ray.data as rd
+
+from ..util import worker_runtime_env
+
+SAMPLE_K = 20  # docs kept per language stratum
+
+
+def _md5_rank(ids) -> list[str]:
+    # md5 of the decimal doc_id: cheap (C-backed, ~1 µs/row), portable to
+    # the DuckDB oracle, and uniform enough for sampling decisions
+    return [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+
+
+def sample_per_lang(sf_dir: str) -> rd.Dataset:
+    """Deterministic stratified sample: K docs per language, chosen by
+    md5(doc_id) rank — a reproducible 'random' sample that needs no RNG
+    state and never changes under repartitioning.
+
+    Plan: per-batch local top-K per lang (combiner) -> keyed global top-K;
+    at most K rows per (batch, lang) ever shuffle."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).with_columns(
+            pl.Series("rk", _md5_rank(t["doc_id"].to_pylist()))
+        )
+        return (
+            df.sort(["lang", "rk"])
+            .group_by("lang", maintain_order=True)
+            .head(SAMPLE_K)
+            .to_arrow()
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("rk", kind="mergesort").head(SAMPLE_K)
+        g = g.reset_index(drop=True)
+        g["sample_rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["lang", "doc_id", "sample_rank"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", **worker_runtime_env())
+        .groupby("lang")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+SQL_SAMPLE_PER_LANG = f"""
+SELECT lang, doc_id, sample_rank FROM (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR))) AS sample_rank
+  FROM documents
+) WHERE sample_rank <= {SAMPLE_K}
+"""
+
+
+def mix_sources(sf_dir: str) -> rd.Dataset:
+    """Weighted source mixing: keep each doc with probability w(source),
+    decided by a uniform hash of its id — the deterministic version of the
+    mixture-weights resample every pre-training data recipe needs.  Weight
+    here derives from the source id (src<N> -> ((N % 4)+1)/4) to exercise
+    4 distinct rates; a real recipe passes a weights dict the same way the
+    CDC spec passes mappings.  Pure per-row filter: no shuffle, no state."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "lang"]
+    )
+
+    def keep(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        srcnum = df["source"].str.slice(3).cast(pl.Int64)
+        w = ((srcnum % 4) + 1).cast(pl.Float64) / 4.0
+        hx = _md5_rank(t["doc_id"].to_pylist())
+        u = np.array([int(h[:8], 16) for h in hx], dtype=np.float64) / float(1 << 32)
+        out = df.with_columns(pl.Series("u", u), w.alias("w")).filter(
+            pl.col("u") < pl.col("w")
+        )
+        return out.select("doc_id", "source", "lang").to_arrow()
+
+    return ds.map_batches(keep, batch_format="pyarrow", **worker_runtime_env())
+
+
+SQL_MIX_SOURCES = """
+SELECT doc_id, source, lang FROM (
+  SELECT doc_id, source, lang,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0 AS u,
+         ((CAST(substr(source, 4) AS BIGINT) % 4) + 1) / 4.0 AS w
+  FROM documents
+) WHERE u < w
+"""
+
+
+PACK_CAPACITY = 2048  # tokens per packed context window
+
+
+def pack_sequences(sf_dir: str) -> rd.Dataset:
+    """Sequence packing: assign docs (in deterministic doc_id order, per
+    language) to fixed-capacity context windows by running token count —
+    chunk = floor((running_total - tokens) / capacity), the contiguous
+    packing a distributed writer can compute with one prefix sum instead
+    of a sequential best-fit loop.  Token count is the engine's cheap
+    deterministic proxy (chars/4, matching text_tokens' scale contract).
+
+    One keyed shuffle (lang), vectorized cumsum in-group."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"])
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort")
+        toks = (g["n_chars"].to_numpy() // 4).astype(np.int64)
+        cum = np.cumsum(toks)
+        chunk = (cum - toks) // PACK_CAPACITY
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "lang": g["lang"].to_numpy(),
+                "n_tokens": toks,
+                "chunk_id": chunk.astype(np.int64),
+            }
+        )
+
+    return ds.groupby("lang").map_groups(pack, batch_format="pandas")
+
+
+SQL_PACK_SEQUENCES = f"""
+SELECT doc_id, lang, n_tokens,
+       CAST((cum - n_tokens) // {PACK_CAPACITY} AS BIGINT) AS chunk_id
+FROM (
+  SELECT doc_id, lang, n_chars // 4 AS n_tokens,
+         SUM(n_chars // 4) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents
+)
+"""
