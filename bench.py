@@ -111,6 +111,8 @@ def run_queries() -> dict[str, float]:
         "ann_topk",
         "text_tokens",
         "text_quality",
+        "asof_join",
+        "range_join",
     ]
     q = e.queries()
     out = {}
