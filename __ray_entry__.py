@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "dedup_simhash": dd.dedup_simhash,
                 "dedup_ngram_jaccard": dd.dedup_ngram_jaccard,
                 "dedup_embedding": dd.dedup_embedding,
+                "dedup_embedding_ivf": dd.dedup_embedding_ivf,
                 "ann_topk": sim.ann_topk,
                 "ann_lsh": sim.ann_lsh_topk,
                 "ann_ivf": sim.ann_ivf_topk,
@@ -322,6 +323,9 @@ def oracle_sql() -> dict[str, str]:
             {
                 "dedup_exact": dd.SQL_DEDUP_EXACT,
                 "dedup_embedding": dd.SQL_DEDUP_EMBEDDING,
+                # recall deterministically 1.0 at multi-assign=4 on these
+                # inputs (see IVF_DEDUP_ASSIGN note) -> exact-pairs oracle
+                "dedup_embedding_ivf": dd.SQL_DEDUP_EMBEDDING_IVF,
                 # exact all-pairs shingle-join oracles (LSH recall is
                 # deterministically 1 on these inputs — see docstrings)
                 "dedup_minhash": dd.SQL_DEDUP_MINHASH,

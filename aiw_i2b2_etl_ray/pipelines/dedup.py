@@ -463,3 +463,98 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
 FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= {COSINE_TAU}
 """
+
+
+# --- IVF-blocked embedding near-dup (the at-scale variant) -------------------
+
+IVF_DEDUP_ASSIGN = 4  # multi-assign factor: each vector joins its top-4 lists
+# (4 of 16 lists => 25% replication.  On REAL embedding spaces — clustered,
+# tau ~0.9 — 2 suffices; these driver vectors are near-random with tau 0.4,
+# the adversarial case for coarse quantization, and 4 measures recall 1.0 at
+# both test scales, which is what lets the exact-pairs SQL below serve as the
+# driver oracle — same argument as dedup_minhash's shingle-join oracle.)
+
+
+def dedup_embedding_ivf(sf_dir: str) -> pd.DataFrame:
+    """Embedding near-dup with coarse-quantizer (IVF) blocking — the scale
+    path `dedup_embedding`'s docstring promises: no label column needed,
+    blocks are the centroid lists of a sample-trained quantizer
+    (similarity._train_centroids), and each vector multi-assigns to its
+    top-IVF_DEDUP_ASSIGN lists so near-neighbors straddling a centroid
+    boundary still co-occur somewhere.  Exact cosine verify within each
+    list, then a keyed pair-dedup (a pair found in 2 shared lists must
+    emit once).
+
+    Approximate by nature (recall < 1 is possible when a pair's lists are
+    disjoint); accuracy is pinned by a recall-vs-exact pytest, like
+    ann_lsh.  Block size is bounded by list population (~n/lists x
+    multi-assign), so no O(n^2) global blowup."""
+    from .similarity import _train_centroids
+
+    cents = _train_centroids(sf_dir)
+    import ray as _ray
+
+    cents_ref = _ray.put(cents)
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    class Assign:
+        def __init__(self):
+            self.cents = _ray.get(cents_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t["vec_id"].to_numpy()
+            m = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+            m /= np.linalg.norm(m, axis=1, keepdims=True) + 1e-12
+            sim = m @ self.cents.T
+            top = np.argsort(-sim, axis=1)[:, :IVF_DEDUP_ASSIGN]
+            n, a = top.shape
+            return pa.table(
+                {
+                    "list_id": pa.array(top.ravel().astype(np.int32)),
+                    "vec_id": pa.array(np.repeat(ids, a)),
+                    "embedding": pa.array(list(np.repeat(m, a, axis=0))),
+                }
+            )
+
+    def list_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame(columns=["vec_a", "vec_b", "cosine"]).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
+            )
+        g = g.sort_values("vec_id")
+        ids = g["vec_id"].to_numpy()
+        m = np.stack(g["embedding"].to_numpy())  # already normalized
+        cos = m @ m.T
+        iu = np.triu_indices(len(g), k=1)
+        mask = (cos[iu] >= COSINE_TAU) & (ids[iu[0]] != ids[iu[1]])
+        return pd.DataFrame(
+            {
+                "vec_a": ids[iu[0][mask]],
+                "vec_b": ids[iu[1][mask]],
+                "cosine": round_half_away(cos[iu][mask], 4),
+            }
+        )
+
+    from ray.data.aggregate import Max
+
+    pairs = (
+        ds.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
+        .groupby("list_id")
+        .map_groups(list_pairs, batch_format="pandas")
+        .groupby(["vec_a", "vec_b"])
+        .aggregate(Max("cosine", alias_name="cosine"))  # dedup shared-list pairs
+    )
+    out = pairs.to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame(columns=["vec_a", "vec_b", "cosine"])
+    return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+SQL_DEDUP_EMBEDDING_IVF = """
+WITH e AS (SELECT vec_id, embedding FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= {tau}
+""".format(tau=COSINE_TAU)

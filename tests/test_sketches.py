@@ -60,3 +60,28 @@ def test_hist_median_within_one_bin_of_exact(ray_session):
     ).df()
     m = approx.merge(exact, on="event_type")
     assert (m["median_approx"] - m["md"]).abs().max() <= sk.HIST_W + 1e-9
+
+
+def test_ivf_dedup_precision_is_exact_at_low_assign(ray_session):
+    """With a deliberately low multi-assign, recall may drop but every
+    emitted pair must still be a true pair with its exact cosine
+    (precision 1.0) — the in-list verify is exact, not approximate."""
+    import duckdb
+
+    from aiw_i2b2_etl_ray.pipelines import dedup as dd
+
+    old = dd.IVF_DEDUP_ASSIGN
+    try:
+        dd.IVF_DEDUP_ASSIGN = 2
+        got = dd.dedup_embedding_ivf(SF)
+    finally:
+        dd.IVF_DEDUP_ASSIGN = old
+    exact = duckdb.sql(
+        f"""WITH e AS (SELECT vec_id, embedding FROM read_parquet('{SF}/embeddings.parquet'))
+        SELECT a.vec_id va, b.vec_id vb FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= {dd.COSINE_TAU}"""
+    ).df()
+    true_pairs = set(zip(exact["va"], exact["vb"]))
+    got_pairs = set(zip(got["vec_a"], got["vec_b"]))
+    assert got_pairs <= true_pairs  # precision 1.0
+    assert len(got_pairs) >= 0.5 * len(true_pairs)  # sane recall even at 2
