@@ -20,7 +20,13 @@ def main(argv: list[str] | None = None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     rp = sub.add_parser("replay", help="run a CDC replay")
-    rp.add_argument("--input", required=True, help="change-log parquet dir/file")
+    rp.add_argument("--input", required=True, help="change-log dir/file")
+    rp.add_argument(
+        "--input-format",
+        choices=["parquet", "csv", "jsonl"],
+        default="parquet",
+        help="change-log encoding (all land on the same unified schema)",
+    )
     rp.add_argument("--out", required=True, help="output star-schema dir")
     rp.add_argument("--mode", choices=["replace", "update"], default="replace")
     rp.add_argument("--resume", action="store_true")
@@ -62,7 +68,13 @@ def main(argv: list[str] | None = None) -> int:
             mode=args.mode,
             merge_policy=args.merge_policy,
         )
-        summary = replay(args.input, spec, resume=args.resume, run_id=args.run_id)
+        if args.input_format == "parquet":
+            src = args.input  # replay() prunes at the parquet read itself
+        else:
+            from .sources.changes import CHANGE_READERS
+
+            src = CHANGE_READERS[args.input_format](args.input)
+        summary = replay(src, spec, resume=args.resume, run_id=args.run_id)
         print(json.dumps({k: v for k, v in summary.items() if k != "out"}))
     elif args.cmd == "compact":
         from .stages.merge import compact_path_dim

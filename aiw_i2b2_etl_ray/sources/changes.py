@@ -158,3 +158,49 @@ CHANGES_FROM_EVENTS_SQL = f"""
     SELECT * FROM base WHERE commit_seq % {_DUP_MOD} = 0
   )
 """
+
+
+# --- alternate ingestion formats --------------------------------------------
+# The reference ingests from relational sources via JDBC
+# (dsb/I2B2DataSourceBackend.java); a log-shipping deployment of this engine
+# sees the same change records as CSV or JSONL drops instead of Parquet.
+# Both readers land on the SAME unified Arrow schema (ensure_columns), so
+# replay() is format-agnostic: `replay(read_changes_{csv,jsonl}(path), spec)`.
+
+
+def _unify(ds: rd.Dataset, *, with_content: bool) -> rd.Dataset:
+    from ..schemas import CHANGES_V2, ensure_columns
+
+    cols = ["repo", "path", "commit", "lang", "commit_seq", "op"]
+    if with_content:
+        cols.append("content")
+    has_size = "size" in ds.schema().names
+    if has_size:
+        cols.append("size")
+    schema = pa.schema([CHANGES_V2.field(c) for c in cols])
+
+    def norm(t: pa.Table) -> pa.Table:
+        return ensure_columns(t, schema)
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+def read_changes_csv(path: str | list[str], *, with_content: bool = True) -> rd.Dataset:
+    """CSV change-log ingestion (standard quoting; embedded newlines in
+    ``content`` must be quoted by the producer, which Arrow's reader
+    handles).  Types are coerced to the unified change schema."""
+    ds = rd.read_csv(path)
+    return _unify(ds, with_content=with_content)
+
+
+def read_changes_jsonl(path: str | list[str], *, with_content: bool = True) -> rd.Dataset:
+    """JSON-lines change-log ingestion (one change record per line)."""
+    ds = rd.read_json(path)
+    return _unify(ds, with_content=with_content)
+
+
+CHANGE_READERS = {
+    "parquet": read_changes,
+    "csv": read_changes_csv,
+    "jsonl": read_changes_jsonl,
+}
