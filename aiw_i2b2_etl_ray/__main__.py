@@ -49,6 +49,16 @@ def main(argv: list[str] | None = None) -> int:
     rt.add_argument("--out", required=True)
     rt.add_argument("--langs", required=True, help="comma-separated lang codes")
 
+    wn = sub.add_parser(
+        "windows", help="fold a change-log micro-batch into persistent window counts"
+    )
+    wn.add_argument("--input", required=True)
+    wn.add_argument(
+        "--input-format", choices=["parquet", "csv", "jsonl"], default="parquet"
+    )
+    wn.add_argument("--out", required=True)
+    wn.add_argument("--num-partitions", type=int, default=8)
+
     args = p.parse_args(argv)
 
     import ray
@@ -89,6 +99,20 @@ def main(argv: list[str] | None = None) -> int:
         from .pipelines.retract import retract_source
 
         print(json.dumps(retract_source(args.out, set(args.langs.split(",")))))
+    elif args.cmd == "windows":
+        from .pipelines.stream_windows import update_windows
+
+        if args.input_format == "parquet":
+            src = args.input
+        else:
+            from .sources.changes import CHANGE_READERS
+
+            src = CHANGE_READERS[args.input_format](args.input, with_content=False)
+        print(
+            json.dumps(
+                update_windows(src, args.out, num_partitions=args.num_partitions)
+            )
+        )
     ray.shutdown()
     return 0
 
