@@ -85,3 +85,29 @@ def test_ivf_dedup_precision_is_exact_at_low_assign(ray_session):
     got_pairs = set(zip(got["vec_a"], got["vec_b"]))
     assert got_pairs <= true_pairs  # precision 1.0
     assert len(got_pairs) >= 0.5 * len(true_pairs)  # sane recall even at 2
+
+
+def test_connected_components_chain_and_islands(ray_session):
+    """A 5-node chain (worst diameter per edge), a triangle, and an
+    isolated pair — min-label propagation must label each component by
+    its minimum node id, in <= diameter iterations."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from aiw_i2b2_etl_ray.pipelines.graph_cc import connected_components
+
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array([10, 11, 12, 13, 30, 31, 30, 50], pa.int64()),
+                "doc_b": pa.array([11, 12, 13, 14, 31, 32, 32, 51], pa.int64()),
+            }
+        )
+    )
+    out = connected_components(edges).to_pandas().sort_values("doc_id")
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert got == {
+        10: 10, 11: 10, 12: 10, 13: 10, 14: 10,
+        30: 30, 31: 30, 32: 30,
+        50: 50, 51: 50,
+    }
