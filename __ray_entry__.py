@@ -96,6 +96,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "value_quantiles": wf.value_quantiles,  # exact quantile_cont analog
             "pivot_event_counts": wf.pivot_event_counts,  # fixed-vocab pivot
             "unpivot_lineitem": wf.unpivot_lineitem,  # melt to EAV rows
+            "event_gaps": wf.event_gaps,  # LAG window analog
+            "json_extract_props": wf.json_extract_props,  # semi-structured pull
         }
     )
     from aiw_i2b2_etl_ray.pipelines import mixing as mx
@@ -284,6 +286,8 @@ def oracle_sql() -> dict[str, str]:
             "value_quantiles": wf.SQL_VALUE_QUANTILES,
             "pivot_event_counts": wf.SQL_PIVOT_EVENT_COUNTS,
             "unpivot_lineitem": wf.SQL_UNPIVOT_LINEITEM,
+            "event_gaps": wf.SQL_EVENT_GAPS,
+            "json_extract_props": wf.SQL_JSON_EXTRACT_PROPS,
         }
     )
     from aiw_i2b2_etl_ray.pipelines import sketches as sk

@@ -343,3 +343,60 @@ SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineite
 UNION ALL
 SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
 """
+
+
+def event_gaps(sf_dir: str) -> rd.Dataset:
+    """LAG analog: per-user gap (seconds) since the previous event in
+    (ts, event_id) order; first event per user has a null gap.  Same
+    keyed-shuffle + vectorized-shift contract as the other window ops."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        ts = g["ts"].astype("int64").to_numpy()
+        gap = np.empty(len(g), dtype=np.float64)
+        gap[0] = np.nan
+        gap[1:] = (ts[1:] - ts[:-1]) / 1e6
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "gap_sec": round_half_away(gap, 4),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(gaps, batch_format="pandas")
+
+
+SQL_EVENT_GAPS = """
+SELECT event_id, user_id,
+       ROUND((epoch_us(ts) - epoch_us(LAG(ts) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id))) / 1e6, 4) AS gap_sec
+FROM events
+"""
+
+
+def json_extract_props(sf_dir: str) -> rd.Dataset:
+    """Semi-structured extraction: pull ``$.k`` out of the JSON ``props``
+    column as an integer — vectorized polars JSON path match per batch
+    (no shuffle, no Python loop).  The engine's analog of the reference's
+    C_METADATAXML parsing (functions/value_metadata.py) for JSON payloads."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        k = (
+            df["props"]
+            .str.json_path_match("$.k")
+            .cast(pl.Int64, strict=False)
+            .alias("k")
+        )
+        return df.select("event_id").with_columns(k).to_arrow()
+
+    return ds.map_batches(extract, batch_format="pyarrow", **worker_runtime_env())
+
+
+SQL_JSON_EXTRACT_PROPS = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events
+"""
