@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "unpivot_lineitem": wf.unpivot_lineitem,  # melt to EAV rows
             "event_gaps": wf.event_gaps,  # LAG window analog
             "json_extract_props": wf.json_extract_props,  # semi-structured pull
+            "global_rank": wf.global_rank_orders,  # total-order rank + NTILE
         }
     )
     from aiw_i2b2_etl_ray.pipelines import mixing as mx
@@ -288,6 +289,7 @@ def oracle_sql() -> dict[str, str]:
             "unpivot_lineitem": wf.SQL_UNPIVOT_LINEITEM,
             "event_gaps": wf.SQL_EVENT_GAPS,
             "json_extract_props": wf.SQL_JSON_EXTRACT_PROPS,
+            "global_rank": wf.SQL_GLOBAL_RANK_ORDERS,
         }
     )
     from aiw_i2b2_etl_ray.pipelines import sketches as sk

@@ -400,3 +400,45 @@ SQL_JSON_EXTRACT_PROPS = """
 SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
 FROM events
 """
+
+
+NTILE_N = 4
+
+
+def global_rank_orders(sf_dir: str) -> rd.Dataset:
+    """Global ROW_NUMBER + NTILE over ALL orders by price — the one window
+    shape that genuinely needs a total order.  Uses the surrogate-key
+    machinery (stages/keymap.global_index): one distributed sort, then
+    per-block dense ids via a driver prefix-sum of block LENGTHS (one int
+    per block moves; rows never leave their block after the sort).  NTILE
+    boundaries derive from the known total: first (total % n) tiles get
+    the extra row, exactly SQL's contract."""
+    from ..stages.keymap import global_index
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    ranked = global_index(
+        ds,
+        ["o_totalprice", "o_orderkey"],
+        id_name="rk",
+        descending=[True, False],
+    )
+    total = ds.count()
+    base, extra = divmod(total, NTILE_N)
+    # cumulative tile upper bounds, e.g. total=10,n=4 -> [3,6,8,10]
+    sizes = np.array([base + (1 if i < extra else 0) for i in range(NTILE_N)])
+    bounds = np.cumsum(sizes)
+
+    def tile(t: pa.Table) -> pa.Table:
+        rk = t["rk"].to_numpy()
+        q = np.searchsorted(bounds, rk, side="left") + 1
+        return t.append_column("quartile", pa.array(q.astype(np.int64)))
+
+    return ranked.map_batches(tile, batch_format="pyarrow")
+
+
+SQL_GLOBAL_RANK_ORDERS = f"""
+SELECT o_orderkey, o_totalprice,
+       ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rk,
+       CAST(NTILE({NTILE_N}) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS quartile
+FROM orders
+"""

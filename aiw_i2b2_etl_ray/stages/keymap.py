@@ -29,7 +29,12 @@ def _tag_block(t: pa.Table, offset: int, id_name: str) -> pa.Table:
 
 
 def global_index(
-    ds: rd.Dataset, sort_keys: list[str], *, id_name: str = "id", start: int = 1
+    ds: rd.Dataset,
+    sort_keys: list[str],
+    *,
+    id_name: str = "id",
+    start: int = 1,
+    descending: bool | list[bool] = False,
 ) -> rd.Dataset:
     """Add a dense global ``id`` column following ``sort_keys`` order.
 
@@ -37,7 +42,7 @@ def global_index(
     Phase 2: driver prefix-sum -> per-block offset.
     Phase 3: per-block local arange + offset, in parallel, zero row motion.
     """
-    blocks = ds.sort(sort_keys).materialize().to_arrow_refs()
+    blocks = ds.sort(sort_keys, descending=descending).materialize().to_arrow_refs()
     counts = ray.get([_block_len.remote(b) for b in blocks])
     offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]) + start
     tagged = [
