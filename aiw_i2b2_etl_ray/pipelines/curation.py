@@ -1,0 +1,84 @@
+"""End-to-end corpus curation: the composition a pre-training data
+pipeline actually ships — quality gate ∧ language gate ∧ keep-one-per-
+duplicate-cluster — built by CHAINING catalog operators (text_quality,
+text_langid, dedup_clusters) as Datasets, not by re-implementing them.
+
+Physical shape: the two per-doc scorers are independent parallel maps
+joined once on doc_id (bucketed co-shuffle); the duplicate drop-set is
+tiny (non-canonical members of near-dup clusters) and broadcasts via
+``ray.put`` into a vectorized filter — no third shuffle.  At 100 TB the
+drop-set broadcast becomes a bloom filter, same plan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from ..stages.join import bucketed_join
+from ..util import worker_runtime_env
+
+MIN_ALPHA_RATIO = 0.82
+MIN_STOPWORD_SCORE = 0.02
+
+
+def corpus_filter(sf_dir: str) -> rd.Dataset:
+    """doc ids that survive curation, with the signals that admitted them."""
+    from .graph_cc import dedup_clusters
+    from .textops import text_langid, text_quality
+
+    quality = text_quality(sf_dir).map_batches(
+        lambda t: t.filter(pc.greater_equal(t["alpha_ratio"], MIN_ALPHA_RATIO)),
+        batch_format="pyarrow",
+    ).select_columns(["doc_id", "alpha_ratio"])
+
+    lang = text_langid(sf_dir).map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.not_equal(t["pred_lang"], "und"),
+                pc.greater_equal(t["stopword_score"], MIN_STOPWORD_SCORE),
+            )
+        ),
+        batch_format="pyarrow",
+    ).select_columns(["doc_id", "pred_lang"])
+
+    # non-canonical members of duplicate clusters (tiny: only docs in pairs)
+    clusters = dedup_clusters(sf_dir).to_pandas()
+    drop = set(
+        clusters.loc[clusters["doc_id"] != clusters["cluster_id"], "doc_id"].tolist()
+    )
+    drop_ref = ray.put(np.array(sorted(drop), dtype=np.int64))
+
+    joined = bucketed_join(quality, lang, on=["doc_id"], num_buckets=8)
+
+    def drop_dups(t: pa.Table) -> pa.Table:
+        dropped = ray.get(drop_ref)
+        ids = t["doc_id"].to_numpy()
+        keep = ~np.isin(ids, dropped)
+        return t.filter(pa.array(keep))
+
+    return joined.map_batches(drop_dups, batch_format="pyarrow", **worker_runtime_env())
+
+
+def _sql() -> str:
+    from .graph_cc import SQL_DEDUP_CLUSTERS
+    from .textops import SQL_TEXT_LANGID, SQL_TEXT_QUALITY
+
+    return f"""
+WITH q AS ({SQL_TEXT_QUALITY}),
+l AS ({SQL_TEXT_LANGID}),
+c AS ({SQL_DEDUP_CLUSTERS})
+SELECT q.doc_id, q.alpha_ratio, l.pred_lang
+FROM q
+JOIN l ON l.doc_id = q.doc_id
+WHERE q.alpha_ratio >= {MIN_ALPHA_RATIO}
+  AND l.pred_lang <> 'und'
+  AND l.stopword_score >= {MIN_STOPWORD_SCORE}
+  AND q.doc_id NOT IN (SELECT doc_id FROM c WHERE doc_id <> cluster_id)
+"""
+
+
+SQL_CORPUS_FILTER = _sql()
