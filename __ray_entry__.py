@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "blob_join": sq.blob_join,  # M18
             "hierarchy_path": sq.hierarchy_path,  # path assembly
             "eav_inequality": sq.eav_inequality,  # M6 inequality arm
+            "age_buckets": sq.age_buckets,  # demographics age bands
         }
     )
     from aiw_i2b2_etl_ray.pipelines import graph as gr
@@ -255,6 +256,7 @@ def oracle_sql() -> dict[str, str]:
             "blob_join": sq.SQL_BLOB_JOIN,
             "hierarchy_path": sq.SQL_HIERARCHY_PATH,
             "eav_inequality": sq.SQL_EAV_INEQUALITY,
+            "age_buckets": sq.SQL_AGE_BUCKETS,
         }
     )
     from aiw_i2b2_etl_ray.pipelines import graph as gr

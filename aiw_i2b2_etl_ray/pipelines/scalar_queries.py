@@ -262,3 +262,54 @@ SELECT event_id,
        ROUND(value, 4) AS nval_num
 FROM events
 """
+
+
+# demographic age-range dim codes (DemographicsAgeBuilder.java:51-52,81-84:
+# the reference emits one ontology folder per age band with a SQL-expression
+# dim code; here the banding itself is the operator, vectorized)
+AGE_BANDS = [(0, 9), (10, 17), (18, 34), (35, 44), (45, 54), (55, 64)]
+
+
+def age_buckets(sf_dir: str) -> rd.Dataset:
+    """§2.8: recode age_years into the i2b2 demographics age bands
+    ('0-9' ... '65+') — a pure vectorized dictionary-range lookup chained
+    after the M11 age kernel."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"])
+
+    bounds = np.array([b[1] for b in AGE_BANDS])  # upper edges
+    labels = np.array([f"{lo}-{hi}" for lo, hi in AGE_BANDS] + ["65+"], dtype=object)
+
+    def enc(t: pa.Table) -> pa.Table:
+        as_of = pa.scalar(AS_OF).cast(pa.timestamp("us"))
+        yrs = dates.age_years(t["o_orderdate"], as_of).to_numpy(zero_copy_only=False)
+        band = np.searchsorted(bounds, yrs, side="left")
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "age_years": pa.array(yrs),
+                "age_band": pa.array(labels[band], pa.string()),
+            }
+        )
+
+    return ds.map_batches(enc, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_AGE_BUCKETS = f"""
+WITH a AS (
+  SELECT o_orderkey,
+         CAST(FLOOR(date_diff('day', o_orderdate, TIMESTAMP '{AS_OF} 00:00:00')
+                    / 365.25) AS BIGINT) AS age_years
+  FROM orders
+)
+SELECT o_orderkey, age_years,
+       CASE WHEN age_years <= 9 THEN '0-9'
+            WHEN age_years <= 17 THEN '10-17'
+            WHEN age_years <= 34 THEN '18-34'
+            WHEN age_years <= 44 THEN '35-44'
+            WHEN age_years <= 54 THEN '45-54'
+            WHEN age_years <= 64 THEN '55-64'
+            ELSE '65+' END AS age_band
+FROM a
+"""
