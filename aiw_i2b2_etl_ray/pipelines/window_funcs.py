@@ -353,7 +353,8 @@ def event_gaps(sf_dir: str) -> rd.Dataset:
 
     def gaps(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        ts = g["ts"].astype("int64").to_numpy()
+        # normalize to µs epoch (ns-written parquet would be 1000x off)
+        ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
         gap = np.empty(len(g), dtype=np.float64)
         gap[0] = np.nan
         gap[1:] = (ts[1:] - ts[:-1]) / 1e6

@@ -55,7 +55,9 @@ def tumbling_counts(sf_dir: str) -> rd.Dataset:
 
     def partial(t: pa.Table) -> pa.Table:
         df = pl.from_arrow(t).with_columns(
-            (pl.col("ts").cast(pl.Int64) // WINDOW_US).alias("window_id")
+            (pl.col("ts").cast(pl.Datetime("us")).cast(pl.Int64) // WINDOW_US).alias(
+                "window_id"
+            )
         )
         return (
             df.group_by(["user_id", "window_id"])
@@ -87,7 +89,8 @@ def session_windows(sf_dir: str) -> rd.Dataset:
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        ts = g["ts"].astype("int64").to_numpy()
+        # normalize to µs epoch (ns-written parquet would be 1000x off)
+        ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
         new = np.ones(len(g), dtype=bool)
         new[1:] = (ts[1:] - ts[:-1]) > SESSION_GAP_US
         sid = np.cumsum(new)
@@ -143,7 +146,7 @@ def hopping_counts(sf_dir: str) -> rd.Dataset:
 
     def partial(t: pa.Table) -> pa.Table:
         df = pl.from_arrow(t).with_columns(
-            (pl.col("ts").cast(pl.Int64) // HOP_US).alias("h")
+            (pl.col("ts").cast(pl.Datetime("us")).cast(pl.Int64) // HOP_US).alias("h")
         )
         parts = [
             df.with_columns((pl.col("h") - i).alias("window_hop"))

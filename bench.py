@@ -113,6 +113,7 @@ def run_queries() -> dict[str, float]:
         "text_quality",
         "asof_join",
         "range_join",
+        "corpus_filter",
     ]
     q = e.queries()
     out = {}

@@ -93,3 +93,24 @@ def test_range_join_matches_duckdb_on_random_draw(tmp_path, seed, ray_session):
     e = _norm(con.sql(tj.SQL_RANGE_JOIN).df())
     assert len(a) == len(e)
     pd.testing.assert_frame_equal(a, e, check_dtype=False, rtol=1e-6)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_window_funcs_match_duckdb_on_random_draw(tmp_path, seed, ray_session):
+    """Randomized cross-check for the per-key window family (cumulative,
+    sliding, gaps) — catches ordering-tie and float-edge regressions the
+    fixed driver tables may not exercise."""
+    from aiw_i2b2_etl_ray.pipelines import window_funcs as wf
+
+    sf = _make_sf(tmp_path, seed + 10)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')")
+    for fn, sql in [
+        (wf.cumulative_value, wf.SQL_CUMULATIVE_VALUE),
+        (wf.sliding_avg, wf.SQL_SLIDING_AVG),
+        (wf.event_gaps, wf.SQL_EVENT_GAPS),
+    ]:
+        a = _norm(fn(sf).to_pandas())
+        e = _norm(con.sql(sql).df())
+        assert len(a) == len(e)
+        pd.testing.assert_frame_equal(a, e, check_dtype=False, rtol=1e-6)
