@@ -1,33 +1,37 @@
-"""Connected components over an edge Dataset — iterative min-label
-propagation, the clustering step that turns near-duplicate PAIRS into
-duplicate GROUPS (pick-one-per-cluster is what a dedup pipeline actually
-ships; pairs alone are not actionable).
+"""Connected components over an edge Dataset — distributed hash-to-min
+(Rastogi et al., "Finding Connected Components in MapReduce"), the
+clustering step that turns near-duplicate PAIRS into duplicate GROUPS
+(pick-one-per-cluster is what a dedup pipeline actually ships; pairs
+alone are not actionable).
 
-Physical plan per iteration (all Dataset ops, no driver-side graph):
+Physical plan per round — groupby-only, no joins:
 
-    labels(n, lbl)  --rename n->a-->  join edges(a, b) on a   # bucketed
-    -> messages (n=b, lbl)
-    -> union(labels) -> groupby(n).min(lbl) -> new labels
+    adjacency (src, dst) --groupby(src)--> each node u computes
+    m = min(neighborhood ∪ {u}) and emits (m, v) + (v, m) for every v —
+    i.e. attaches its whole neighborhood to its current minimum.
+    The emitted pairs (deduped by the same groupby next round) ARE the
+    next round's adjacency; shortcut edges accumulate, so the component
+    minimum reaches every node in O(log diameter) rounds, not O(diameter).
 
-Labels only ever decrease, so SUM(lbl) is a monotone convergence metric:
-iterate until it stops changing (<= graph diameter rounds; duplicate
-clusters are short chains, so 3-5 rounds in practice).  Everything is
-deterministic — component id = min doc_id in the component.
+SUM over every node of min(neighborhood ∪ {u}) is monotone non-increasing
+and stable exactly at the fixpoint (star graphs around each component
+minimum), so it doubles as the convergence test.  Deterministic —
+component id = min doc_id in the component.
 
-At 100 TB the same loop holds: edges and labels are both hash-partitioned
-on the node key by the bucketed join, each round moves O(|E|) id pairs
-(24 B/row), and the label table never exceeds one row per node.  The
+At 100 TB: one keyed shuffle per round over id pairs only (16 B/row);
+intermediate adjacency is bounded by O(component size) per component
+(hash-to-min's known communication bound is O(n log n) total).  The
 reference has no graph subsystem; this serves the training-data dedup
 family (SURVEY.md §2.7 extension), composing with dedup_minhash_pairs.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import ray.data as rd
 from ray.data.aggregate import Min, Sum
 
-from ..stages.join import bucketed_join
 from ..util import worker_runtime_env
 
 
@@ -36,67 +40,61 @@ def connected_components(
     *,
     src: str = "doc_a",
     dst: str = "doc_b",
-    max_iters: int = 20,
-    num_buckets: int = 16,
+    max_iters: int = 30,
 ) -> rd.Dataset:
     """(node, component) for every node appearing in ``edges``; component
-    id is the minimum node id reachable over undirected edges."""
+    id is the minimum node id reachable over undirected edges.  Raises if
+    the fixpoint is not reached within ``max_iters`` rounds (hash-to-min
+    needs ~log2(diameter) + 2, so 30 covers any practical graph)."""
 
     def to_und(t: pa.Table) -> pa.Table:
-        fwd = pa.table({"a": t[src], "b": t[dst]})
-        rev = pa.table({"a": t[dst], "b": t[src]})
+        fwd = pa.table({"src": t[src].cast(pa.int64()), "dst": t[dst].cast(pa.int64())})
+        rev = pa.table({"src": t[dst].cast(pa.int64()), "dst": t[src].cast(pa.int64())})
         return pa.concat_tables([fwd, rev]).combine_chunks()
 
-    und = edges.map_batches(to_und, batch_format="pyarrow", **worker_runtime_env()).materialize()
+    adj = edges.map_batches(to_und, batch_format="pyarrow", **worker_runtime_env())
 
-    def init_labels(t: pa.Table) -> pa.Table:
-        return pa.table({"n": t["a"], "lbl": t["a"]})
+    def hash_to_min(g: pa.Table) -> pa.Table:
+        u = g["src"][0].as_py()
+        nbrs = np.unique(g["dst"].to_numpy())
+        m = min(u, int(nbrs[0]))  # nbrs sorted ascending
+        nodes = nbrs[nbrs != m]
+        out_src = np.concatenate([np.full(len(nodes), m, dtype=np.int64), nodes])
+        out_dst = np.concatenate([nodes, np.full(len(nodes), m, dtype=np.int64)])
+        if u != m:  # keep u attached to m as well
+            out_src = np.concatenate([out_src, [m, u]])
+            out_dst = np.concatenate([out_dst, [u, m]])
+        return pa.table({"src": pa.array(out_src), "dst": pa.array(out_dst)})
 
-    labels = (
-        und.map_batches(init_labels, batch_format="pyarrow")
-        .groupby("n")
-        .aggregate(Min("lbl", alias_name="lbl"))
-        .materialize()
-    )
+    def _metric(a: rd.Dataset) -> int:
+        # sum over nodes of min(neighborhood): monotone, stable at fixpoint
+        mins = a.groupby("src").aggregate(Min("dst", alias_name="m"))
+        return int(mins.aggregate(Sum("m"))["sum(m)"])
 
-    def _metric(ds: rd.Dataset) -> int:
-        return int(ds.aggregate(Sum("lbl"))["sum(lbl)"])
-
-    prev = _metric(labels)
-    for _ in range(max_iters):
-
-        def as_keyed(t: pa.Table) -> pa.Table:  # labels keyed by edge source
-            return pa.table({"a": t["n"], "lbl": t["lbl"]})
-
-        msgs = bucketed_join(
-            und,
-            labels.map_batches(as_keyed, batch_format="pyarrow"),
-            on=["a"],
-            num_buckets=num_buckets,
-        ).map_batches(
-            lambda t: pa.table({"n": t["b"], "lbl": t["lbl"]}),
-            batch_format="pyarrow",
-        )
-        labels = (
-            labels.union(msgs)
-            .groupby("n")
-            .aggregate(Min("lbl", alias_name="lbl"))
+    prev = None
+    for it in range(max_iters):
+        adj = (
+            adj.groupby("src")
+            .map_groups(hash_to_min, batch_format="pyarrow")
             .materialize()
         )
-        cur = _metric(labels)
-        if cur == prev:  # labels are monotone non-increasing -> fixpoint
+        cur = _metric(adj)
+        if cur == prev:
             break
         prev = cur
-
-    def finish(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "doc_id": t["n"].cast(pa.int64()),
-                "cluster_id": t["lbl"].cast(pa.int64()),
-            }
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds"
         )
 
-    return labels.map_batches(finish, batch_format="pyarrow")
+    def finish(g: pa.Table) -> pa.Table:
+        u = g["src"][0].as_py()
+        m = min(u, int(pa.compute.min(g["dst"]).as_py()))
+        return pa.table(
+            {"doc_id": pa.array([u], pa.int64()), "cluster_id": pa.array([m], pa.int64())}
+        )
+
+    return adj.groupby("src").map_groups(finish, batch_format="pyarrow")
 
 
 def dedup_clusters(sf_dir: str) -> rd.Dataset:

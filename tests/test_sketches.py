@@ -111,3 +111,27 @@ def test_connected_components_chain_and_islands(ray_session):
         30: 30, 31: 30, 32: 30,
         50: 50, 51: 50,
     }
+
+
+def test_connected_components_long_chain_converges(ray_session):
+    """A 200-node chain has diameter 199; naive propagation would need 199
+    rounds, far beyond max_iters — pointer jumping must converge it in
+    O(log n) rounds and label every node with the chain head."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from aiw_i2b2_etl_ray.pipelines.graph_cc import connected_components
+
+    n = 200
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array(np.arange(n - 1, dtype=np.int64) + 1000),
+                "doc_b": pa.array(np.arange(1, n, dtype=np.int64) + 1000),
+            }
+        )
+    )
+    out = connected_components(edges, max_iters=12).to_pandas()
+    assert len(out) == n
+    assert (out["cluster_id"] == 1000).all()
