@@ -135,3 +135,38 @@ def test_connected_components_long_chain_converges(ray_session):
     out = connected_components(edges, max_iters=12).to_pandas()
     assert len(out) == n
     assert (out["cluster_id"] == 1000).all()
+
+
+def test_connected_components_random_graphs_match_union_find(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from aiw_i2b2_etl_ray.pipelines.graph_cc import connected_components
+
+    def uf_labels(pairs):
+        parent = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in parent}
+
+    rng = np.random.default_rng(3)
+    pairs = list({(int(a), int(b)) for a, b in rng.integers(0, 120, (250, 2)) if a != b})
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array([a for a, _ in pairs], pa.int64()),
+                "doc_b": pa.array([b for _, b in pairs], pa.int64()),
+            }
+        )
+    )
+    out = connected_components(edges).to_pandas()
+    assert dict(zip(out["doc_id"], out["cluster_id"])) == uf_labels(pairs)
