@@ -66,10 +66,17 @@ def connected_components(
             out_dst = np.concatenate([out_dst, [u, m]])
         return pa.table({"src": pa.array(out_src), "dst": pa.array(out_dst)})
 
-    def _metric(a: rd.Dataset) -> int:
-        # sum over nodes of min(neighborhood): monotone, stable at fixpoint
-        mins = a.groupby("src").aggregate(Min("dst", alias_name="m"))
-        return int(mins.aggregate(Sum("m"))["sum(m)"])
+    def _metric(a: rd.Dataset) -> tuple:
+        # (sum over nodes of min(neighborhood), node count, edge count):
+        # the sum is monotone non-increasing; counts guard against a
+        # theoretical plateau where the sum stalls while structure still
+        # evolves.  All three are stable exactly at the star fixpoint.
+        mins = a.groupby("src").aggregate(Min("dst", alias_name="m")).materialize()
+        return (
+            int(mins.aggregate(Sum("m"))["sum(m)"]),
+            mins.count(),
+            a.count(),
+        )
 
     prev = None
     for it in range(max_iters):
