@@ -100,6 +100,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "event_gaps": wf.event_gaps,  # LAG window analog
             "json_extract_props": wf.json_extract_props,  # semi-structured pull
             "global_rank": wf.global_rank_orders,  # total-order rank + NTILE
+            "funnel_conversion": wf.funnel_conversion,  # ordered-sequence match
+            "retention_cohorts": wf.retention_cohorts,  # cohort triangle
         }
     )
     from aiw_i2b2_etl_ray.pipelines import mixing as mx
@@ -294,6 +296,8 @@ def oracle_sql() -> dict[str, str]:
             "event_gaps": wf.SQL_EVENT_GAPS,
             "json_extract_props": wf.SQL_JSON_EXTRACT_PROPS,
             "global_rank": wf.SQL_GLOBAL_RANK_ORDERS,
+            "funnel_conversion": wf.SQL_FUNNEL_CONVERSION,
+            "retention_cohorts": wf.SQL_RETENTION_COHORTS,
         }
     )
     from aiw_i2b2_etl_ray.pipelines import sketches as sk

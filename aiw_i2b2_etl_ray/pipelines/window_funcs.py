@@ -443,3 +443,119 @@ SELECT o_orderkey, o_totalprice,
        CAST(NTILE({NTILE_N}) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS quartile
 FROM orders
 """
+
+
+FUNNEL = ("view", "click", "purchase")
+
+
+def funnel_conversion(sf_dir: str) -> rd.Dataset:
+    """Ordered-sequence (funnel) matching per user: how far through
+    view -> click -> purchase each user progressed, where each step must
+    occur strictly AFTER the previous step's first occurrence.  One keyed
+    shuffle; the in-group kernel is a 3-step vectorized first-occurrence
+    scan — the sequence-pattern shape (MATCH_RECOGNIZE-lite) session
+    analytics need."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+
+    def funnel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        et = g["event_type"].to_numpy()
+        depth = 0
+        cutoff = -1
+        for step in FUNNEL:
+            hits = np.nonzero((et == step) & (ts > cutoff))[0]
+            if len(hits) == 0:
+                break
+            cutoff = ts[hits[0]]
+            depth += 1
+        return pd.DataFrame(
+            {"user_id": [g["user_id"].iloc[0]], "funnel_depth": np.int64(depth)}
+        )
+
+    return ds.groupby("user_id").map_groups(funnel, batch_format="pandas")
+
+
+SQL_FUNNEL_CONVERSION = """
+WITH v AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t GROUP BY e.user_id
+)
+SELECT u.user_id,
+       CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                 WHEN c.user_id IS NOT NULL THEN 2
+                 WHEN v.user_id IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS funnel_depth
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN v ON v.user_id = u.user_id
+LEFT JOIN c ON c.user_id = u.user_id
+LEFT JOIN p ON p.user_id = u.user_id
+"""
+
+
+def retention_cohorts(sf_dir: str) -> rd.Dataset:
+    """Cohort retention: users grouped by first-active day, counted by
+    day-offset of each later active day — the classic (cohort_day,
+    offset) -> n_users triangle.  Two passes expressed as one plan:
+    per-batch (user, day) dedup partials, a keyed groupby to get each
+    user's first day, then a broadcast-free second aggregation keyed on
+    (first_day, offset) built inside the same group."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def day_pairs(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).with_columns(
+            (pl.col("ts").cast(pl.Datetime("us")).cast(pl.Int64) // 86_400_000_000)
+            .alias("day")
+        )
+        return df.select("user_id", "day").unique().to_arrow()
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        days = np.unique(g["day"].to_numpy())
+        first = days[0]
+        return pd.DataFrame(
+            {
+                "cohort_day": np.full(len(days), first, dtype=np.int64),
+                "day_offset": (days - first).astype(np.int64),
+            }
+        )
+
+    counted = (
+        ds.map_batches(day_pairs, batch_format="pyarrow", **worker_runtime_env())
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+        .map_batches(
+            lambda t: pl.from_arrow(t)
+            .group_by(["cohort_day", "day_offset"])
+            .agg(pl.len().cast(pl.Int64).alias("pn"))
+            .to_arrow(),
+            batch_format="pyarrow",
+        )
+        .groupby(["cohort_day", "day_offset"])
+        .aggregate(Sum("pn", alias_name="n_users"))
+    )
+    return counted
+
+
+SQL_RETENTION_COHORTS = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+  FROM events
+),
+firsts AS (SELECT user_id, MIN(day) AS cohort_day FROM ud GROUP BY user_id)
+SELECT f.cohort_day, ud.day - f.cohort_day AS day_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM ud JOIN firsts f ON f.user_id = ud.user_id
+GROUP BY f.cohort_day, day_offset
+"""
