@@ -49,6 +49,13 @@ def main(argv: list[str] | None = None) -> int:
     rt.add_argument("--out", required=True)
     rt.add_argument("--langs", required=True, help="comma-separated lang codes")
 
+    cb = sub.add_parser(
+        "corpus", help="end-to-end training-corpus build (filter+dedup+pack+write)"
+    )
+    cb.add_argument("--sf-dir", required=True, help="input table dir (documents.parquet)")
+    cb.add_argument("--out", required=True)
+    cb.add_argument("--capacity", type=int, default=2048)
+
     wn = sub.add_parser(
         "windows", help="fold a change-log micro-batch into persistent window counts"
     )
@@ -99,6 +106,10 @@ def main(argv: list[str] | None = None) -> int:
         from .pipelines.retract import retract_source
 
         print(json.dumps(retract_source(args.out, set(args.langs.split(",")))))
+    elif args.cmd == "corpus":
+        from .pipelines.curation import corpus_build
+
+        print(json.dumps(corpus_build(args.sf_dir, args.out, capacity=args.capacity)))
     elif args.cmd == "windows":
         from .pipelines.stream_windows import update_windows
 

@@ -82,3 +82,47 @@ WHERE q.alpha_ratio >= {MIN_ALPHA_RATIO}
 
 
 SQL_CORPUS_FILTER = _sql()
+
+
+def corpus_build(sf_dir: str, out_dir: str, *, capacity: int = 2048) -> dict:
+    """The second flagship: end-to-end training-corpus build.
+
+        documents --corpus_filter--> surviving docs
+                  --join n_chars----> token counts
+                  --per-lang pack---> context-window assignment
+                  --write_partitioned(by=lang)--> resumable parquet layout
+
+    Returns {"written": ..., "skipped": ..., "docs": n}.  Rerunning after
+    a partial failure skips completed language partitions (sinks.py
+    contract); the whole build is deterministic, so a resumed run
+    produces byte-identical output."""
+    import numpy as np
+    import pandas as pd
+
+    from ..sinks import write_partitioned
+
+    kept = corpus_filter(sf_dir)
+
+    # fetch n_chars for surviving docs: broadcast the (tiny) kept-id set
+    # is wrong at 100 TB — instead co-shuffle docs + kept ids once
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    enriched = bucketed_join(
+        kept.select_columns(["doc_id", "pred_lang"]), docs, on=["doc_id"], num_buckets=8
+    )
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort")
+        toks = (g["n_chars"].to_numpy() // 4).astype(np.int64)
+        cum = np.cumsum(toks)
+        g = g.reset_index(drop=True)
+        g["n_tokens"] = toks
+        g["chunk_id"] = ((cum - toks) // capacity).astype(np.int64)
+        return g[["doc_id", "pred_lang", "n_tokens", "chunk_id"]]
+
+    # materialize once: both the count and the sink consume the same blocks
+    packed = (
+        enriched.groupby("pred_lang").map_groups(pack, batch_format="pandas").materialize()
+    )
+    summary = write_partitioned(packed, out_dir, by="pred_lang")
+    summary["docs"] = packed.count()
+    return summary
