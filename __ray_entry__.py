@@ -159,6 +159,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "text_quality": tx.text_quality,
                 "text_langid": tx.text_langid,
                 "text_fingerprint": tx.text_fingerprint,
+                "text_scrub": tx.text_scrub,
+                "text_chunks": tx.text_chunks,
                 "text_rolling_fp": tx.text_rolling_fp,
                 "text_bpe_tokens": tx.text_bpe_tokens,
                 "multimodal_features": mm.multimodal_features,
@@ -355,6 +357,8 @@ def oracle_sql() -> dict[str, str]:
                 "text_quality": tx.SQL_TEXT_QUALITY,
                 "text_langid": tx.SQL_TEXT_LANGID,
                 "text_fingerprint": tx.SQL_TEXT_FINGERPRINT,
+                "text_scrub": tx.SQL_TEXT_SCRUB,
+                "text_chunks": tx.SQL_TEXT_CHUNKS,
             }
         )
         from aiw_i2b2_etl_ray.pipelines import multimodal as mm

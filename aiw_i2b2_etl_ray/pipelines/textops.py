@@ -15,6 +15,7 @@ import ray.data as rd
 
 from ..functions.hashing import rolling_fingerprint
 from ..functions.numeric import round_half_away
+from ..util import worker_runtime_env
 
 _WORD = r"[0-9A-Za-z_]+"  # \w without unicode surprises; matches RE2+re
 
@@ -254,3 +255,116 @@ def text_rolling_fp(sf_dir: str) -> rd.Dataset:
         )
 
     return ds.map_batches(fp, batch_format="pyarrow")
+
+
+# --- PII scrubbing -----------------------------------------------------------
+
+# deliberately simple, SQL-portable patterns (no lookarounds): the point is
+# the masking STAGE (compiled-once actor pool, vectorized replace), not a
+# production PII model
+_EMAIL_RE = r"[A-Za-z0-9_.]+@[A-Za-z0-9_.]+"
+_NUM_RE = r"[0-9][0-9][0-9]+"
+
+
+def text_scrub(sf_dir: str) -> rd.Dataset:
+    """PII-style scrubbing: mask email-shaped tokens and long digit runs,
+    and report how many replacements were made per doc — the masking
+    pre-pass every public-corpus pipeline runs before training.  Regexes
+    compile once per actor; replacement is the vectorized pandas kernel."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    class Scrub:
+        def __init__(self):
+            self.email = re.compile(_EMAIL_RE)
+            self.num = re.compile(_NUM_RE)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            n_email = b["text"].str.count(self.email).astype("int64")
+            n_num = b["text"].str.count(self.num).astype("int64")
+            clean = (
+                b["text"]
+                .str.replace(self.email, "<EMAIL>", regex=True)
+                .str.replace(self.num, "<NUM>", regex=True)
+            )
+            return pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"],
+                    "clean_50": clean.str.slice(0, 50),
+                    "n_masked": n_email + n_num,
+                }
+            )
+
+    return ds.map_batches(Scrub, batch_format="pandas", concurrency=(1, 4))
+
+
+SQL_TEXT_SCRUB = f"""
+SELECT doc_id,
+       substr(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                             '{_NUM_RE}', '<NUM>', 'g'), 1, 50) AS clean_50,
+       CAST(length(regexp_extract_all(text, '{_EMAIL_RE}'))
+          + length(regexp_extract_all(text, '{_NUM_RE}')) AS BIGINT) AS n_masked
+FROM documents
+"""
+
+
+# --- overlapping chunking ----------------------------------------------------
+
+CHUNK_LEN = 400
+CHUNK_STRIDE = 300  # 100-char overlap
+
+
+def text_chunks(sf_dir: str) -> rd.Dataset:
+    """Split each document into fixed-length character windows with
+    overlap (stride < length) — the context-window chunking step of a
+    retrieval/training corpus.  A stateless flat-map: output rows >> input
+    rows, ids + offsets + a digest only (never the full chunk text to the
+    driver)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def chunk(t: pa.Table) -> pa.Table:
+        ids, idxs, offs, lens, digests = [], [], [], [], []
+        for did, v in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            s = v or ""
+            n = len(s)
+            starts = range(0, max(n - CHUNK_LEN + CHUNK_STRIDE, 1), CHUNK_STRIDE)
+            for ci, st in enumerate(starts):
+                piece = s[st : st + CHUNK_LEN]
+                if not piece:
+                    break
+                ids.append(did)
+                idxs.append(ci)
+                offs.append(st)
+                lens.append(len(piece))
+                digests.append(hashlib.md5(piece.encode()).hexdigest())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "chunk_idx": pa.array(idxs, pa.int32()),
+                "offset": pa.array(offs, pa.int64()),
+                "chunk_len": pa.array(lens, pa.int64()),
+                "chunk_md5": pa.array(digests, pa.string()),
+            }
+        )
+
+    return ds.map_batches(chunk, batch_format="pyarrow", **worker_runtime_env())
+
+
+SQL_TEXT_CHUNKS = f"""
+WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+idx AS (
+  SELECT d.doc_id, d.text, gs.g AS chunk_idx, gs.g * {CHUNK_STRIDE} AS off
+  FROM d, LATERAL (
+    SELECT UNNEST(generate_series(0,
+      CAST(ceil(greatest(d.n - {CHUNK_LEN} + {CHUNK_STRIDE}, 1) / {CHUNK_STRIDE}.0) AS BIGINT) - 1
+    )) AS g
+  ) gs
+  WHERE gs.g * {CHUNK_STRIDE} < d.n OR (gs.g = 0 AND d.n = 0)
+)
+SELECT doc_id,
+       CAST(chunk_idx AS INT) AS chunk_idx,
+       off AS offset,
+       CAST(length(substr(text, CAST(off + 1 AS BIGINT), {CHUNK_LEN})) AS BIGINT) AS chunk_len,
+       md5(substr(text, CAST(off + 1 AS BIGINT), {CHUNK_LEN})) AS chunk_md5
+FROM idx
+WHERE length(substr(text, CAST(off + 1 AS BIGINT), {CHUNK_LEN})) > 0
+"""
