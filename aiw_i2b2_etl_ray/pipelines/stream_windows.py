@@ -73,6 +73,19 @@ def update_windows(
     """Fold one micro-batch of the change log into the persistent window
     counts.  Idempotent: re-running with an overlapping (redelivered)
     input slice leaves the state unchanged for already-covered seqs."""
+    # stable-routing invariant (same rule as the merge's job manifest):
+    # watermarks are per-PARTITION, so the event->partition mapping must
+    # never change across folds — a different num_partitions re-routes
+    # rows past foreign watermarks and double-counts.
+    jm_path = os.path.join(out_dir, "_window_manifest", "job.json")
+    if os.path.exists(jm_path):
+        with open(jm_path) as fh:
+            jm = json.load(fh)
+        if jm["num_partitions"] != num_partitions:
+            raise ValueError(
+                f"window state at {out_dir} was built with num_partitions="
+                f"{jm['num_partitions']}; refusing to fold with {num_partitions}"
+            )
     changes = (
         read_changes(input_path, with_content=False)
         if isinstance(input_path, str)
@@ -97,7 +110,9 @@ def update_windows(
             wm_prev = _read_wm(self.out, pid)
             seqs = g["commit_seq"]
             keep = pc.fill_null(pc.greater(seqs, wm_prev), False)
+            n_in = len(g)
             g = g.filter(keep)
+            n_skipped = n_in - len(g)  # late/duplicate rows under the watermark
             wm_new = wm_prev
             if len(g):
                 wm_new = int(pc.max(g["commit_seq"]).as_py())
@@ -126,12 +141,14 @@ def update_windows(
                 {
                     "partition_id": pa.array([pid], pa.int32()),
                     "rows_folded": pa.array([len(g)], pa.int64()),
+                    "rows_skipped": pa.array([n_skipped], pa.int64()),
                     "watermark_seq": pa.array([wm_new], pa.int64()),
                 }
             )
 
     os.makedirs(os.path.join(out_dir, "window_counts"), exist_ok=True)
     os.makedirs(os.path.join(out_dir, "_window_manifest"), exist_ok=True)
+    _atomic_json({"num_partitions": num_partitions}, jm_path)
     summary = (
         routed.groupby("_pid")
         .map_groups(
@@ -147,6 +164,7 @@ def update_windows(
     return {
         "partitions": len(summary),
         "rows_folded": int(summary["rows_folded"].sum()),
+        "rows_skipped": int(summary["rows_skipped"].sum()),
     }
 
 

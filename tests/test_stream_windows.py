@@ -67,4 +67,19 @@ def test_refold_same_batch_is_noop(log_dir, tmp_path, ray_session):
     before = load_windows(out)
     s = update_windows(_slice_ds(full, 0, 1500), out, num_partitions=4)  # redelivery
     assert s["rows_folded"] == 0
+    assert s["rows_skipped"] > 0  # everything was late/duplicate
     assert_table_eq(load_windows(out), before, ["repo", "window_id"])
+
+
+def test_partition_count_change_is_rejected(log_dir, tmp_path, ray_session):
+    """Watermarks are per-partition, so the routing fn must be pinned:
+    folding the same state dir with a different num_partitions would
+    double-count and must be refused (the merge's job-manifest rule)."""
+    full = read_changes_table(log_dir)
+    out = str(tmp_path / "pinned")
+    update_windows(_slice_ds(full, 0, 1000), out, num_partitions=4)
+    with pytest.raises(ValueError, match="num_partitions"):
+        update_windows(_slice_ds(full, 1000, 2000), out, num_partitions=8)
+    # the original partitioning still works
+    s = update_windows(_slice_ds(full, 1000, 2000), out, num_partitions=4)
+    assert s["rows_folded"] > 0
