@@ -83,10 +83,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         }
     )
     from aiw_i2b2_etl_ray.pipelines import temporal_joins as tj
+    from aiw_i2b2_etl_ray.pipelines import tpch_like as tq
     from aiw_i2b2_etl_ray.pipelines import window_funcs as wf
 
     cat.update(
         {
+            "tpch_q3": tq.tpch_q3,  # 3-way join + top-k report
+            "tpch_q5": tq.tpch_q5,  # 6-table local-supplier volume
             "asof_join": tj.asof_join_events_orders,  # as-of (latest-prior) join
             "range_join": tj.range_join_orders_shipments,  # interval join, no equi-key
             "cumulative_value": wf.cumulative_value,  # running-sum window frame
@@ -281,10 +284,13 @@ def oracle_sql() -> dict[str, str]:
         }
     )
     from aiw_i2b2_etl_ray.pipelines import temporal_joins as tj
+    from aiw_i2b2_etl_ray.pipelines import tpch_like as tq
     from aiw_i2b2_etl_ray.pipelines import window_funcs as wf
 
     sql.update(
         {
+            "tpch_q3": tq.SQL_TPCH_Q3,
+            "tpch_q5": tq.SQL_TPCH_Q5,
             "asof_join": tj.SQL_ASOF_JOIN,
             "range_join": tj.SQL_RANGE_JOIN,
             "cumulative_value": wf.SQL_CUMULATIVE_VALUE,

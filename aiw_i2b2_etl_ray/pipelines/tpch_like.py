@@ -1,0 +1,213 @@
+"""Multi-join relational pipelines (TPC-H Q3/Q5 shapes) — proof that the
+engine's join toolbox (broadcast small-side, bucketed co-shuffle,
+combiner-first aggregation) composes into the N-way reporting queries the
+reference pushes into source SQL (J4, dsb/I2B2DataSourceBackend.java:
+200,226,256-290).
+
+Physical plans:
+* Q3 (shipping priority): filter both large sides at the READ, broadcast
+  the filtered customer keyset, bucketed-join lineitem x orders on
+  orderkey (both large), per-batch revenue partials, small keyed groupby,
+  global top-10 by sort-limit.
+* Q5 (local-supplier volume): lineitem x orders x supplier x customer x
+  nation x region — the three small dims fold into one broadcast lookup;
+  the one large-large equi-join (lineitem x orders) is the bucketed
+  co-shuffle; the same-nation predicate is a vectorized filter inside the
+  joined batch.
+"""
+
+from __future__ import annotations
+
+import polars as pl
+import pyarrow as pa
+import ray
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from ..functions.numeric import round_half_away_pc
+from ..stages.join import bucketed_join
+from ..util import worker_runtime_env
+
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1995-03-15"
+Q5_REGION = "ASIA"
+Q5_DATE_LO = "1996-01-01"
+Q5_DATE_HI = "1998-01-01"
+
+
+def tpch_q3(sf_dir: str) -> rd.Dataset:
+    """Top-10 unshipped-order revenue by (orderkey, orderdate, priority)."""
+    cust = pl.read_parquet(f"{sf_dir}/customer.parquet").filter(
+        pl.col("c_mktsegment") == Q3_SEGMENT
+    )["c_custkey"]
+    cust_ref = ray.put(set(cust.to_list()))
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def keep_orders(t: pa.Table) -> pa.Table:
+        keys = ray.get(cust_ref)
+        df = pl.from_arrow(t).filter(
+            pl.col("o_orderdate") < pl.lit(Q3_DATE).str.to_datetime("%Y-%m-%d")
+        )
+        df = df.filter(pl.col("o_custkey").is_in(list(keys)))
+        return df.select("o_orderkey", "o_orderdate", "o_orderpriority").to_arrow()
+
+    o_side = orders.map_batches(keep_orders, batch_format="pyarrow", **worker_runtime_env())
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def keep_lines(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).filter(
+            pl.col("l_shipdate") > pl.lit(Q3_DATE).str.to_datetime("%Y-%m-%d")
+        )
+        return df.with_columns(
+            (pl.col("l_extendedprice") * (1 - pl.col("l_discount"))).alias("rev")
+        ).select("l_orderkey", "rev").rename({"l_orderkey": "o_orderkey"}).to_arrow()
+
+    l_side = line.map_batches(keep_lines, batch_format="pyarrow", **worker_runtime_env())
+
+    joined = bucketed_join(l_side, o_side, on=["o_orderkey"], num_buckets=16)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .group_by(["o_orderkey", "o_orderdate", "o_orderpriority"])
+            .agg(pl.col("rev").sum().alias("pr"))
+            .to_arrow()
+        )
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow", **worker_runtime_env())
+        .groupby(["o_orderkey", "o_orderdate", "o_orderpriority"])
+        .aggregate(Sum("pr", alias_name="revenue"))
+        .sort([("revenue"), ("o_orderkey")], descending=[True, False])
+        .limit(10)
+    )
+    return agg.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("revenue"), "revenue", round_half_away_pc(t["revenue"], 2)
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_TPCH_Q3 = f"""
+SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = '{Q3_SEGMENT}'
+  AND o.o_orderdate < TIMESTAMP '{Q3_DATE} 00:00:00'
+  AND l.l_shipdate  > TIMESTAMP '{Q3_DATE} 00:00:00'
+GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY SUM(l.l_extendedprice * (1 - l.l_discount)) DESC, o.o_orderkey
+LIMIT 10
+"""
+
+
+def tpch_q5(sf_dir: str) -> rd.Dataset:
+    """Revenue per nation for orders where customer and supplier share the
+    nation, nation in one region, orderdate in a year window."""
+    nat = pl.read_parquet(f"{sf_dir}/nation.parquet")
+    reg = pl.read_parquet(f"{sf_dir}/region.parquet").filter(
+        pl.col("r_name") == Q5_REGION
+    )
+    nat = nat.join(reg, left_on="n_regionkey", right_on="r_regionkey").select(
+        ["n_nationkey", "n_name"]
+    )
+    cust = (
+        pl.read_parquet(f"{sf_dir}/customer.parquet")
+        .select(["c_custkey", "c_nationkey"])
+        .join(nat, left_on="c_nationkey", right_on="n_nationkey")
+        .select(["c_custkey", "c_nationkey", "n_name"])
+    )
+    supp = (
+        pl.read_parquet(f"{sf_dir}/supplier.parquet")
+        .select(["s_suppkey", "s_nationkey"])
+        .join(nat, left_on="s_nationkey", right_on="n_nationkey")
+        .select(["s_suppkey", "s_nationkey"])
+    )
+    side_ref = ray.put((cust, supp))
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    class OrderSide:
+        def __init__(self):
+            self.cust, _ = ray.get(side_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            df = pl.from_arrow(t).filter(
+                (pl.col("o_orderdate") >= pl.lit(Q5_DATE_LO).str.to_datetime("%Y-%m-%d"))
+                & (pl.col("o_orderdate") < pl.lit(Q5_DATE_HI).str.to_datetime("%Y-%m-%d"))
+            )
+            j = df.join(self.cust, left_on="o_custkey", right_on="c_custkey")
+            return j.select("o_orderkey", "c_nationkey", "n_name").to_arrow()
+
+    o_side = orders.map_batches(OrderSide, batch_format="pyarrow", concurrency=(1, 4))
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    class LineSide:
+        def __init__(self):
+            _, self.supp = ray.get(side_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            df = pl.from_arrow(t).join(
+                self.supp, left_on="l_suppkey", right_on="s_suppkey"
+            )
+            return (
+                df.with_columns(
+                    (pl.col("l_extendedprice") * (1 - pl.col("l_discount"))).alias("rev")
+                )
+                .select("l_orderkey", "s_nationkey", "rev")
+                .rename({"l_orderkey": "o_orderkey"})
+                .to_arrow()
+            )
+
+    l_side = line.map_batches(LineSide, batch_format="pyarrow", concurrency=(1, 4))
+
+    joined = bucketed_join(l_side, o_side, on=["o_orderkey"], num_buckets=16)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).filter(pl.col("s_nationkey") == pl.col("c_nationkey"))
+        return df.group_by("n_name").agg(pl.col("rev").sum().alias("pr")).to_arrow()
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow", **worker_runtime_env())
+        .groupby("n_name")
+        .aggregate(Sum("pr", alias_name="revenue"))
+    )
+    return agg.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("revenue"), "revenue", round_half_away_pc(t["revenue"], 2)
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_TPCH_Q5 = f"""
+SELECT n.n_name,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+JOIN region r   ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = '{Q5_REGION}'
+  AND o.o_orderdate >= TIMESTAMP '{Q5_DATE_LO} 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '{Q5_DATE_HI} 00:00:00'
+GROUP BY n.n_name
+"""
