@@ -90,6 +90,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         {
             "tpch_q3": tq.tpch_q3,  # 3-way join + top-k report
             "tpch_q5": tq.tpch_q5,  # 6-table local-supplier volume
+            "tpch_q17": tq.tpch_q17,  # correlated scalar subquery (broadcast)
+            "tpch_q18": tq.tpch_q18,  # HAVING semi-join report
             "asof_join": tj.asof_join_events_orders,  # as-of (latest-prior) join
             "range_join": tj.range_join_orders_shipments,  # interval join, no equi-key
             "cumulative_value": wf.cumulative_value,  # running-sum window frame
@@ -291,6 +293,8 @@ def oracle_sql() -> dict[str, str]:
         {
             "tpch_q3": tq.SQL_TPCH_Q3,
             "tpch_q5": tq.SQL_TPCH_Q5,
+            "tpch_q17": tq.SQL_TPCH_Q17,
+            "tpch_q18": tq.SQL_TPCH_Q18,
             "asof_join": tj.SQL_ASOF_JOIN,
             "range_join": tj.SQL_RANGE_JOIN,
             "cumulative_value": wf.SQL_CUMULATIVE_VALUE,

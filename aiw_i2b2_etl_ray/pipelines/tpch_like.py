@@ -211,3 +211,150 @@ WHERE r.r_name = '{Q5_REGION}'
   AND o.o_orderdate <  TIMESTAMP '{Q5_DATE_HI} 00:00:00'
 GROUP BY n.n_name
 """
+
+
+Q17_FRACTION = 0.5  # "small-quantity" threshold vs the part's average
+Q18_QTY = 150.0  # large-order total-quantity cutoff
+
+
+def tpch_q17(sf_dir: str) -> rd.Dataset:
+    """Q17 shape — correlated scalar subquery: revenue of lineitems whose
+    quantity is below a fraction of their PART's average quantity.
+
+    Physical plan: the per-part averages are a combiner-first aggregate
+    (small result: one row per part), broadcast via ``ray.put``; the
+    comparison is then a stateless vectorized filter over lineitem — the
+    correlated subquery never becomes a join."""
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_quantity", "l_extendedprice"]
+    )
+
+    def avg_partial(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .group_by("l_partkey")
+            .agg(pl.col("l_quantity").sum().alias("ps"), pl.len().cast(pl.Int64).alias("pn"))
+            .to_arrow()
+        )
+
+    avgs = (
+        line.map_batches(avg_partial, batch_format="pyarrow", **worker_runtime_env())
+        .groupby("l_partkey")
+        .aggregate(Sum("ps", alias_name="s"), Sum("pn", alias_name="n"))
+        .to_pandas()
+    )
+    import numpy as np
+
+    thresh = {
+        int(k): Q17_FRACTION * s / n
+        for k, s, n in zip(avgs["l_partkey"], avgs["s"], avgs["n"])
+    }
+    thresh_ref = ray.put(thresh)
+
+    class Filter:
+        def __init__(self):
+            self.thresh = ray.get(thresh_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            keys = t["l_partkey"].to_numpy()
+            qty = t["l_quantity"].to_numpy()
+            lim = pd.Series(keys).map(self.thresh).fillna(0.0).to_numpy()
+            keep = qty < lim
+            return pa.table(
+                {"pr": pa.array([float(t["l_extendedprice"].to_numpy()[keep].sum())])}
+            )
+
+    total = (
+        line.map_batches(Filter, batch_format="pyarrow", concurrency=(1, 4))
+        .groupby(None)
+        .aggregate(Sum("pr", alias_name="s"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"avg_yearly": round_half_away_pc(pa.compute.divide(t["s"], 7.0), 2)}
+        )
+
+    return total.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_TPCH_Q17 = f"""
+SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l
+WHERE l.l_quantity < (
+  SELECT {Q17_FRACTION} * AVG(l2.l_quantity) FROM lineitem l2
+  WHERE l2.l_partkey = l.l_partkey
+)
+"""
+
+
+def tpch_q18(sf_dir: str) -> rd.Dataset:
+    """Q18 shape — HAVING semi-join: orders whose total lineitem quantity
+    exceeds a cutoff, reported with customer key and totals.
+
+    Physical plan: per-order quantity totals (combiner + keyed groupby),
+    filter HAVING > cutoff (tiny surviving set), broadcast the surviving
+    orderkeys, then a single pruned pass over orders for the report —
+    the classic aggregate-then-semi-join, no second big shuffle."""
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"])
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .group_by("l_orderkey")
+            .agg(pl.col("l_quantity").sum().alias("pq"))
+            .to_arrow()
+        )
+
+    totals = (
+        line.map_batches(qty_partial, batch_format="pyarrow", **worker_runtime_env())
+        .groupby("l_orderkey")
+        .aggregate(Sum("pq", alias_name="total_qty"))
+    )
+
+    def having(t: pa.Table) -> pa.Table:
+        return t.filter(pa.compute.greater(t["total_qty"], Q18_QTY))
+
+    big = totals.map_batches(having, batch_format="pyarrow").to_pandas()
+    big_map = dict(zip(big["l_orderkey"].astype(int), big["total_qty"]))
+    big_ref = ray.put(big_map)
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+
+    class Report:
+        def __init__(self):
+            self.big = ray.get(big_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            df = pl.from_arrow(t).filter(
+                pl.col("o_orderkey").is_in(list(self.big))
+            )
+            qty = pd.Series(df["o_orderkey"].to_numpy()).map(self.big).to_numpy()
+            return df.with_columns(
+                pl.Series("total_qty", qty, dtype=pl.Float64)
+            ).to_arrow()
+
+    out = orders.map_batches(Report, batch_format="pyarrow", concurrency=(1, 4))
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("total_qty"), "total_qty", round_half_away_pc(t["total_qty"], 2)
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_TPCH_Q18 = f"""
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+       ROUND(t.total_qty, 2) AS total_qty
+FROM orders o
+JOIN (
+  SELECT l_orderkey, SUM(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > {Q18_QTY}
+) t ON t.l_orderkey = o.o_orderkey
+"""
