@@ -22,7 +22,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
 
-from ..schemas import CHANGE_FACT, PATH_DIM, ensure_columns
+from ..schemas import PATH_DIM, ensure_columns
 from ..stages.merge import _atomic_write
 
 
@@ -115,7 +115,7 @@ def retract_source(out_dir: str, langs: set[str], *, refold_dims: bool = True) -
     }
     if refold_dims:
         from ..stages import dims as dims_mod
-        from ..stages.merge import load_path_dim, reduce_hot_rows  # noqa: F401
+        from ..stages.merge import reduce_hot_rows
 
         hot_files = sorted(glob.glob(os.path.join(out_dir, "path_dim", "hot-*.parquet")))
         hot_all = None

@@ -243,8 +243,6 @@ def tpch_q17(sf_dir: str) -> rd.Dataset:
         .aggregate(Sum("ps", alias_name="s"), Sum("pn", alias_name="n"))
         .to_pandas()
     )
-    import numpy as np
-
     thresh = {
         int(k): Q17_FRACTION * s / n
         for k, s, n in zip(avgs["l_partkey"], avgs["s"], avgs["n"])
