@@ -221,10 +221,12 @@ def tpch_q17(sf_dir: str) -> rd.Dataset:
     """Q17 shape — correlated scalar subquery: revenue of lineitems whose
     quantity is below a fraction of their PART's average quantity.
 
-    Physical plan: the per-part averages are a combiner-first aggregate
-    (small result: one row per part), broadcast via ``ray.put``; the
-    comparison is then a stateless vectorized filter over lineitem — the
-    correlated subquery never becomes a join."""
+    Physical plan: the correlated aggregate becomes a self-join on the
+    correlation key — per-part averages via combiner + keyed groupby, then
+    a bucketed co-shuffle join of lineitem against that average table
+    (BOTH sides keyed on l_partkey; at 10^8+ parts the averages table is
+    itself large, so broadcasting it would be the classic driver-OOM
+    mistake), a vectorized threshold filter, and a scalar fold."""
     line = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_quantity", "l_extendedprice"]
     )
@@ -241,31 +243,31 @@ def tpch_q17(sf_dir: str) -> rd.Dataset:
         line.map_batches(avg_partial, batch_format="pyarrow", **worker_runtime_env())
         .groupby("l_partkey")
         .aggregate(Sum("ps", alias_name="s"), Sum("pn", alias_name="n"))
-        .to_pandas()
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "l_partkey": t["l_partkey"],
+                    "qty_limit": pa.compute.multiply(
+                        pa.compute.divide(t["s"], pa.compute.cast(t["n"], pa.float64())),
+                        Q17_FRACTION,
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
     )
-    thresh = {
-        int(k): Q17_FRACTION * s / n
-        for k, s, n in zip(avgs["l_partkey"], avgs["s"], avgs["n"])
-    }
-    thresh_ref = ray.put(thresh)
 
-    class Filter:
-        def __init__(self):
-            self.thresh = ray.get(thresh_ref)
+    joined = bucketed_join(line, avgs, on=["l_partkey"], num_buckets=16)
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            import pandas as pd
-
-            keys = t["l_partkey"].to_numpy()
-            qty = t["l_quantity"].to_numpy()
-            lim = pd.Series(keys).map(self.thresh).fillna(0.0).to_numpy()
-            keep = qty < lim
-            return pa.table(
-                {"pr": pa.array([float(t["l_extendedprice"].to_numpy()[keep].sum())])}
-            )
+    def below(t: pa.Table) -> pa.Table:
+        keep = pa.compute.less(t["l_quantity"], t["qty_limit"])
+        kept = t.filter(pa.compute.fill_null(keep, False))
+        return pa.table(
+            {"pr": pa.array([float(pa.compute.sum(kept["l_extendedprice"]).as_py() or 0.0)])}
+        )
 
     total = (
-        line.map_batches(Filter, batch_format="pyarrow", concurrency=(1, 4))
+        joined.map_batches(below, batch_format="pyarrow", **worker_runtime_env())
         .groupby(None)
         .aggregate(Sum("pr", alias_name="s"))
     )
