@@ -25,13 +25,29 @@ MIN_ALPHA_RATIO = 0.82
 MIN_STOPWORD_SCORE = 0.02
 
 
-def corpus_filter(sf_dir: str) -> rd.Dataset:
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class CurationSpec:
+    """User-extension surface for the training-data pipeline — the
+    curation analog of ``config.ReplaySpec`` (SURVEY §2.10: job specs are
+    plain dataclasses, not a service registry).  Every knob the curation
+    chain hard-codes by default is overridable per job."""
+
+    min_alpha_ratio: float = MIN_ALPHA_RATIO
+    min_stopword_score: float = MIN_STOPWORD_SCORE
+    drop_duplicates: bool = True  # keep-one-per-near-dup-cluster
+    pack_capacity: int = 2048  # tokens per packed context window
+
+
+def corpus_filter(sf_dir: str, spec: CurationSpec = CurationSpec()) -> rd.Dataset:
     """doc ids that survive curation, with the signals that admitted them."""
     from .graph_cc import dedup_clusters
     from .textops import text_langid, text_quality
 
     quality = text_quality(sf_dir).map_batches(
-        lambda t: t.filter(pc.greater_equal(t["alpha_ratio"], MIN_ALPHA_RATIO)),
+        lambda t: t.filter(pc.greater_equal(t["alpha_ratio"], spec.min_alpha_ratio)),
         batch_format="pyarrow",
     ).select_columns(["doc_id", "alpha_ratio"])
 
@@ -39,17 +55,20 @@ def corpus_filter(sf_dir: str) -> rd.Dataset:
         lambda t: t.filter(
             pc.and_(
                 pc.not_equal(t["pred_lang"], "und"),
-                pc.greater_equal(t["stopword_score"], MIN_STOPWORD_SCORE),
+                pc.greater_equal(t["stopword_score"], spec.min_stopword_score),
             )
         ),
         batch_format="pyarrow",
     ).select_columns(["doc_id", "pred_lang"])
 
-    # non-canonical members of duplicate clusters (tiny: only docs in pairs)
-    clusters = dedup_clusters(sf_dir).to_pandas()
-    drop = set(
-        clusters.loc[clusters["doc_id"] != clusters["cluster_id"], "doc_id"].tolist()
-    )
+    if spec.drop_duplicates:
+        # non-canonical members of duplicate clusters (tiny: only docs in pairs)
+        clusters = dedup_clusters(sf_dir).to_pandas()
+        drop = set(
+            clusters.loc[clusters["doc_id"] != clusters["cluster_id"], "doc_id"].tolist()
+        )
+    else:
+        drop = set()
     drop_ref = ray.put(np.array(sorted(drop), dtype=np.int64))
 
     joined = bucketed_join(quality, lang, on=["doc_id"], num_buckets=8)
@@ -84,7 +103,9 @@ WHERE q.alpha_ratio >= {MIN_ALPHA_RATIO}
 SQL_CORPUS_FILTER = _sql()
 
 
-def corpus_build(sf_dir: str, out_dir: str, *, capacity: int = 2048) -> dict:
+def corpus_build(
+    sf_dir: str, out_dir: str, *, spec: CurationSpec = CurationSpec(), capacity: int | None = None
+) -> dict:
     """The second flagship: end-to-end training-corpus build.
 
         documents --corpus_filter--> surviving docs
@@ -101,7 +122,8 @@ def corpus_build(sf_dir: str, out_dir: str, *, capacity: int = 2048) -> dict:
 
     from ..sinks import write_partitioned
 
-    kept = corpus_filter(sf_dir)
+    cap = capacity if capacity is not None else spec.pack_capacity
+    kept = corpus_filter(sf_dir, spec)
 
     # fetch n_chars for surviving docs: broadcast the (tiny) kept-id set
     # is wrong at 100 TB — instead co-shuffle docs + kept ids once
@@ -116,7 +138,7 @@ def corpus_build(sf_dir: str, out_dir: str, *, capacity: int = 2048) -> dict:
         cum = np.cumsum(toks)
         g = g.reset_index(drop=True)
         g["n_tokens"] = toks
-        g["chunk_id"] = ((cum - toks) // capacity).astype(np.int64)
+        g["chunk_id"] = ((cum - toks) // cap).astype(np.int64)
         return g[["doc_id", "pred_lang", "n_tokens", "chunk_id"]]
 
     # materialize once: both the count and the sink consume the same blocks

@@ -55,3 +55,25 @@ def test_corpus_rerun_resumes_and_is_identical(built, ray_session):
     assert summary["written"] == 0
     assert summary["skipped"] == first["written"]
     assert _load(out).equals(before)
+
+
+def test_curation_spec_knobs(ray_session):
+    """CurationSpec is the §2.10 extension surface: loosening a gate can
+    only grow the surviving set; disabling dedup re-admits exactly the
+    non-canonical cluster members."""
+    from aiw_i2b2_etl_ray.pipelines.curation import CurationSpec, corpus_filter
+    from aiw_i2b2_etl_ray.pipelines.graph_cc import dedup_clusters
+
+    base = set(corpus_filter(SF).to_pandas()["doc_id"])
+    loose = set(
+        corpus_filter(SF, CurationSpec(min_alpha_ratio=0.0, min_stopword_score=0.0)).to_pandas()["doc_id"]
+    )
+    assert base <= loose and len(loose) > len(base)
+
+    nodedup = set(
+        corpus_filter(SF, CurationSpec(drop_duplicates=False)).to_pandas()["doc_id"]
+    )
+    cl = dedup_clusters(SF).to_pandas()
+    dropped = set(cl.loc[cl["doc_id"] != cl["cluster_id"], "doc_id"])
+    assert nodedup - base <= dropped  # re-admitted docs are exactly dup members
+    assert base <= nodedup
