@@ -41,30 +41,51 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iters: int = 30,
+    num_buckets: int = 16,
 ) -> rd.Dataset:
     """(node, component) for every node appearing in ``edges``; component
     id is the minimum node id reachable over undirected edges.  Raises if
     the fixpoint is not reached within ``max_iters`` rounds (hash-to-min
-    needs ~log2(diameter) + 2, so 30 covers any practical graph)."""
+    needs ~log2(diameter) + 2, so 30 covers any practical graph).
+
+    Rounds are grouped by a COARSE node-hash bucket, not per node: one
+    shuffle group per bucket, with the per-node min/emit logic fully
+    vectorized in polars inside the bucket — per-node task dispatch would
+    dominate past ~10^4 nodes (measured), the same
+    many-tiny-groups pitfall ray_guide.md warns about."""
+    import polars as pl
 
     def to_und(t: pa.Table) -> pa.Table:
         fwd = pa.table({"src": t[src].cast(pa.int64()), "dst": t[dst].cast(pa.int64())})
         rev = pa.table({"src": t[dst].cast(pa.int64()), "dst": t[src].cast(pa.int64())})
-        return pa.concat_tables([fwd, rev]).combine_chunks()
+        out = pa.concat_tables([fwd, rev]).combine_chunks()
+        pid = (out["src"].to_numpy() % num_buckets).astype(np.int32)
+        return out.append_column("_pid", pa.array(pid))
 
     adj = edges.map_batches(to_und, batch_format="pyarrow", **worker_runtime_env())
 
-    def hash_to_min(g: pa.Table) -> pa.Table:
-        u = g["src"][0].as_py()
-        nbrs = np.unique(g["dst"].to_numpy())
-        m = min(u, int(nbrs[0]))  # nbrs sorted ascending
-        nodes = nbrs[nbrs != m]
-        out_src = np.concatenate([np.full(len(nodes), m, dtype=np.int64), nodes])
-        out_dst = np.concatenate([nodes, np.full(len(nodes), m, dtype=np.int64)])
-        if u != m:  # keep u attached to m as well
-            out_src = np.concatenate([out_src, [m, u]])
-            out_dst = np.concatenate([out_dst, [u, m]])
-        return pa.table({"src": pa.array(out_src), "dst": pa.array(out_dst)})
+    def hash_to_min_bucket(g: pa.Table) -> pa.Table:
+        df = pl.from_arrow(g.select(["src", "dst"])).unique()
+        mins = (
+            df.group_by("src")
+            .agg(pl.col("dst").min().alias("mn"))
+            .with_columns(pl.min_horizontal("src", "mn").alias("m"))
+        )
+        j = df.join(mins.select("src", "m"), on="src")
+        # attach every neighbor to the node's current min, both directions
+        e1 = j.select(pl.col("m").alias("src"), pl.col("dst"))
+        e2 = j.select(pl.col("dst").alias("src"), pl.col("m").alias("dst"))
+        # keep u itself attached to m
+        selfm = mins.filter(pl.col("src") != pl.col("m"))
+        u1 = selfm.select(pl.col("m").alias("src"), pl.col("src").alias("dst"))
+        u2 = selfm.select("src", pl.col("m").alias("dst"))
+        out = (
+            pl.concat([e1, e2, u1, u2])
+            .filter(pl.col("src") != pl.col("dst"))
+            .unique()
+            .with_columns((pl.col("src") % num_buckets).cast(pl.Int32).alias("_pid"))
+        )
+        return out.to_arrow()
 
     def _metric(a: rd.Dataset) -> tuple:
         # (sum over nodes of min(neighborhood), node count, edge count):
@@ -81,8 +102,8 @@ def connected_components(
     prev = None
     for it in range(max_iters):
         adj = (
-            adj.groupby("src")
-            .map_groups(hash_to_min, batch_format="pyarrow")
+            adj.groupby("_pid")
+            .map_groups(hash_to_min_bucket, batch_format="pyarrow")
             .materialize()
         )
         cur = _metric(adj)
@@ -94,14 +115,17 @@ def connected_components(
             f"connected_components did not converge in {max_iters} rounds"
         )
 
-    def finish(g: pa.Table) -> pa.Table:
-        u = g["src"][0].as_py()
-        m = min(u, int(pa.compute.min(g["dst"]).as_py()))
-        return pa.table(
-            {"doc_id": pa.array([u], pa.int64()), "cluster_id": pa.array([m], pa.int64())}
+    def labels_bucket(g: pa.Table) -> pa.Table:
+        df = pl.from_arrow(g.select(["src", "dst"]))
+        out = (
+            df.group_by("src")
+            .agg(pl.col("dst").min().alias("mn"))
+            .with_columns(pl.min_horizontal("src", "mn").alias("cluster_id"))
+            .select(pl.col("src").alias("doc_id"), "cluster_id")
         )
+        return out.to_arrow()
 
-    return adj.groupby("src").map_groups(finish, batch_format="pyarrow")
+    return adj.groupby("_pid").map_groups(labels_bucket, batch_format="pyarrow")
 
 
 def dedup_clusters(sf_dir: str) -> rd.Dataset:

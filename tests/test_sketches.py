@@ -170,3 +170,42 @@ def test_connected_components_random_graphs_match_union_find(ray_session):
     )
     out = connected_components(edges).to_pandas()
     assert dict(zip(out["doc_id"], out["cluster_id"])) == uf_labels(pairs)
+
+
+def test_connected_components_bulk_random_graph(ray_session):
+    """Bulk sanity at 8k edges / 5k nodes (giant-component regime): the
+    bucket-vectorized rounds must stay fast (no per-node dispatch) and
+    agree with union-find exactly."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from aiw_i2b2_etl_ray.pipelines.graph_cc import connected_components
+
+    rng = np.random.default_rng(13)
+    a = rng.integers(0, 5000, 8000)
+    b = rng.integers(0, 5000, 8000)
+    keep = a != b
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array(a[keep], pa.int64()),
+                "doc_b": pa.array(b[keep], pa.int64()),
+            }
+        )
+    )
+    out = connected_components(edges).to_pandas()
+
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(a[keep], b[keep]):
+        rx, ry = find(int(x)), find(int(y))
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    want = {n: find(n) for n in parent}
+    assert dict(zip(out["doc_id"], out["cluster_id"])) == want
