@@ -114,3 +114,41 @@ def test_window_funcs_match_duckdb_on_random_draw(tmp_path, seed, ray_session):
         e = _norm(con.sql(sql).df())
         assert len(a) == len(e)
         pd.testing.assert_frame_equal(a, e, check_dtype=False, rtol=1e-6)
+
+
+def _make_docs(tmp_path, seed: int) -> str:
+    rng = np.random.default_rng(seed)
+    d = tmp_path / f"docs{seed}"
+    d.mkdir()
+    n = 300
+    langs = np.array(["en", "de", "fr", "es", "zh"])
+    pd.DataFrame(
+        {
+            "doc_id": rng.permutation(n * 3)[:n],  # sparse, shuffled ids
+            "text": [f"doc {i} " + "x" * int(rng.integers(0, 50)) for i in range(n)],
+            "lang": langs[rng.integers(0, 5, n)],
+            "source": [f"src{int(s)}" for s in rng.integers(0, 20, n)],
+            "n_chars": rng.integers(1, 5000, n),
+        }
+    ).to_parquet(d / "documents.parquet")
+    return str(d)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_mixing_family_matches_duckdb_on_random_draw(tmp_path, seed, ray_session):
+    """sample/mix/pack are hash/order-deterministic — verify on random
+    tables with sparse shuffled ids and uneven language strata."""
+    from aiw_i2b2_etl_ray.pipelines import mixing as mx
+
+    sf = _make_docs(tmp_path, seed)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')")
+    for fn, sql in [
+        (mx.sample_per_lang, mx.SQL_SAMPLE_PER_LANG),
+        (mx.mix_sources, mx.SQL_MIX_SOURCES),
+        (mx.pack_sequences, mx.SQL_PACK_SEQUENCES),
+    ]:
+        a = _norm(fn(sf).to_pandas())
+        e = _norm(con.sql(sql).df())
+        assert len(a) == len(e), fn.__name__
+        pd.testing.assert_frame_equal(a, e, check_dtype=False, rtol=1e-6)
