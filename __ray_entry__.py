@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "global_rank": wf.global_rank_orders,  # total-order rank + NTILE
             "funnel_conversion": wf.funnel_conversion,  # ordered-sequence match
             "retention_cohorts": wf.retention_cohorts,  # cohort triangle
+            "value_outliers": wf.value_outliers,  # z-score cleaning screen
         }
     )
     from aiw_i2b2_etl_ray.pipelines import mixing as mx
@@ -310,6 +311,7 @@ def oracle_sql() -> dict[str, str]:
             "global_rank": wf.SQL_GLOBAL_RANK_ORDERS,
             "funnel_conversion": wf.SQL_FUNNEL_CONVERSION,
             "retention_cohorts": wf.SQL_RETENTION_COHORTS,
+            "value_outliers": wf.SQL_VALUE_OUTLIERS,
         }
     )
     from aiw_i2b2_etl_ray.pipelines import sketches as sk

@@ -559,3 +559,73 @@ SELECT f.cohort_day, ud.day - f.cohort_day AS day_offset,
 FROM ud JOIN firsts f ON f.user_id = ud.user_id
 GROUP BY f.cohort_day, day_offset
 """
+
+
+Z_CUTOFF = 2.5
+
+
+def value_outliers(sf_dir: str) -> rd.Dataset:
+    """Statistical outlier filter: events whose value is more than
+    Z_CUTOFF population standard deviations from their event_type's mean —
+    the data-cleaning screen a pipeline runs before aggregation.
+
+    Two-pass plan with no second shuffle: per-batch (sum, sumsq, n)
+    combiner -> tiny keyed groupby -> per-type stats broadcast via
+    ``ray.put`` -> stateless vectorized z-score + filter over the
+    original read."""
+    import ray
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"])
+
+    def stat_partial(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .drop_nulls("value")
+            .group_by("event_type")
+            .agg(
+                pl.col("value").sum().alias("s"),
+                (pl.col("value") ** 2).sum().alias("ss"),
+                pl.len().cast(pl.Int64).alias("n"),
+            )
+            .to_arrow()
+        )
+
+    stats = (
+        ds.map_batches(stat_partial, batch_format="pyarrow", **worker_runtime_env())
+        .groupby("event_type")
+        .aggregate(Sum("s", alias_name="s"), Sum("ss", alias_name="ss"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    mv = {}
+    for et, s, ss, n in zip(stats["event_type"], stats["s"], stats["ss"], stats["n"]):
+        mean = s / n
+        var = max(ss / n - mean * mean, 0.0)
+        mv[et] = (mean, var**0.5)
+    mv_ref = ray.put(mv)
+
+    class Flag:
+        def __init__(self):
+            self.mv = ray.get(mv_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            mean = b["event_type"].map(lambda e: self.mv[e][0]).to_numpy()
+            std = b["event_type"].map(lambda e: self.mv[e][1]).to_numpy()
+            z = (b["value"].to_numpy() - mean) / np.where(std == 0, np.inf, std)
+            keep = np.abs(z) > Z_CUTOFF
+            out = b.loc[keep, ["event_id", "event_type", "value"]].copy()
+            out["z"] = round_half_away(z[keep], 4)
+            return out
+
+    return ds.map_batches(Flag, batch_format="pandas", concurrency=(1, 4))
+
+
+SQL_VALUE_OUTLIERS = f"""
+WITH s AS (
+  SELECT event_type, AVG(value) AS m, STDDEV_POP(value) AS sd
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       ROUND((e.value - s.m) / s.sd, 4) AS z
+FROM events e JOIN s ON s.event_type = e.event_type
+WHERE s.sd > 0 AND ABS((e.value - s.m) / s.sd) > {Z_CUTOFF}
+"""
