@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "sample_per_lang": mx.sample_per_lang,  # stratified hash sample
             "mix_sources": mx.mix_sources,  # weighted source mixing
             "pack_sequences": mx.pack_sequences,  # context-window packing
+            "weighted_sample": mx.weighted_sample,  # A-ES weighted selection
         }
     )
     from aiw_i2b2_etl_ray.sources import declarative as dl
@@ -326,6 +327,7 @@ def oracle_sql() -> dict[str, str]:
             "sample_per_lang": mx.SQL_SAMPLE_PER_LANG,
             "mix_sources": mx.SQL_MIX_SOURCES,
             "pack_sequences": mx.SQL_PACK_SEQUENCES,
+            "weighted_sample": mx.SQL_WEIGHTED_SAMPLE,
         }
     )
     from aiw_i2b2_etl_ray.sources import declarative as dl

@@ -155,3 +155,61 @@ FROM (
   FROM documents
 )
 """
+
+
+WEIGHTED_K = 25
+
+
+def weighted_sample(sf_dir: str) -> rd.Dataset:
+    """Weighted sampling WITHOUT replacement (top-K per corpus): the
+    Efraimidis-Spirakis A-ES scheme with deterministic hash randomness —
+    key = ln(u) / w with u = md5-uniform(doc_id) and w = n_chars (longer
+    docs proportionally likelier), take the K largest keys.  This is the
+    importance-weighted selection a data recipe uses to oversample
+    high-value documents, reproducible across runs and partitionings.
+
+    Plan: per-batch local top-K (combiner) -> one tiny global fold —
+    identical shape to sample_per_lang, so at most K rows per batch
+    shuffle."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+
+    def key_batch(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        u = np.array(
+            [int(h[:13], 16) for h in _md5_rank(ids)], dtype=np.float64
+        ) / float(1 << 52)  # 52-bit mantissa-exact uniform in [0,1)
+        w = t["n_chars"].to_numpy().astype(np.float64)
+        key = np.log(np.maximum(u, 1e-300)) / np.maximum(w, 1.0)
+        df = pl.from_arrow(t).with_columns(pl.Series("es_key", key))
+        return df.top_k(min(WEIGHTED_K, len(df)), by="es_key").to_arrow()
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.nlargest(WEIGHTED_K, "es_key").sort_values("es_key", ascending=False)
+        g = g.reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "n_chars": g["n_chars"].to_numpy(),
+                "pick_rank": np.arange(1, len(g) + 1, dtype=np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(key_batch, batch_format="pyarrow", **worker_runtime_env())
+        .repartition(1)
+        .map_batches(fold, batch_format="pandas")
+    )
+
+
+SQL_WEIGHTED_SAMPLE = f"""
+SELECT doc_id, n_chars, pick_rank FROM (
+  SELECT doc_id, n_chars,
+         ROW_NUMBER() OVER (
+           ORDER BY ln(greatest(
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+               / 4503599627370496.0, 1e-300))
+             / greatest(n_chars, 1) DESC
+         ) AS pick_rank
+  FROM documents
+) WHERE pick_rank <= {WEIGHTED_K}
+"""
