@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     try:  # training-data ops (dedup / similarity / text) — added as built
         from aiw_i2b2_etl_ray.pipelines import curation as cu
+        from aiw_i2b2_etl_ray.pipelines import inference as inf
         from aiw_i2b2_etl_ray.pipelines import dedup as dd
         from aiw_i2b2_etl_ray.pipelines import graph_cc as gc
         from aiw_i2b2_etl_ray.pipelines import similarity as sim
@@ -159,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "dedup_embedding_ivf": dd.dedup_embedding_ivf,
                 "dedup_clusters": gc.dedup_clusters,
                 "corpus_filter": cu.corpus_filter,
+                "model_score": inf.model_score,  # batched inference actor pool
                 "ann_topk": sim.ann_topk,
                 "ann_lsh": sim.ann_lsh_topk,
                 "ann_ivf": sim.ann_ivf_topk,
@@ -348,6 +350,7 @@ def oracle_sql() -> dict[str, str]:
     )
     try:
         from aiw_i2b2_etl_ray.pipelines import curation as cu
+        from aiw_i2b2_etl_ray.pipelines import inference as inf
         from aiw_i2b2_etl_ray.pipelines import dedup as dd
         from aiw_i2b2_etl_ray.pipelines import graph_cc as gc
         from aiw_i2b2_etl_ray.pipelines import similarity as sim
@@ -359,6 +362,7 @@ def oracle_sql() -> dict[str, str]:
                 "dedup_embedding": dd.SQL_DEDUP_EMBEDDING,
                 "dedup_clusters": gc.SQL_DEDUP_CLUSTERS,
                 "corpus_filter": cu.SQL_CORPUS_FILTER,
+                "model_score": inf.SQL_MODEL_SCORE,
                 # recall deterministically 1.0 at multi-assign=4 on these
                 # inputs (see IVF_DEDUP_ASSIGN note) -> exact-pairs oracle
                 "dedup_embedding_ivf": dd.SQL_DEDUP_EMBEDDING_IVF,
