@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "tpch_q18": tq.tpch_q18,  # HAVING semi-join report
             "asof_join": tj.asof_join_events_orders,  # as-of (latest-prior) join
             "range_join": tj.range_join_orders_shipments,  # interval join, no equi-key
+            "overlap_join": tj.overlap_join,  # interval x interval overlap
             "cumulative_value": wf.cumulative_value,  # running-sum window frame
             "sliding_avg": wf.sliding_avg,  # bounded sliding frame
             "topk_per_group": wf.topk_orders_per_customer,  # ROW_NUMBER<=k analog
@@ -301,6 +302,7 @@ def oracle_sql() -> dict[str, str]:
             "tpch_q18": tq.SQL_TPCH_Q18,
             "asof_join": tj.SQL_ASOF_JOIN,
             "range_join": tj.SQL_RANGE_JOIN,
+            "overlap_join": tj.SQL_OVERLAP_JOIN,
             "cumulative_value": wf.SQL_CUMULATIVE_VALUE,
             "sliding_avg": wf.SQL_SLIDING_AVG,
             "topk_per_group": wf.SQL_TOPK_PER_CUSTOMER,

@@ -256,3 +256,129 @@ JOIN lineitem l
  AND l.l_shipdate < o.o_orderdate + INTERVAL {RANGE_DAYS} DAY
 GROUP BY o.o_orderkey
 """
+
+
+B_DAYS = 3  # shipment-activity window length: [l_shipdate, +3 days)
+
+
+def overlap_join(sf_dir: str) -> rd.Dataset:
+    """Interval-OVERLAP join (interval x interval, no equi-key): per
+    order-activity window [o_orderdate, +7d), how many shipment-activity
+    windows [l_shipdate, +3d) overlap it.
+
+    Harder than the interval-x-point range join: BOTH sides replicate to
+    the <=2 time buckets their window touches (bucket width >= both
+    lengths), so an overlapping pair can co-occur in two buckets.  The
+    canonical-bucket rule dedups without a second shuffle: a pair is
+    COUNTED only in the bucket containing max(start_a, start_b) — the
+    start of the overlap region, which both replicas provably cover.
+    Within a bucket the count is two searchsorted probes (fixed window
+    lengths make the end bound an arithmetic offset)."""
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"])
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_shipdate"])
+    W = RANGE_DAYS * DAY_US  # bucket width = max(7d, 3d)
+    LB = B_DAYS * DAY_US
+
+    def prep_a(t: pa.Table) -> pa.Table:
+        s = t["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        e = s + RANGE_DAYS * DAY_US
+        key = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        b0, b1 = s // W, (e - 1) // W
+        reps = []
+        for b, keep in ((b0, np.ones(len(s), bool)), (b1, b1 != b0)):
+            reps.append(
+                pa.table(
+                    {
+                        "key": key[keep],
+                        "sa": s[keep],
+                        "ea": e[keep],
+                        "_bucket": b[keep],
+                    }
+                )
+            )
+        out = pa.concat_tables(reps)
+        out = out.append_column("_side", pa.array(["a"] * len(out)))
+        return ensure_columns(out, _OVERLAP_SCHEMA)
+
+    def prep_b(t: pa.Table) -> pa.Table:
+        s = t["l_shipdate"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        e = s + LB
+        b0, b1 = s // W, (e - 1) // W
+        reps = []
+        for b, keep in ((b0, np.ones(len(s), bool)), (b1, b1 != b0)):
+            reps.append(pa.table({"sb": s[keep], "_bucket": b[keep]}))
+        out = pa.concat_tables(reps)
+        out = out.append_column("_side", pa.array(["b"] * len(out)))
+        return ensure_columns(out, _OVERLAP_SCHEMA)
+
+    def match_bucket(g: pa.Table) -> pa.Table:
+        df = pl.from_arrow(g)
+        k = int(df["_bucket"][0])
+        A = df.filter(pl.col("_side") == "a")
+        B = df.filter(pl.col("_side") == "b")
+        if A.height == 0 or B.height == 0:
+            return pa.table({"o_orderkey": pa.array([], pa.int64()), "pn": pa.array([], pa.int64())})
+        sbs = np.sort(B["sb"].to_numpy())
+        sa = A["sa"].to_numpy()
+        ea = A["ea"].to_numpy()
+        klo, khi = k * W, (k + 1) * W
+        # overlap: sb in (sa - LB, ea).  canonical split on max(sa, sb):
+        # (1) sb <= sa  -> counted where A's own start lies (this bucket?)
+        c1 = np.searchsorted(sbs, sa, side="right") - np.searchsorted(
+            sbs, sa - LB, side="right"
+        )
+        c1 = np.where((sa // W) == k, c1, 0)
+        # (2) sb > sa -> counted in sb's own bucket: sb in [klo, khi) too
+        lo_excl = np.maximum(sa, klo - 1)
+        hi = np.minimum(ea, khi)
+        c2 = np.searchsorted(sbs, hi, side="left") - np.searchsorted(
+            sbs, lo_excl, side="right"
+        )
+        c2 = np.maximum(c2, 0)
+        n = (c1 + c2).astype(np.int64)
+        keep = n > 0
+        return pa.table(
+            {"o_orderkey": A["key"].to_numpy()[keep], "pn": n[keep]}
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        orders.map_batches(prep_a, batch_format="pyarrow", **worker_runtime_env())
+        .union(line.map_batches(prep_b, batch_format="pyarrow", **worker_runtime_env()))
+        .groupby("_bucket")
+        .map_groups(match_bucket, batch_format="pyarrow", **worker_runtime_env())
+        .groupby("o_orderkey")
+        .aggregate(Sum("pn", alias_name="n_overlapping"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "o_orderkey": t["o_orderkey"],
+                    "n_overlapping": t["n_overlapping"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+_OVERLAP_SCHEMA = pa.schema(
+    [
+        pa.field("key", pa.int64()),
+        pa.field("sa", pa.int64()),
+        pa.field("ea", pa.int64()),
+        pa.field("sb", pa.int64()),
+        pa.field("_bucket", pa.int64()),
+        pa.field("_side", pa.string()),
+    ]
+)
+
+
+SQL_OVERLAP_JOIN = f"""
+SELECT o.o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_overlapping
+FROM orders o
+JOIN lineitem l
+  ON l.l_shipdate < o.o_orderdate + INTERVAL {RANGE_DAYS} DAY
+ AND o.o_orderdate < l.l_shipdate + INTERVAL {B_DAYS} DAY
+GROUP BY o.o_orderkey
+"""

@@ -98,3 +98,50 @@ def test_cumulative_and_sliding_order_contract(tiny_sf, ray_session):
     assert len(cum) == 2 and set(cum.columns) == {"event_id", "user_id", "running_value"}
     sl = wf.sliding_avg(tiny_sf).to_pandas()
     assert np.allclose(sorted(sl["avg3"]), [1.0, 2.0])
+
+
+def test_overlap_join_canonical_bucket_counts_once(tmp_path, ray_session):
+    """Interval-overlap join corner cases: a pair whose overlap straddles
+    the bucket boundary counts once; a shipment window STARTING before the
+    order (sb < sa arm) still counts; disjoint windows don't."""
+    import pandas as pd
+
+    d = tmp_path / "ov"
+    d.mkdir()
+    pd.DataFrame(
+        {
+            "o_orderkey": [100, 102],
+            "o_custkey": [1, 1],
+            "o_orderstatus": ["O", "O"],
+            "o_totalprice": [1.0, 1.0],
+            # 100: [01-05, 01-12); 102: [02-01, 02-08)
+            "o_orderdate": pd.to_datetime(["2024-01-05", "2024-02-01"]).astype("datetime64[us]"),
+            "o_orderpriority": ["1-URGENT"] * 2,
+        }
+    ).to_parquet(d / "orders.parquet")
+    pd.DataFrame(
+        {
+            "l_orderkey": [1, 1, 1, 1],
+            "l_partkey": [1] * 4,
+            "l_suppkey": [1] * 4,
+            "l_linenumber": [1, 2, 3, 4],
+            "l_quantity": [1.0] * 4,
+            "l_extendedprice": [1.0] * 4,
+            "l_discount": [0.0] * 4,
+            "l_tax": [0.0] * 4,
+            "l_returnflag": ["N"] * 4,
+            "l_linestatus": ["O"] * 4,
+            # [01-03,01-06) starts BEFORE order 100 but overlaps (c1 arm);
+            # [01-11,01-14) straddles the epoch-week boundary (canonical
+            # bucket is the second week); [01-20,...) and [03-01,...) miss.
+            "l_shipdate": pd.to_datetime(
+                ["2024-01-03", "2024-01-11", "2024-01-20", "2024-03-01"]
+            ).astype("datetime64[us]"),
+        }
+    ).to_parquet(d / "lineitem.parquet")
+
+    from aiw_i2b2_etl_ray.pipelines.temporal_joins import overlap_join
+
+    out = overlap_join(str(d)).to_pandas().set_index("o_orderkey")
+    assert out.loc[100, "n_overlapping"] == 2  # 01-03 (c1) + 01-11 (boundary)
+    assert 102 not in out.index  # no overlapping windows
