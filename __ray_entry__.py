@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "funnel_conversion": wf.funnel_conversion,  # ordered-sequence match
             "retention_cohorts": wf.retention_cohorts,  # cohort triangle
             "value_outliers": wf.value_outliers,  # z-score cleaning screen
+            "user_journeys": wf.user_journeys,  # ordered string_agg analog
         }
     )
     from aiw_i2b2_etl_ray.pipelines import mixing as mx
@@ -317,6 +318,7 @@ def oracle_sql() -> dict[str, str]:
             "funnel_conversion": wf.SQL_FUNNEL_CONVERSION,
             "retention_cohorts": wf.SQL_RETENTION_COHORTS,
             "value_outliers": wf.SQL_VALUE_OUTLIERS,
+            "user_journeys": wf.SQL_USER_JOURNEYS,
         }
     )
     from aiw_i2b2_etl_ray.pipelines import sketches as sk

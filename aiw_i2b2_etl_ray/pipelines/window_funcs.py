@@ -629,3 +629,40 @@ SELECT e.event_id, e.event_type, e.value,
 FROM events e JOIN s ON s.event_type = e.event_type
 WHERE s.sd > 0 AND ABS((e.value - s.m) / s.sd) > {Z_CUTOFF}
 """
+
+
+def user_journeys(sf_dir: str) -> rd.Dataset:
+    """Ordered string aggregation (string_agg ... ORDER BY analog): each
+    user's chronological event-type sequence as one delimited string —
+    the "journey/path" row a funnel analysis exports.  Keyed shuffle +
+    in-group join; the sequence is truncated to the first 50 steps so a
+    hot user can't produce an unbounded row (the 255-char EAV truncation
+    rule, M6, applied to aggregation)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+
+    def seq(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort").head(50)
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "journey": [">".join(g["event_type"].tolist())],
+                "n_steps": np.int64(len(g)),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(seq, batch_format="pandas")
+
+
+SQL_USER_JOURNEYS = """
+WITH ranked AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT user_id,
+       string_agg(event_type, '>' ORDER BY rn) AS journey,
+       CAST(COUNT(*) AS BIGINT) AS n_steps
+FROM ranked WHERE rn <= 50 GROUP BY user_id
+"""
