@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "text_langid": tx.text_langid,
                 "text_fingerprint": tx.text_fingerprint,
                 "text_scrub": tx.text_scrub,
+                "vocab_topk": tx.vocab_topk,
                 "text_chunks": tx.text_chunks,
                 "text_rolling_fp": tx.text_rolling_fp,
                 "text_bpe_tokens": tx.text_bpe_tokens,
@@ -380,6 +381,7 @@ def oracle_sql() -> dict[str, str]:
                 "text_langid": tx.SQL_TEXT_LANGID,
                 "text_fingerprint": tx.SQL_TEXT_FINGERPRINT,
                 "text_scrub": tx.SQL_TEXT_SCRUB,
+                "vocab_topk": tx.SQL_VOCAB_TOPK,
                 "text_chunks": tx.SQL_TEXT_CHUNKS,
             }
         )

@@ -368,3 +368,56 @@ SELECT doc_id,
 FROM idx
 WHERE length(substr(text, CAST(off + 1 AS BIGINT), {CHUNK_LEN})) > 0
 """
+
+
+VOCAB_K = 100
+
+
+def vocab_topk(sf_dir: str) -> rd.Dataset:
+    """Corpus vocabulary statistics: the VOCAB_K most frequent word
+    tokens with their counts — the vocabulary-building pass a tokenizer
+    training run makes.  Per-batch token explosion + count partials
+    (vectorized split/explode/group_by, compiled pattern), one keyed
+    groupby sum over (token) — the shuffle carries (token, partial_count)
+    pairs, never raw text — then a tiny global sort-limit with a
+    deterministic (count DESC, token ASC) tie-break."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    import polars as pl
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        return (
+            df.select(pl.col("text").str.extract_all(_WORD).alias("tok"))
+            .explode("tok")
+            .drop_nulls()
+            .group_by("tok")
+            .agg(pl.len().cast(pl.Int64).alias("pn"))
+            .to_arrow()
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", **worker_runtime_env())
+        .groupby("tok")
+        .aggregate(Sum("pn", alias_name="n"))
+    )
+
+    return (
+        counts.map_batches(
+            lambda t: pa.table({"token": t["tok"], "n": t["n"].cast(pa.int64())}),
+            batch_format="pyarrow",
+        )
+        .sort([("n"), ("token")], descending=[True, False])
+        .limit(VOCAB_K)
+    )
+
+
+SQL_VOCAB_TOPK = f"""
+SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT UNNEST(regexp_extract_all(text, '{_WORD}')) AS tok FROM documents)
+GROUP BY tok
+ORDER BY COUNT(*) DESC, tok
+LIMIT {VOCAB_K}
+"""
