@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "tpch_q5": tq.tpch_q5,  # 6-table local-supplier volume
             "tpch_q17": tq.tpch_q17,  # correlated scalar subquery (broadcast)
             "tpch_q18": tq.tpch_q18,  # HAVING semi-join report
+            "cheapest_supplier": tq.cheapest_supplier_per_part,  # group-wise argmin
             "asof_join": tj.asof_join_events_orders,  # as-of (latest-prior) join
             "range_join": tj.range_join_orders_shipments,  # interval join, no equi-key
             "overlap_join": tj.overlap_join,  # interval x interval overlap
@@ -302,6 +303,7 @@ def oracle_sql() -> dict[str, str]:
             "tpch_q5": tq.SQL_TPCH_Q5,
             "tpch_q17": tq.SQL_TPCH_Q17,
             "tpch_q18": tq.SQL_TPCH_Q18,
+            "cheapest_supplier": tq.SQL_CHEAPEST_SUPPLIER,
             "asof_join": tj.SQL_ASOF_JOIN,
             "range_join": tj.SQL_RANGE_JOIN,
             "overlap_join": tj.SQL_OVERLAP_JOIN,

@@ -358,3 +358,81 @@ JOIN (
   FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > {Q18_QTY}
 ) t ON t.l_orderkey = o.o_orderkey
 """
+
+
+def cheapest_supplier_per_part(sf_dir: str) -> rd.Dataset:
+    """Group-wise ARGMIN (the Q2 shape): for every part, the supplier
+    with the lowest average sale price (ties -> lowest suppkey).
+
+    Physical plan: finest-grain (part, supplier) averages via the usual
+    combiner + keyed groupby; then per-part argmin with a local top-1
+    combiner before the second (tiny) keyed fold — the row-selection
+    aggregate SQL expresses as ROW_NUMBER()=1, done without a join-back."""
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey", "l_extendedprice"]
+    )
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .group_by(["l_partkey", "l_suppkey"])
+            .agg(pl.col("l_extendedprice").sum().alias("ps"), pl.len().cast(pl.Int64).alias("pn"))
+            .to_arrow()
+        )
+
+    pair_avg = (
+        line.map_batches(pair_partial, batch_format="pyarrow", **worker_runtime_env())
+        .groupby(["l_partkey", "l_suppkey"])
+        .aggregate(Sum("ps", alias_name="s"), Sum("pn", alias_name="n"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "l_partkey": t["l_partkey"],
+                    "l_suppkey": t["l_suppkey"],
+                    "avg_price": pa.compute.divide(
+                        t["s"], pa.compute.cast(t["n"], pa.float64())
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    def local_min(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .sort(["l_partkey", "avg_price", "l_suppkey"])
+            .group_by("l_partkey", maintain_order=True)
+            .head(1)
+            .to_arrow()
+        )
+
+    import pandas as pd
+
+    def final_min(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["avg_price", "l_suppkey"], kind="mergesort").head(1)
+        return g[["l_partkey", "l_suppkey", "avg_price"]]
+
+    out = (
+        pair_avg.map_batches(local_min, batch_format="pyarrow", **worker_runtime_env())
+        .groupby("l_partkey")
+        .map_groups(final_min, batch_format="pandas")
+    )
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("avg_price"),
+            "avg_price",
+            round_half_away_pc(t["avg_price"], 2),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_CHEAPEST_SUPPLIER = """
+SELECT l_partkey, l_suppkey, ROUND(avg_price, 2) AS avg_price FROM (
+  SELECT l_partkey, l_suppkey, AVG(l_extendedprice) AS avg_price,
+         ROW_NUMBER() OVER (PARTITION BY l_partkey
+                            ORDER BY AVG(l_extendedprice), l_suppkey) AS rn
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+) WHERE rn = 1
+"""
