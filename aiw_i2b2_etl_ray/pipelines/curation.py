@@ -46,20 +46,36 @@ def corpus_filter(sf_dir: str, spec: CurationSpec = CurationSpec()) -> rd.Datase
     from .graph_cc import dedup_clusters
     from .textops import text_langid, text_quality
 
-    quality = text_quality(sf_dir).map_batches(
-        lambda t: t.filter(pc.greater_equal(t["alpha_ratio"], spec.min_alpha_ratio)),
-        batch_format="pyarrow",
-    ).select_columns(["doc_id", "alpha_ratio"])
+    # The two scorer stages are actor pools; MATERIALIZE their (small,
+    # post-filter) outputs before the join so the pools finish and release
+    # their CPUs before the join's sort runs.  Leaving all of it in one
+    # lazy graph intermittently livelocks on small CPU counts: the sort's
+    # boundary-sample tasks wait on CPUs the autoscaling actor pools are
+    # squatting (observed as a 5-min+ hang under the 4-CPU test session).
+    quality = (
+        text_quality(sf_dir)
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t["alpha_ratio"], spec.min_alpha_ratio)),
+            batch_format="pyarrow",
+        )
+        .select_columns(["doc_id", "alpha_ratio"])
+        .materialize()
+    )
 
-    lang = text_langid(sf_dir).map_batches(
-        lambda t: t.filter(
-            pc.and_(
-                pc.not_equal(t["pred_lang"], "und"),
-                pc.greater_equal(t["stopword_score"], spec.min_stopword_score),
-            )
-        ),
-        batch_format="pyarrow",
-    ).select_columns(["doc_id", "pred_lang"])
+    lang = (
+        text_langid(sf_dir)
+        .map_batches(
+            lambda t: t.filter(
+                pc.and_(
+                    pc.not_equal(t["pred_lang"], "und"),
+                    pc.greater_equal(t["stopword_score"], spec.min_stopword_score),
+                )
+            ),
+            batch_format="pyarrow",
+        )
+        .select_columns(["doc_id", "pred_lang"])
+        .materialize()
+    )
 
     if spec.drop_duplicates:
         # non-canonical members of duplicate clusters (tiny: only docs in pairs)

@@ -539,7 +539,10 @@ def dedup_embedding_ivf(sf_dir: str) -> pd.DataFrame:
     from ray.data.aggregate import Max
 
     pairs = (
+        # materialized before the groupby sort (pool-vs-sort scheduling,
+        # see curation.corpus_filter); the multi-assigned set is bounded
         ds.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
+        .materialize()
         .groupby("list_id")
         .map_groups(list_pairs, batch_format="pandas")
         .groupby(["vec_a", "vec_b"])

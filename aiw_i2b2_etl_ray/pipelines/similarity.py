@@ -216,9 +216,13 @@ def ann_lsh_topk(sf_dir: str, with_stats: bool = False):
             )
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    bucketed = ds.map_batches(Bucketize, batch_format="pyarrow", concurrency=(1, 8))
+    # materialize the (probe-pruned, small) assignment before the groupby
+    # sort: an actor pool feeding a sort in one lazy graph can starve the
+    # sort's sample tasks on small CPU counts (see curation.corpus_filter)
+    bucketed = ds.map_batches(
+        Bucketize, batch_format="pyarrow", concurrency=(1, 8)
+    ).materialize()
     if with_stats:
-        bucketed = bucketed.materialize()  # one execution serves count + search
         scanned = bucketed.count()
     partials = (
         bucketed.groupby("bucket")
@@ -347,9 +351,12 @@ def ann_ivf_topk(sf_dir: str, with_stats: bool = False):
             )
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    assigned = ds.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 8))
+    # materialized before the groupby sort for the same pool-vs-sort
+    # scheduling reason as ann_lsh_topk above
+    assigned = ds.map_batches(
+        Assign, batch_format="pyarrow", concurrency=(1, 8)
+    ).materialize()
     if with_stats:
-        assigned = assigned.materialize()
         scanned = assigned.count()
     partials = (
         assigned.groupby("list_id")

@@ -140,43 +140,40 @@ def tpch_q5(sf_dir: str) -> rd.Dataset:
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
     )
 
-    class OrderSide:
-        def __init__(self):
-            self.cust, _ = ray.get(side_ref)
+    # stateless tasks, not actor pools: the broadcast side is fetched from
+    # the worker-local object store per task (cheap), and tasks release
+    # their CPUs before the downstream join sort — an actor pool feeding a
+    # sort in the same lazy graph can starve the sort's sample tasks on
+    # small CPU counts (see curation.corpus_filter's materialize note)
+    def order_side(t: pa.Table) -> pa.Table:
+        cust_tbl, _ = ray.get(side_ref)
+        df = pl.from_arrow(t).filter(
+            (pl.col("o_orderdate") >= pl.lit(Q5_DATE_LO).str.to_datetime("%Y-%m-%d"))
+            & (pl.col("o_orderdate") < pl.lit(Q5_DATE_HI).str.to_datetime("%Y-%m-%d"))
+        )
+        j = df.join(cust_tbl, left_on="o_custkey", right_on="c_custkey")
+        return j.select("o_orderkey", "c_nationkey", "n_name").to_arrow()
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            df = pl.from_arrow(t).filter(
-                (pl.col("o_orderdate") >= pl.lit(Q5_DATE_LO).str.to_datetime("%Y-%m-%d"))
-                & (pl.col("o_orderdate") < pl.lit(Q5_DATE_HI).str.to_datetime("%Y-%m-%d"))
-            )
-            j = df.join(self.cust, left_on="o_custkey", right_on="c_custkey")
-            return j.select("o_orderkey", "c_nationkey", "n_name").to_arrow()
-
-    o_side = orders.map_batches(OrderSide, batch_format="pyarrow", concurrency=(1, 4))
+    o_side = orders.map_batches(order_side, batch_format="pyarrow", **worker_runtime_env())
 
     line = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     )
 
-    class LineSide:
-        def __init__(self):
-            _, self.supp = ray.get(side_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            df = pl.from_arrow(t).join(
-                self.supp, left_on="l_suppkey", right_on="s_suppkey"
+    def line_side(t: pa.Table) -> pa.Table:
+        _, supp_tbl = ray.get(side_ref)
+        df = pl.from_arrow(t).join(supp_tbl, left_on="l_suppkey", right_on="s_suppkey")
+        return (
+            df.with_columns(
+                (pl.col("l_extendedprice") * (1 - pl.col("l_discount"))).alias("rev")
             )
-            return (
-                df.with_columns(
-                    (pl.col("l_extendedprice") * (1 - pl.col("l_discount"))).alias("rev")
-                )
-                .select("l_orderkey", "s_nationkey", "rev")
-                .rename({"l_orderkey": "o_orderkey"})
-                .to_arrow()
-            )
+            .select("l_orderkey", "s_nationkey", "rev")
+            .rename({"l_orderkey": "o_orderkey"})
+            .to_arrow()
+        )
 
-    l_side = line.map_batches(LineSide, batch_format="pyarrow", concurrency=(1, 4))
+    l_side = line.map_batches(line_side, batch_format="pyarrow", **worker_runtime_env())
 
     joined = bucketed_join(l_side, o_side, on=["o_orderkey"], num_buckets=16)
 
