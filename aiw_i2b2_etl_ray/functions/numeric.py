@@ -26,3 +26,13 @@ def round_half_away(x, nd: int = 4):
 def round_half_away_pc(col, nd: int = 4):
     """Same, for Arrow arrays (vectorized pyarrow.compute)."""
     return pc.round(col, ndigits=nd, round_mode="half_towards_infinity")
+
+
+def round_half_away_pl(expr, nd: int = 4):
+    """Same, as a polars expression (stays inside the Rust kernel — no
+    numpy round-trip for polars-native stages).  Uses the native round
+    kernel: a hand-rolled ``floor(|x|*f+0.5)/f`` is NOT safe here — polars
+    folds the divide-by-literal into a reciprocal multiply in the wide-
+    chunk SIMD path, which lands one ULP off DuckDB's ROUND (e.g.
+    8251/10⁴ -> 0.8251000000000001) and breaks value-hash compares."""
+    return expr.round(nd, mode="half_away_from_zero")

@@ -1,24 +1,26 @@
 """End-to-end corpus curation: the composition a pre-training data
 pipeline actually ships — quality gate ∧ language gate ∧ keep-one-per-
-duplicate-cluster — built by CHAINING catalog operators (text_quality,
-text_langid, dedup_clusters) as Datasets, not by re-implementing them.
+duplicate-cluster.
 
-Physical shape: the two per-doc scorers are independent parallel maps
-joined once on doc_id (bucketed co-shuffle); the duplicate drop-set is
-tiny (non-canonical members of near-dup clusters) and broadcasts via
-``ray.put`` into a vectorized filter — no third shuffle.  At 100 TB the
+Physical shape: BOTH per-doc gate signals (alpha ratio + language id)
+come from ONE fused ``map_batches`` pass over the corpus — the scorer
+kernels are shared polars expression builders from textops, so the fused
+gate is definitionally identical to chaining text_quality + text_langid
+but reads and decodes the ``text`` column once instead of twice and
+needs no doc_id join shuffle at all.  The duplicate drop-set is tiny
+(non-canonical members of near-dup clusters) and broadcasts via
+``ray.put`` into a vectorized filter — no shuffle.  At 100 TB the
 drop-set broadcast becomes a bloom filter, same plan.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import polars as pl
 import pyarrow as pa
-import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
-from ..stages.join import bucketed_join
 from ..util import worker_runtime_env
 
 MIN_ALPHA_RATIO = 0.82
@@ -44,38 +46,7 @@ class CurationSpec:
 def corpus_filter(sf_dir: str, spec: CurationSpec = CurationSpec()) -> rd.Dataset:
     """doc ids that survive curation, with the signals that admitted them."""
     from .graph_cc import dedup_clusters
-    from .textops import text_langid, text_quality
-
-    # The two scorer stages are actor pools; MATERIALIZE their (small,
-    # post-filter) outputs before the join so the pools finish and release
-    # their CPUs before the join's sort runs.  Leaving all of it in one
-    # lazy graph intermittently livelocks on small CPU counts: the sort's
-    # boundary-sample tasks wait on CPUs the autoscaling actor pools are
-    # squatting (observed as a 5-min+ hang under the 4-CPU test session).
-    quality = (
-        text_quality(sf_dir)
-        .map_batches(
-            lambda t: t.filter(pc.greater_equal(t["alpha_ratio"], spec.min_alpha_ratio)),
-            batch_format="pyarrow",
-        )
-        .select_columns(["doc_id", "alpha_ratio"])
-        .materialize()
-    )
-
-    lang = (
-        text_langid(sf_dir)
-        .map_batches(
-            lambda t: t.filter(
-                pc.and_(
-                    pc.not_equal(t["pred_lang"], "und"),
-                    pc.greater_equal(t["stopword_score"], spec.min_stopword_score),
-                )
-            ),
-            batch_format="pyarrow",
-        )
-        .select_columns(["doc_id", "pred_lang"])
-        .materialize()
-    )
+    from .textops import _alpha_ratio_expr, _with_langid
 
     if spec.drop_duplicates:
         # non-canonical members of duplicate clusters (tiny: only docs in pairs)
@@ -87,15 +58,32 @@ def corpus_filter(sf_dir: str, spec: CurationSpec = CurationSpec()) -> rd.Datase
         drop = set()
     drop_ref = ray.put(np.array(sorted(drop), dtype=np.int64))
 
-    joined = bucketed_join(quality, lang, on=["doc_id"], num_buckets=8)
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
-    def drop_dups(t: pa.Table) -> pa.Table:
-        dropped = ray.get(drop_ref)
-        ids = t["doc_id"].to_numpy()
-        keep = ~np.isin(ids, dropped)
-        return t.filter(pa.array(keep))
+    class Gate:
+        """Fused quality + language gate + duplicate drop: one pass over
+        the text column computes both admission signals (shared textops
+        kernels) and applies all three predicates in the same batch."""
 
-    return joined.map_batches(drop_dups, batch_format="pyarrow", **worker_runtime_env())
+        def __init__(self):
+            self.drop = ray.get(drop_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            df = _with_langid(pl.from_arrow(t).with_columns(_alpha_ratio_expr()))
+            df = df.filter(
+                (pl.col("alpha_ratio") >= spec.min_alpha_ratio)
+                & (pl.col("pred_lang") != "und")
+                & (pl.col("stopword_score") >= spec.min_stopword_score)
+            ).select("doc_id", "alpha_ratio", "pred_lang")
+            out = df.to_arrow()
+            if self.drop.size:
+                keep = ~np.isin(out["doc_id"].to_numpy(), self.drop)
+                out = out.filter(pa.array(keep))
+            return out
+
+    return docs.map_batches(
+        Gate, batch_format="pyarrow", concurrency=(1, 8), **worker_runtime_env()
+    )
 
 
 def _sql() -> str:
@@ -137,9 +125,13 @@ def corpus_build(
     import pandas as pd
 
     from ..sinks import write_partitioned
+    from ..stages.join import bucketed_join
 
     cap = capacity if capacity is not None else spec.pack_capacity
-    kept = corpus_filter(sf_dir, spec)
+    # materialize the (small, post-gate) survivor set so the Gate actor
+    # pool finishes and releases its CPUs before the join's sort runs
+    # (pool-before-sort scheduling, see BASELINE.md round-2 close-out)
+    kept = corpus_filter(sf_dir, spec).materialize()
 
     # fetch n_chars for surviving docs: broadcast the (tiny) kept-id set
     # is wrong at 100 TB — instead co-shuffle docs + kept ids once

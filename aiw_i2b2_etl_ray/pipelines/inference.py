@@ -16,10 +16,8 @@ width); a large-activation model would cap ``batch_size`` the way
 
 from __future__ import annotations
 
-import re
-
 import numpy as np
-import pandas as pd
+import pyarrow as pa
 import ray.data as rd
 
 from ..functions.numeric import round_half_away
@@ -39,23 +37,28 @@ def model_score(sf_dir: str) -> rd.Dataset:
         def __init__(self):
             # the model-load slot: executed once per actor, never per batch
             self.w = np.array(MODEL_W, dtype=np.float64)
-            self.word = re.compile(_WORD)
-            self.alpha = re.compile(r"[A-Za-z]")
 
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            n = b["text"].str.len().clip(lower=1).to_numpy(dtype=np.float64)
-            toks = b["text"].str.count(self.word).to_numpy(dtype=np.float64)
-            alpha = b["text"].str.count(self.alpha).to_numpy(dtype=np.float64)
+        def __call__(self, t: pa.Table) -> pa.Table:
+            import polars as pl
+
+            # feature extraction stays in the Rust regex kernels over the
+            # zero-copy Arrow batch; only the tiny feature matrix hits numpy
+            f = pl.from_arrow(t).select(
+                pl.col("text").str.len_chars().cast(pl.Float64).clip(lower_bound=1.0),
+                pl.col("text").str.count_matches(_WORD).cast(pl.Float64).alias("toks"),
+                pl.col("text").str.count_matches("[A-Za-z]").cast(pl.Float64).alias("alpha"),
+            )
+            n, toks, alpha = (f[c].to_numpy() for c in f.columns)
             feats = np.column_stack(
                 [np.ones_like(n), n / 1000.0, toks / 100.0, alpha / n]
             )
             z = feats @ self.w
             score = 1.0 / (1.0 + np.exp(-z))
-            return pd.DataFrame(
-                {"doc_id": b["doc_id"], "model_score": round_half_away(score, 6)}
+            return pa.table(
+                {"doc_id": t["doc_id"], "model_score": pa.array(round_half_away(score, 6))}
             )
 
-    return ds.map_batches(Scorer, batch_format="pandas", concurrency=(1, 8))
+    return ds.map_batches(Scorer, batch_format="pyarrow", concurrency=(1, 8))
 
 
 SQL_MODEL_SCORE = f"""

@@ -1,7 +1,10 @@
 """Text-analysis ops over ``documents``: token counting, quality scoring,
-language-ID heuristic, document fingerprinting.  Regex state is compiled
-once per actor (the stateful-stage rule); all bodies are pandas/numpy
-vectorized."""
+language-ID heuristic, document fingerprinting.  The hot full-corpus maps
+are polars expressions over zero-copy Arrow batches (Rust regex kernels,
+no per-batch pandas conversion); only the lookahead-regex BPE counter
+needs Python ``re``.  All scorer kernels are shared module-level polars
+expression builders so the fused curation gate (curation.corpus_filter)
+computes every signal in ONE corpus pass."""
 
 from __future__ import annotations
 
@@ -10,34 +13,34 @@ import re
 
 import numpy as np
 import pandas as pd
+import polars as pl
 import pyarrow as pa
 import ray.data as rd
 
 from ..functions.hashing import rolling_fingerprint
-from ..functions.numeric import round_half_away
+from ..functions.numeric import round_half_away, round_half_away_pl
 from ..util import worker_runtime_env
 
 _WORD = r"[0-9A-Za-z_]+"  # \w without unicode surprises; matches RE2+re
+
+
+def _token_count_exprs() -> list[pl.Expr]:
+    return [
+        pl.col("text").str.count_matches(_WORD).cast(pl.Int64).alias("n_tokens"),
+        pl.col("text").str.len_chars().cast(pl.Int64).alias("n_chars"),
+    ]
 
 
 def text_tokens(sf_dir: str) -> rd.Dataset:
     """Whitespace-robust token count (regex word extraction) + char length."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
-    class Tok:
-        def __init__(self):
-            self.word = re.compile(_WORD)
+    def tok(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t).select(pl.col("doc_id"), *_token_count_exprs()).to_arrow()
+        )
 
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame(
-                {
-                    "doc_id": b["doc_id"],
-                    "n_tokens": b["text"].str.count(self.word).astype("int64"),
-                    "n_chars": b["text"].str.len().astype("int64"),
-                }
-            )
-
-    return ds.map_batches(Tok, batch_format="pandas", concurrency=(1, 8))
+    return ds.map_batches(tok, batch_format="pyarrow", **worker_runtime_env())
 
 
 SQL_TEXT_TOKENS = f"""
@@ -48,35 +51,38 @@ FROM documents
 """
 
 
+def _alpha_ratio_expr() -> pl.Expr:
+    """alpha_ratio alone — the signal the fused curation gate needs; the
+    full quality op composes it with the other three."""
+    n = pl.col("text").str.len_chars().cast(pl.Float64).clip(lower_bound=1.0)
+    n_alpha = pl.col("text").str.count_matches("[A-Za-z]").cast(pl.Float64)
+    return round_half_away_pl(n_alpha / n).alias("alpha_ratio")
+
+
+def _quality_exprs() -> list[pl.Expr]:
+    """The 4 quality signals as polars expressions over ``text``."""
+    n = pl.col("text").str.len_chars().cast(pl.Float64).clip(lower_bound=1.0)
+    n_alpha = pl.col("text").str.count_matches("[A-Za-z]").cast(pl.Float64)
+    n_digit = pl.col("text").str.count_matches("[0-9]").cast(pl.Float64)
+    n_space = pl.col("text").str.count_matches(r"\s").cast(pl.Float64)
+    n_tok = pl.col("text").str.count_matches(_WORD).cast(pl.Float64).clip(lower_bound=1.0)
+    return [
+        _alpha_ratio_expr(),
+        round_half_away_pl(n_digit / n).alias("digit_ratio"),
+        round_half_away_pl(n_space / n).alias("space_ratio"),
+        round_half_away_pl((n_alpha + n_digit) / n_tok).alias("mean_token_len"),
+    ]
+
+
 def text_quality(sf_dir: str) -> rd.Dataset:
     """Quality signals: alpha ratio, digit ratio, whitespace ratio, mean
     token length — the length/punct/stopword-style scoring family."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
-    class Quality:
-        def __init__(self):
-            self.alpha = re.compile(r"[A-Za-z]")
-            self.digit = re.compile(r"[0-9]")
-            self.space = re.compile(r"\s")
-            self.word = re.compile(_WORD)
+    def quality(t: pa.Table) -> pa.Table:
+        return pl.from_arrow(t).select(pl.col("doc_id"), *_quality_exprs()).to_arrow()
 
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            n = b["text"].str.len().clip(lower=1)
-            n_alpha = b["text"].str.count(self.alpha)
-            n_digit = b["text"].str.count(self.digit)
-            n_space = b["text"].str.count(self.space)
-            n_tok = b["text"].str.count(self.word).clip(lower=1)
-            return pd.DataFrame(
-                {
-                    "doc_id": b["doc_id"],
-                    "alpha_ratio": round_half_away(n_alpha / n, 4),
-                    "digit_ratio": round_half_away(n_digit / n, 4),
-                    "space_ratio": round_half_away(n_space / n, 4),
-                    "mean_token_len": round_half_away((n_alpha + n_digit) / n_tok, 4),
-                }
-            )
-
-    return ds.map_batches(Quality, batch_format="pandas", concurrency=(1, 8))
+    return ds.map_batches(quality, batch_format="pyarrow", **worker_runtime_env())
 
 
 SQL_TEXT_QUALITY = f"""
@@ -106,39 +112,61 @@ _STOPWORDS = {
 }
 
 
+def _with_langid(df: pl.DataFrame) -> pl.DataFrame:
+    """Append ``pred_lang`` + ``stopword_score`` columns: per-language
+    stopword hit rate over the lowercased word tokens; argmax wins with a
+    first-max-in-sorted-lang-order tie-break (= numpy argmax), 'und' when
+    no language scores.  Pure polars — the Rust kernels do the token
+    explosion and set membership, no Python per-row work."""
+    langs = sorted(_STOPWORDS)
+    scols = [f"_s_{l}" for l in langs]
+    df = df.with_columns(
+        pl.col("text").str.to_lowercase().str.extract_all(_WORD).alias("_toks")
+    )
+    n_tok = pl.col("_toks").list.len().cast(pl.Float64).clip(lower_bound=1.0)
+    df = df.with_columns(
+        [
+            (
+                pl.col("_toks")
+                .list.eval(pl.element().is_in(sorted(_STOPWORDS[l])).cast(pl.UInt32))
+                .list.sum()
+                .cast(pl.Float64)
+                / n_tok
+            ).alias(s)
+            for l, s in zip(langs, scols)
+        ]
+    )
+    best = pl.max_horizontal([pl.col(s) for s in scols])
+    pred = (
+        pl.when(best > 0.0)
+        .then(
+            pl.coalesce(
+                [
+                    pl.when(pl.col(s) == best).then(pl.lit(l))
+                    for l, s in zip(langs, scols)
+                ]
+            )
+        )
+        .otherwise(pl.lit("und"))
+    )
+    return df.with_columns(
+        pred.alias("pred_lang"), round_half_away_pl(best).alias("stopword_score")
+    ).drop(["_toks"] + scols)
+
+
 def text_langid(sf_dir: str) -> rd.Dataset:
     """n-gram/stopword language-ID heuristic: per-language stopword hit
-    rate; argmax wins, 'und' (undetermined) when no language scores.
-    Stopword tables are compiled once per actor."""
+    rate; argmax wins, 'und' (undetermined) when no language scores."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
-    class LangId:
-        def __init__(self):
-            self.word = re.compile(_WORD)
-            self.langs = sorted(_STOPWORDS)
-            self.tables = [_STOPWORDS[l] for l in self.langs]
+    def langid(t: pa.Table) -> pa.Table:
+        return (
+            _with_langid(pl.from_arrow(t))
+            .select("doc_id", "pred_lang", "stopword_score")
+            .to_arrow()
+        )
 
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            toks = b["text"].str.lower().str.findall(self.word)
-            scores = np.zeros((len(b), len(self.langs)))
-            for li, table in enumerate(self.tables):
-                scores[:, li] = toks.map(
-                    lambda ws: sum(w in table for w in ws) / max(1, len(ws))
-                )
-            best = scores.argmax(axis=1)
-            best_score = scores.max(axis=1)
-            pred = np.where(
-                best_score > 0.0, np.array(self.langs, dtype=object)[best], "und"
-            )
-            return pd.DataFrame(
-                {
-                    "doc_id": b["doc_id"],
-                    "pred_lang": pred,
-                    "stopword_score": round_half_away(best_score, 4),
-                }
-            )
-
-    return ds.map_batches(LangId, batch_format="pandas", concurrency=(1, 8))
+    return ds.map_batches(langid, batch_format="pyarrow", **worker_runtime_env())
 
 
 def _langid_sql() -> str:
@@ -231,17 +259,19 @@ def text_bpe_tokens(sf_dir: str) -> rd.Dataset:
 
     class Bpe:
         def __init__(self):
+            # lookahead regex: Python re only (polars' Rust regex crate has
+            # no lookarounds) — the actor pool amortizes the compile; the
+            # match loop is the irreducible cost either way
             self.pat = re.compile(_BPE_ISH)
 
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame(
-                {
-                    "doc_id": b["doc_id"],
-                    "n_bpe_tokens": b["text"].str.count(self.pat).astype("int64"),
-                }
+        def __call__(self, t: pa.Table) -> pa.Table:
+            findall = self.pat.findall
+            counts = [len(findall(s)) if s is not None else 0 for s in t["text"].to_pylist()]
+            return pa.table(
+                {"doc_id": t["doc_id"], "n_bpe_tokens": pa.array(counts, pa.int64())}
             )
 
-    return ds.map_batches(Bpe, batch_format="pandas", concurrency=(1, 4))
+    return ds.map_batches(Bpe, batch_format="pyarrow", concurrency=(1, 4))
 
 
 def text_rolling_fp(sf_dir: str) -> rd.Dataset:
@@ -269,32 +299,31 @@ _NUM_RE = r"[0-9][0-9][0-9]+"
 def text_scrub(sf_dir: str) -> rd.Dataset:
     """PII-style scrubbing: mask email-shaped tokens and long digit runs,
     and report how many replacements were made per doc — the masking
-    pre-pass every public-corpus pipeline runs before training.  Regexes
-    compile once per actor; replacement is the vectorized pandas kernel."""
+    pre-pass every public-corpus pipeline runs before training.  Pure
+    polars replace_all/count_matches over zero-copy Arrow batches."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
-    class Scrub:
-        def __init__(self):
-            self.email = re.compile(_EMAIL_RE)
-            self.num = re.compile(_NUM_RE)
-
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            n_email = b["text"].str.count(self.email).astype("int64")
-            n_num = b["text"].str.count(self.num).astype("int64")
-            clean = (
-                b["text"]
-                .str.replace(self.email, "<EMAIL>", regex=True)
-                .str.replace(self.num, "<NUM>", regex=True)
+    def scrub(t: pa.Table) -> pa.Table:
+        clean = (
+            pl.col("text")
+            .str.replace_all(_EMAIL_RE, "<EMAIL>")
+            .str.replace_all(_NUM_RE, "<NUM>")
+        )
+        n_masked = (
+            pl.col("text").str.count_matches(_EMAIL_RE)
+            + pl.col("text").str.count_matches(_NUM_RE)
+        ).cast(pl.Int64)
+        return (
+            pl.from_arrow(t)
+            .select(
+                pl.col("doc_id"),
+                clean.str.slice(0, 50).alias("clean_50"),
+                n_masked.alias("n_masked"),
             )
-            return pd.DataFrame(
-                {
-                    "doc_id": b["doc_id"],
-                    "clean_50": clean.str.slice(0, 50),
-                    "n_masked": n_email + n_num,
-                }
-            )
+            .to_arrow()
+        )
 
-    return ds.map_batches(Scrub, batch_format="pandas", concurrency=(1, 4))
+    return ds.map_batches(scrub, batch_format="pyarrow", **worker_runtime_env())
 
 
 SQL_TEXT_SCRUB = f"""

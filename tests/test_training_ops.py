@@ -38,7 +38,7 @@ def planted_docs(tmp_path_factory):
 def test_minhash_finds_planted_neardups(planted_docs):
     from aiw_i2b2_etl_ray.pipelines.dedup import dedup_minhash_pairs
 
-    pairs = dedup_minhash_pairs(planted_docs)
+    pairs = dedup_minhash_pairs(planted_docs).to_pandas()
     got = set(map(tuple, pairs[["doc_a", "doc_b"]].itertuples(index=False)))
     assert (0, 9001) in got, f"near-dup (0,9001) missing from {got}"
     assert (1, 9002) in got, f"exact dup (1,9002) missing from {got}"
@@ -63,7 +63,7 @@ def test_simhash_exact_dup_same_hash(planted_docs):
 def test_ngram_jaccard_pairs(planted_docs):
     from aiw_i2b2_etl_ray.pipelines.dedup import dedup_ngram_jaccard
 
-    pairs = dedup_ngram_jaccard(planted_docs)
+    pairs = dedup_ngram_jaccard(planted_docs).to_pandas()
     got = set(map(tuple, pairs[["doc_a", "doc_b"]].itertuples(index=False)))
     assert (1, 9002) in got  # same lang + same length block + identical text
 
