@@ -109,19 +109,27 @@ def _verify_pairs_fn(t: pa.Table) -> pa.Table:
     )
 
 
-def dedup_minhash_pairs(sf_dir: str) -> pd.DataFrame:
-    """MinHash+LSH near-duplicate pairs, digest-before-shuffle end to end:
+def dedup_minhash_pairs(sf_dir: str) -> rd.Dataset:
+    """MinHash+LSH near-duplicate pairs, digest-before-shuffle end to end,
+    returned as a DATASET (verified pairs are output-sized — billions of
+    rows on a duplicate-heavy 100 TB corpus — so they never land on the
+    driver; consumers stream, cluster, or sink them):
 
     1. per-batch MinHash signatures -> explode to ``(band_id, band_key,
        doc_id)`` rows ONLY (24 B/row — the raw text never enters the band
        shuffle; at 100 TB the old text-tiling plan would have moved
        input x bands bytes through the exchange);
     2. groupby band bucket -> candidate id pairs (docs sharing a bucket);
-    3. distributed pair dedup (the same pair surfaces from several bands);
+    3. pair dedup (the same pair surfaces from several bands) — driver-side
+       for a bounded candidate count (id pairs only, 16 B/row), distributed
+       above PAIR_GATHER_LIMIT;
     4. texts re-fetched by doc id via TWO bucketed hash joins
        (stages.join.bucketed_join — each side moves once, co-partitioned);
-       at 100 TB a bloom-filter semi-join would prune the docs side first;
-    5. vectorized exact n-gram Jaccard verify >= tau in ``map_batches``.
+       below the limit the docs side is first pruned by a broadcast
+       needed-id set (at 100 TB: a bloom filter) so the joins only move
+       candidate texts;
+    5. vectorized exact n-gram Jaccard verify >= tau in ``map_batches`` —
+       the verify stage's Dataset IS the return value.
 
     Docs with no tokens are excluded from banding (their signature is the
     empty sentinel; matching "nothing" is meaningless and the SQL oracle's
@@ -172,66 +180,58 @@ def dedup_minhash_pairs(sf_dir: str) -> pd.DataFrame:
 
     # Adaptive verify-fetch physical plan (candidate count is known and
     # bounded after LSH; the same pair can surface from several bands):
-    #  - small candidate set (the common case; bounded by the output-size
-    #    class): dedup the pairs driver-side, broadcast the needed doc-id
-    #    set, ONE filtered pass over the corpus picks candidate texts (no
-    #    shuffle), verify vectorized;
-    #  - large candidate set: distributed pair dedup, then two bucketed
-    #    hash joins fetch texts co-partitioned, verify distributed — the
-    #    >driver-memory path.
+    #  - small candidate set (the common case): dedup the ID pairs
+    #    driver-side (16 B/row, bounded by PAIR_GATHER_LIMIT — texts never
+    #    come to the driver), broadcast the needed doc-id set, and prune
+    #    the corpus with it BEFORE the text-fetch joins;
+    #  - large candidate set: distributed pair dedup, full docs side.
+    # Either way the texts attach via two bucketed hash joins and the
+    # verify stage runs distributed; its Dataset is the return value.
     n_pairs = cands.count()
     if n_pairs == 0:
-        return pd.DataFrame(
-            {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"),
-             "jaccard": pd.Series(dtype="float64")}
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
         )
     if n_pairs <= PAIR_GATHER_LIMIT:
         import ray
 
         pairs = cands.to_pandas().drop_duplicates(["doc_a", "doc_b"])
-        need = np.unique(
-            np.concatenate([pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy()])
+        need_ref = ray.put(
+            np.unique(
+                np.concatenate([pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy()])
+            )
         )
-        need_ref = ray.put(need)
 
-        class PickTexts:
-            def __init__(self):
-                self.need = ray.get(need_ref)
+        def pick_texts(t: pa.Table) -> pa.Table:
+            mask = np.isin(t["doc_id"].to_numpy(), ray.get(need_ref))
+            return t.filter(pa.array(mask))
 
-            def __call__(self, t: pa.Table) -> pa.Table:
-                mask = np.isin(t["doc_id"].to_numpy(), self.need)
-                return t.filter(pa.array(mask))
-
-        texts = docs.map_batches(
-            PickTexts, batch_format="pyarrow", concurrency=(1, 8)
-        ).to_pandas()
-        merged = pairs.merge(
-            texts.rename(columns={"doc_id": "doc_a", "text": "text_a"}), on="doc_a"
-        ).merge(
-            texts.rename(columns={"doc_id": "doc_b", "text": "text_b"}), on="doc_b"
-        )
-        out = _verify_pairs_fn(pa.Table.from_pandas(merged, preserve_index=False)).to_pandas()
+        # stateless task stage (no actor pool ahead of the join sorts);
+        # materialized so the pruned-texts pass runs once, not per join
+        docs_small = docs.map_batches(pick_texts, batch_format="pyarrow").materialize()
+        pairs_ds = rd.from_arrow(pa.Table.from_pandas(pairs, preserve_index=False))
     else:
-        cands = cands.groupby(["doc_a", "doc_b"]).map_groups(
+        pairs_ds = cands.groupby(["doc_a", "doc_b"]).map_groups(
             lambda g: g.slice(0, 1), batch_format="pyarrow"
         )
-        docs_a = docs.map_batches(
-            lambda t: pa.table({"doc_a": t["doc_id"], "text_a": t["text"]}),
-            batch_format="pyarrow",
-        )
-        docs_b = docs.map_batches(
-            lambda t: pa.table({"doc_b": t["doc_id"], "text_b": t["text"]}),
-            batch_format="pyarrow",
-        )
-        witha = bucketed_join(cands, docs_a, on=["doc_a"])
-        both = bucketed_join(witha, docs_b, on=["doc_b"])
-        out = both.map_batches(_verify_pairs_fn, batch_format="pyarrow").to_pandas()
-    if len(out) == 0:
-        return pd.DataFrame(
-            {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"),
-             "jaccard": pd.Series(dtype="float64")}
-        )
-    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        docs_small = docs
+    docs_a = docs_small.map_batches(
+        lambda t: pa.table({"doc_a": t["doc_id"], "text_a": t["text"]}),
+        batch_format="pyarrow",
+    )
+    docs_b = docs_small.map_batches(
+        lambda t: pa.table({"doc_b": t["doc_id"], "text_b": t["text"]}),
+        batch_format="pyarrow",
+    )
+    witha = bucketed_join(pairs_ds, docs_a, on=["doc_a"])
+    both = bucketed_join(witha, docs_b, on=["doc_b"])
+    return both.map_batches(_verify_pairs_fn, batch_format="pyarrow")
 
 
 #: Exact all-pairs n-gram (3-token shingle) Jaccard via an inverted-index
@@ -302,11 +302,13 @@ def dedup_simhash(sf_dir: str) -> rd.Dataset:
 NGRAM_BLOCK_CAP = 1024  # all-pairs bound; larger blocks switch to LSH prefilter
 
 
-def dedup_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
+def dedup_ngram_jaccard(sf_dir: str) -> rd.Dataset:
     """Blocked exact n-gram Jaccard: block by (lang, length-bucket), then
     within each block compute every doc's shingle-hash set ONCE (one
     vectorized pass) and intersect sorted arrays per pair — no per-pair
-    re-tokenization, no unbounded quadratic text work.
+    re-tokenization, no unbounded quadratic text work.  Returns the
+    per-block verify stage's Dataset (pair output is output-sized; it
+    never lands on the driver).
 
     Blocks above ``NGRAM_BLOCK_CAP`` docs do NOT run all-pairs: candidate
     pairs come from an in-block MinHash band prefilter (same 16x4 banding
@@ -386,18 +388,11 @@ def dedup_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    out = (
+    return (
         ds.map_batches(add_block, batch_format="pyarrow")
         .groupby(["lang", "len_block"])
         .map_groups(block_pairs, batch_format="pandas")
-        .to_pandas()
     )
-    if len(out) == 0:
-        return pd.DataFrame(
-            {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"),
-             "jaccard": pd.Series(dtype="float64")}
-        )
-    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 SQL_DEDUP_NGRAM_JACCARD = f"""
@@ -426,15 +421,24 @@ WHERE CAST(i.i AS DOUBLE)/(sa.n + sb.n - i.i) >= {JACCARD_TAU}
 COSINE_TAU = 0.4
 
 
-def dedup_embedding(sf_dir: str) -> pd.DataFrame:
+def dedup_embedding(sf_dir: str) -> rd.Dataset:
     """Embedding near-dup: within-label blocking, per-block numpy matmul,
     pairs with cosine >= tau.  Label blocking keeps each group one task; at
-    scale labels come from a coarse LSH/IVF assignment instead."""
+    scale labels come from a coarse LSH/IVF assignment instead.  Returns
+    the per-block pair Dataset (never driver-materialized)."""
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+    _empty = pd.DataFrame(
+        {
+            "vec_a": pd.Series(dtype="int64"),
+            "vec_b": pd.Series(dtype="int64"),
+            "cosine": pd.Series(dtype="float64"),
+        }
+    )
 
     def block_pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
-            return pd.DataFrame(columns=["vec_a", "vec_b", "cosine"])
+            return _empty
         g = g.sort_values("vec_id")
         ids = g["vec_id"].to_numpy()
         m = np.stack(g["embedding"].to_numpy()).astype(np.float64)
@@ -450,10 +454,7 @@ def dedup_embedding(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    out = ds.groupby("label").map_groups(block_pairs, batch_format="pandas").to_pandas()
-    if len(out) == 0:
-        return pd.DataFrame(columns=["vec_a", "vec_b", "cosine"])
-    return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+    return ds.groupby("label").map_groups(block_pairs, batch_format="pandas")
 
 
 SQL_DEDUP_EMBEDDING = f"""
@@ -475,7 +476,7 @@ IVF_DEDUP_ASSIGN = 4  # multi-assign factor: each vector joins its top-4 lists
 # driver oracle — same argument as dedup_minhash's shingle-join oracle.)
 
 
-def dedup_embedding_ivf(sf_dir: str) -> pd.DataFrame:
+def dedup_embedding_ivf(sf_dir: str) -> rd.Dataset:
     """Embedding near-dup with coarse-quantizer (IVF) blocking — the scale
     path `dedup_embedding`'s docstring promises: no label column needed,
     blocks are the centroid lists of a sample-trained quantizer
@@ -483,7 +484,7 @@ def dedup_embedding_ivf(sf_dir: str) -> pd.DataFrame:
     top-IVF_DEDUP_ASSIGN lists so near-neighbors straddling a centroid
     boundary still co-occur somewhere.  Exact cosine verify within each
     list, then a keyed pair-dedup (a pair found in 2 shared lists must
-    emit once).
+    emit once); the deduped pair Dataset is the return value.
 
     Approximate by nature (recall < 1 is possible when a pair's lists are
     disjoint); accuracy is pinned by a recall-vs-exact pytest, like
@@ -538,7 +539,7 @@ def dedup_embedding_ivf(sf_dir: str) -> pd.DataFrame:
 
     from ray.data.aggregate import Max
 
-    pairs = (
+    return (
         # materialized before the groupby sort (pool-vs-sort scheduling,
         # see curation.corpus_filter); the multi-assigned set is bounded
         ds.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
@@ -548,10 +549,6 @@ def dedup_embedding_ivf(sf_dir: str) -> pd.DataFrame:
         .groupby(["vec_a", "vec_b"])
         .aggregate(Max("cosine", alias_name="cosine"))  # dedup shared-list pairs
     )
-    out = pairs.to_pandas()
-    if len(out) == 0:
-        return pd.DataFrame(columns=["vec_a", "vec_b", "cosine"])
-    return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
 
 
 SQL_DEDUP_EMBEDDING_IVF = """

@@ -134,15 +134,9 @@ def dedup_clusters(sf_dir: str) -> rd.Dataset:
     canonical survivor a keep-one policy would retain)."""
     from .dedup import dedup_minhash_pairs
 
-    pairs = dedup_minhash_pairs(sf_dir)
-    edges = rd.from_arrow(
-        pa.table(
-            {
-                "doc_a": pa.array(pairs["doc_a"].to_numpy(), pa.int64()),
-                "doc_b": pa.array(pairs["doc_b"].to_numpy(), pa.int64()),
-            }
-        )
-    )
+    # pairs arrive as a Dataset and feed the CC rounds directly — the
+    # edge list never lands on the driver
+    edges = dedup_minhash_pairs(sf_dir).select_columns(["doc_a", "doc_b"])
     return connected_components(edges)
 
 

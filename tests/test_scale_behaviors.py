@@ -204,3 +204,29 @@ def test_state_cap_slicing_identical(tmp_path):
         a["archive"].to_pandas(), b["archive"].to_pandas(), ["repo", "path", "last_commit_seq"]
     )
     assert_table_eq(a["repo_dim"].to_pandas(), b["repo_dim"].to_pandas(), ["repo"])
+
+
+def test_dedup_pair_outputs_are_datasets():
+    """The pair-producing dedup family must return streaming Datasets, not
+    driver DataFrames: verified near-dup pairs are output-sized (billions
+    of rows on a duplicate-heavy 100 TB corpus), so a `.to_pandas()` tail
+    would be a driver OOM.  Guards the round-2 verdict's last scale-killer
+    from regressing."""
+    import ray.data as rd
+
+    from aiw_i2b2_etl_ray.pipelines import dedup as dd
+    from aiw_i2b2_etl_ray.pipelines.graph_cc import dedup_clusters
+
+    sf = "/root/testdata/sf0.001"
+    for fn in (
+        dd.dedup_minhash_pairs,
+        dd.dedup_ngram_jaccard,
+        dd.dedup_embedding,
+        dd.dedup_embedding_ivf,
+        dedup_clusters,
+    ):
+        out = fn(sf)
+        assert isinstance(out, rd.Dataset), f"{fn.__name__} returned {type(out)}"
+        assert {"doc_a", "doc_b", "vec_a", "vec_b", "doc_id"} & set(
+            out.schema().names
+        ), fn.__name__
