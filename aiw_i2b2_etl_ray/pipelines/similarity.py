@@ -18,10 +18,18 @@ TOP_K = 5
 
 
 def _load_queries(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """The deterministic query set (vec_id < N_QUERIES) via a
+    predicate-pushed parquet read: only row groups whose stats overlap the
+    filter are fetched, so the driver never holds the embeddings table —
+    at 100 TB this read touches one row group, not the corpus."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    df = t.to_pandas().sort_values("vec_id").head(N_QUERIES)
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", N_QUERIES)],
+    )
+    df = t.to_pandas().sort_values("vec_id")
     q = np.stack(df["embedding"].to_numpy()).astype(np.float64)
     q /= np.linalg.norm(q, axis=1, keepdims=True)
     return df["vec_id"].to_numpy(), q
@@ -260,12 +268,21 @@ def _train_centroids(sf_dir: str, sample_rows: int = 2048) -> np.ndarray:
     bounded head sample, driver-side (the classic IVF recipe — train on a
     sample, assign the full corpus distributed).  Init = the first
     IVF_LISTS eligible vectors; 5 iterations; empty cells keep their
-    previous centroid.  Everything is seedless-deterministic."""
+    previous centroid.  Everything is seedless-deterministic.
+
+    The sample is a BOUNDED head read: batches stream off the parquet
+    file and the scan stops at ``sample_rows`` — the driver never holds
+    more than the sample regardless of corpus size."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    ).slice(0, sample_rows)
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    batches, got = [], 0
+    for b in pf.iter_batches(batch_size=sample_rows, columns=["vec_id", "embedding"]):
+        batches.append(b)
+        got += len(b)
+        if got >= sample_rows:
+            break
+    t = pa.Table.from_batches(batches).slice(0, sample_rows)
     m = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
     m /= np.linalg.norm(m, axis=1, keepdims=True) + 1e-300
     cents = m[:IVF_LISTS].copy()
