@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     cat.update(
         {
             "ontology_table": on.ontology_table,  # K2/O2 metadata emission (3-level)
+            "concept_value_sets": on.concept_value_sets,  # M16/M17 value-set read
             "concept_descendants": on.concept_descendants,  # LevelReader analog
             "table_access": on.table_access,  # TableAccessReader discovery
             "lang_stats": on.lang_stats,  # A4 statistics + rollup
@@ -283,6 +284,7 @@ def oracle_sql() -> dict[str, str]:
     sql.update(
         {
             "ontology_table": on.SQL_ONTOLOGY_TABLE,
+            "concept_value_sets": on.SQL_CONCEPT_VALUE_SETS,
             "concept_descendants": on.SQL_CONCEPT_DESCENDANTS,
             "table_access": on.SQL_TABLE_ACCESS,
             "lang_stats": on.SQL_LANG_STATS,

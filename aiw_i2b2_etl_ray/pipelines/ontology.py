@@ -41,6 +41,24 @@ def _distinct_pairs(sf_dir: str) -> list[tuple[str, str]]:
     return list(zip(df["lang"].to_list(), df["source"].to_list()))
 
 
+def _leaf_metadata_xml(pairs: list[tuple[str, str]]) -> dict[str, str]:
+    """source -> ValueMetadata XML blob: each leaf concept's value set is
+    the (sorted) langs the source appears under, emitted as an Enum — the
+    reference generates exactly this blob shape for leaf concepts
+    (dest/metadata/PropositionConceptTreeBuilder.java:118-125,180-215)."""
+    from ..functions.value_metadata import ValueMetadata, generate_value_metadata
+
+    by_src: dict[str, list[str]] = {}
+    for l, s in pairs:
+        by_src.setdefault(s, []).append(l)
+    return {
+        s: generate_value_metadata(
+            ValueMetadata(test_id=f"SRC:{s}", datatype="Enum", enum_values=sorted(ls))
+        )
+        for s, ls in by_src.items()
+    }
+
+
 def ontology_table(sf_dir: str) -> pa.Table:
     """Three-level concept hierarchy discovered from the data:
     root -> lang -> source (depth >= 3, the reference's arbitrary-depth
@@ -51,11 +69,17 @@ def ontology_table(sf_dir: str) -> pa.Table:
     flagged ``c_synonym_cd='Y'`` (the reference marks duplicate concept ids
     SYNONYM instead of inserting a second primary row).
 
+    Leaf rows carry ``c_metadataxml`` — the generated ValueMetadata blob
+    (M17) the value-set query (``concept_value_sets``) parses back (M16),
+    mirroring the reference's C_METADATAXML column
+    (ksb/CMetadataXmlParser.java:39-193).
+
     Domain discovery is distributed (combiner partials); tree assembly is
     driver-side, like the reference's in-memory concept tree."""
     pairs = _distinct_pairs(sf_dir)
     langs = sorted({l for l, _ in pairs})
     root_path = strings.hierarchy_path(pa.array([ROOT]))[0].as_py()
+    leaf_xml = _leaf_metadata_xml(pairs)
 
     hlevel = [0] + [1] * len(langs)
     fullname = [root_path] + [f"\\{ROOT}\\{l}\\" for l in langs]
@@ -63,6 +87,7 @@ def ontology_table(sf_dir: str) -> pa.Table:
     basecode: list[str | None] = [None] + [f"LANG:{l}" for l in langs]
     vis = ["FA"] * (1 + len(langs))
     syn = ["N"] * (1 + len(langs))
+    metaxml: list[str | None] = [None] * (1 + len(langs))
 
     seen_src: set[str] = set()
     for l, s in pairs:  # sorted (lang, source) == first occurrence order
@@ -72,6 +97,7 @@ def ontology_table(sf_dir: str) -> pa.Table:
         basecode.append(f"SRC:{s}")
         vis.append("LA")
         syn.append("Y" if s in seen_src else "N")
+        metaxml.append(leaf_xml[s])
         seen_src.add(s)
 
     return pa.table(
@@ -82,6 +108,7 @@ def ontology_table(sf_dir: str) -> pa.Table:
             "c_basecode": pa.array(basecode, pa.string()),
             "c_visualattributes": pa.array(vis, pa.string()),
             "c_synonym_cd": pa.array(syn, pa.string()),
+            "c_metadataxml": pa.array(metaxml, pa.string()),
         }
     )
 
@@ -89,29 +116,40 @@ def ontology_table(sf_dir: str) -> pa.Table:
 _SQL_ONTO = r"""
 pairs AS (SELECT DISTINCT lang, source FROM documents),
 langs AS (SELECT DISTINCT lang FROM documents),
+vm AS (
+  SELECT source,
+         '<ValueMetadata><Version>3.02</Version><CreationDateTime/><TestID>SRC:'
+         || source || '</TestID><TestName>SRC:' || source
+         || '</TestName><DataType>Enum</DataType><Oktousevalues>Y</Oktousevalues><EnumValues>'
+         || string_agg('<Val description="">' || lang || '</Val>', '' ORDER BY lang)
+         || '</EnumValues></ValueMetadata>' AS xml
+  FROM pairs GROUP BY source
+),
 onto AS (
   SELECT CAST(0 AS BIGINT) AS c_hlevel, '\Lang\' AS c_fullname,
          'Lang' AS c_name, CAST(NULL AS VARCHAR) AS c_basecode,
          'FA' AS c_visualattributes, 'N' AS c_synonym_cd,
+         CAST(NULL AS VARCHAR) AS c_metadataxml,
          CAST(NULL AS VARCHAR) AS c_parent
   UNION ALL
   SELECT CAST(1 AS BIGINT), '\Lang\' || lang || '\', lang,
-         'LANG:' || lang, 'FA', 'N', '\Lang\'
+         'LANG:' || lang, 'FA', 'N', CAST(NULL AS VARCHAR), '\Lang\'
   FROM langs
   UNION ALL
-  SELECT CAST(2 AS BIGINT), '\Lang\' || lang || '\' || source || '\', source,
-         'SRC:' || source, 'LA',
-         CASE WHEN ROW_NUMBER() OVER (PARTITION BY source ORDER BY lang) > 1
+  SELECT CAST(2 AS BIGINT), '\Lang\' || p.lang || '\' || p.source || '\', p.source,
+         'SRC:' || p.source, 'LA',
+         CASE WHEN ROW_NUMBER() OVER (PARTITION BY p.source ORDER BY p.lang) > 1
               THEN 'Y' ELSE 'N' END,
-         '\Lang\' || lang || '\'
-  FROM pairs
+         v.xml,
+         '\Lang\' || p.lang || '\'
+  FROM pairs p JOIN vm v ON v.source = p.source
 )
 """
 
 SQL_ONTOLOGY_TABLE = f"""
 WITH {_SQL_ONTO}
 SELECT c_hlevel, c_fullname, c_name, c_basecode, c_visualattributes,
-       c_synonym_cd
+       c_synonym_cd, c_metadataxml
 FROM onto
 """
 
@@ -286,8 +324,56 @@ doc_counts AS (
   FROM documents GROUP BY lang, source
 )
 SELECT o.c_hlevel, o.c_fullname, o.c_name, o.c_basecode,
-       o.c_visualattributes, o.c_synonym_cd,
+       o.c_visualattributes, o.c_synonym_cd, o.c_metadataxml,
        CAST(COALESCE((SELECT SUM(d.n) FROM doc_counts d
                  WHERE d.p LIKE o.c_fullname || '%'), 0) AS BIGINT) AS c_totalnum
 FROM onto o
+"""
+
+
+def concept_value_sets(sf_dir: str) -> pa.Table:
+    """Value-set read (S3's last gap): parse each PRIMARY leaf concept's
+    ``c_metadataxml`` back through the M16 parser and emit one row per enum
+    member — the reference's readValueSet path
+    (ksb/I2b2KnowledgeSourceBackend.java:1570-1614 +
+    CMetadataXmlParser.java:39-193, golden family truth/testReadValueSet*).
+    Round-trips generate (M17) -> parse (M16) end to end, so the oracle
+    checks both directions."""
+    from ..functions.value_metadata import parse_value_metadata
+
+    onto = ontology_table(sf_dir)
+    base, dt, ordinal, val = [], [], [], []
+    seen: set[str] = set()
+    for b, syn, xml in zip(
+        onto["c_basecode"].to_pylist(),
+        onto["c_synonym_cd"].to_pylist(),
+        onto["c_metadataxml"].to_pylist(),
+    ):
+        if xml is None or syn == "Y" or b in seen:
+            continue
+        seen.add(b)
+        vm = parse_value_metadata(xml)
+        for i, v in enumerate(vm.enum_values):
+            base.append(b)
+            dt.append(vm.datatype)
+            ordinal.append(i + 1)
+            val.append(v)
+    return pa.table(
+        {
+            "c_basecode": pa.array(base, pa.string()),
+            "vm_datatype": pa.array(dt, pa.string()),
+            "ordinal": pa.array(ordinal, pa.int64()),
+            "vm_value": pa.array(val, pa.string()),
+        }
+    )
+
+
+SQL_CONCEPT_VALUE_SETS = """
+WITH pairs AS (SELECT DISTINCT lang, source FROM documents)
+SELECT 'SRC:' || source AS c_basecode,
+       'Enum' AS vm_datatype,
+       CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY lang) AS BIGINT)
+         AS ordinal,
+       lang AS vm_value
+FROM pairs
 """
