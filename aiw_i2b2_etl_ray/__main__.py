@@ -48,6 +48,9 @@ def main(argv: list[str] | None = None) -> int:
     )
     rt.add_argument("--out", required=True)
     rt.add_argument("--langs", required=True, help="comma-separated lang codes")
+    rt.add_argument(
+        "--run-id", default=None, help="archive directory name (auto-numbered if omitted)"
+    )
 
     cb = sub.add_parser(
         "corpus", help="end-to-end training-corpus build (filter+dedup+pack+write)"
@@ -105,7 +108,11 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "retract":
         from .pipelines.retract import retract_source
 
-        print(json.dumps(retract_source(args.out, set(args.langs.split(",")))))
+        print(
+            json.dumps(
+                retract_source(args.out, set(args.langs.split(",")), run_id=args.run_id)
+            )
+        )
     elif args.cmd == "corpus":
         from .pipelines.curation import corpus_build
 

@@ -298,10 +298,19 @@ def _replay_impl(
 
     persisted_prior = set((job or {}).get("hot_keys", []))
     newly_hot = (hot_keys or set()) - persisted_prior
-    extracted = None
     if newly_hot and spec.mode == "update":
         extracted = expunge_keys_from_parts(spec.out_dir, newly_hot, spec.num_partitions)
         if len(extracted):
+            # DURABILITY: expunge destructively rewrote canonical partition
+            # files, so the extracted state must hit disk BEFORE the merge
+            # runs — a crash mid-merge would otherwise lose it forever
+            # (re-expunge on resume finds nothing).  The hot-*.parquet glob
+            # + LWW reduce below absorbs this file exactly like a hot-run
+            # file, so no in-memory hand-off is needed.
+            _atomic_write(
+                extracted,
+                os.path.join(paths["path_dim"], f"hot-transition-{run_id}.parquet"),
+            )
             _bump_salted_watermarks(
                 spec.out_dir, extracted, spec.num_partitions, spec.salt_buckets, run_id
             )
@@ -347,11 +356,10 @@ def _replay_impl(
     # a second full execution for schema inference.
     hot_mat = hot_rows_ds.materialize()
     hot_tbls = [t for t in ray.get(hot_mat.to_arrow_refs()) if len(t)]
-    # extracted pre-transition state joins the hot fold so a key's state
-    # lives exclusively in hot runs (otherwise dimension partials
-    # double-count it)
-    if extracted is not None and len(extracted):
-        hot_tbls.append(extracted)
+    # extracted pre-transition state is already on disk as
+    # hot-transition-<run_id>.parquet (written before the merge) and joins
+    # the fold via the hot-*.parquet glob below — a key's state lives
+    # exclusively in hot runs (otherwise dimension partials double-count it)
 
     folded = None
     if hot_tbls:

@@ -8,8 +8,11 @@ Physical plan: one Ray task per output partition file (partition-parallel,
 no shuffle — the delete predicate is a per-row filter), rewriting fact /
 path_dim / hot files in place (atomic tmp+rename) and refreshing each
 touched partition's dimension partial so the driver can re-fold repo/lang
-dims.  Retracted fact rows are appended to the archive table rather than
-destroyed (the reference's archive-keeps-history rule).
+dims.  Retracted fact rows are archived rather than destroyed (the
+reference's archive-keeps-history rule): each retraction run writes its
+own ``archive/retractions/<run_id>/`` directory, so successive
+retractions never overwrite each other's history and the merge-written
+``archive/*.parquet`` table (ARCHIVE schema) stays uniformly readable.
 """
 
 from __future__ import annotations
@@ -78,16 +81,27 @@ def _retract_path_file(path: str, langs: tuple, dimpart_dir: str | None) -> int:
     return len(hit)
 
 
-def retract_source(out_dir: str, langs: set[str], *, refold_dims: bool = True) -> dict:
+def retract_source(
+    out_dir: str,
+    langs: set[str],
+    *,
+    refold_dims: bool = True,
+    run_id: str | None = None,
+) -> dict:
     """Retract all rows a source system (``lang``) contributed, across every
     partition.  Returns counts.  ``refold_dims=True`` rebuilds
     repo_dim/lang_dim from the refreshed partials (min/max seq bounds keep
     their historical values — the reference's DELETE likewise leaves other
-    tables' audit columns untouched)."""
+    tables' audit columns untouched).  ``run_id`` names this retraction's
+    archive directory (auto-numbered when omitted) so repeated retractions
+    keep independent history."""
     langs_t = tuple(sorted(langs))
     fact_files = sorted(glob.glob(os.path.join(out_dir, "change_fact", "*.parquet")))
     path_files = sorted(glob.glob(os.path.join(out_dir, "path_dim", "*.parquet")))
-    archive_dir = os.path.join(out_dir, "archive")
+    retr_root = os.path.join(out_dir, "archive", "retractions")
+    if run_id is None:
+        run_id = f"r{len(glob.glob(os.path.join(retr_root, '*'))) + 1:03d}"
+    archive_dir = os.path.join(retr_root, run_id)
     os.makedirs(archive_dir, exist_ok=True)
     dimpart = os.path.join(out_dir, "_dimpart")
 
@@ -112,6 +126,7 @@ def retract_source(out_dir: str, langs: set[str], *, refold_dims: bool = True) -
         "facts_retracted": int(sum(fact_counts)),
         "paths_retracted": int(sum(path_counts)),
         "langs": list(langs_t),
+        "run_id": run_id,
     }
     if refold_dims:
         from ..stages import dims as dims_mod

@@ -7,11 +7,15 @@ folded into parquet-backed partitions across any number of update runs.
 The exactly-once discipline is the same one the merge proved out:
 
 * events route to a partition by the stable key hash (``bucket_hash``),
-* each partition's manifest records a commit_seq watermark; an update run
-  filters its input to ``commit_seq > watermark`` BEFORE adding partial
-  counts, so redelivered rows can never double-count,
-* partition writes are atomic (tmp + rename) with the manifest written
-  after the data file — a crashed run replays idempotently.
+* each partition records a commit_seq watermark; an update run filters
+  its input to ``commit_seq > watermark`` BEFORE adding partial counts,
+  so redelivered rows can never double-count,
+* the watermark is stored IN the state parquet's key-value metadata, so
+  counts + watermark commit in ONE atomic rename — additive (read-modify-
+  add) state is not re-apply-idempotent the way LWW is, so a separate
+  watermark file would open a crash window where updated counts pair with
+  a stale watermark and a replay double-counts.  A JSON mirror is still
+  written for human inspection, but the parquet footer is authoritative.
 
 Additive aggregates tolerate what LWW cannot: rows may arrive in any
 order within a run.  The only ordering assumption is the merge's standard
@@ -60,6 +64,15 @@ def _wm_file(out_dir: str, pid: int) -> str:
 
 
 def _read_wm(out_dir: str, pid: int) -> int:
+    """Authoritative watermark = the state parquet's footer metadata
+    (atomic with the counts it covers).  The JSON mirror is only a
+    fallback for partitions that have never folded a row (no state file
+    exists, watermark is still -1 or a skip-only update)."""
+    pf = _part_file(out_dir, pid)
+    if os.path.exists(pf):
+        meta = pq.read_schema(pf).metadata or {}
+        if b"watermark_seq" in meta:
+            return int(meta[b"watermark_seq"])
     f = _wm_file(out_dir, pid)
     if not os.path.exists(f):
         return -1
@@ -133,6 +146,11 @@ def update_windows(
                         .agg(pl.col("n_changes").sum())
                     )
                 state = part.sort(["repo", "window_id"]).to_arrow().cast(STATE_SCHEMA)
+                # counts + watermark in one atomic rename: the footer
+                # watermark can never lag the counts it covers
+                state = state.replace_schema_metadata(
+                    {b"watermark_seq": str(wm_new).encode()}
+                )
                 _atomic_write(state, _part_file(self.out, pid))
             _atomic_json(
                 {"partition_id": pid, "watermark_seq": wm_new}, _wm_file(self.out, pid)

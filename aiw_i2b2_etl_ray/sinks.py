@@ -50,6 +50,17 @@ def write_partitioned(
         if os.path.exists(first):
             return pa.table({"key": pa.array([str(key)]), "written": pa.array([False])})
         os.makedirs(d, exist_ok=True)
+        # no completion marker => any data-NNN/.tmp files are leftovers of a
+        # crashed attempt.  Clear them first: the rerun may produce FEWER
+        # chunks (fewer rows, larger max_rows_per_file), and a stale higher-
+        # numbered chunk surviving next to fresh files would silently
+        # corrupt the partition for glob readers.
+        import glob as _glob
+
+        for stale in _glob.glob(os.path.join(d, "data-*.parquet")) + _glob.glob(
+            os.path.join(d, "data-*.parquet.tmp")
+        ):
+            os.remove(stale)
         chunk = max_rows_per_file or len(g) or 1
         starts = list(range(0, max(1, len(g)), chunk))
         # data-000 is the key's completion marker (the skip check above),

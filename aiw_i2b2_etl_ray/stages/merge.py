@@ -405,6 +405,9 @@ class PartitionMerger:
         slice_ids = _key_slice_ids(g, n_slices) if n_slices > 1 else None
         hot_parts, partial_frames = [], []
         totals = dict(applied=0, dups=0, conflicts=0, rejected=0, wm=-1)
+        prior_rej = (
+            self._prior_rejected_keys(pid) if self.mode == "update" else set()
+        )
         for s_i in range(n_slices):
             if slice_ids is None:
                 sub, spec = g, None
@@ -413,6 +416,11 @@ class PartitionMerger:
             path_dim, hot_rows, facts, rej, arch, partials, c = self._slice_result(
                 sub, pid, spec
             )
+            if rej is not None and prior_rej:
+                rej = _drop_redelivered_null_seq(rej, prior_rej)
+                c["rejected"] = len(rej)
+                if len(rej) == 0:
+                    rej = None
             w_path.write(path_dim)
             w_fact.write(facts)
             if rej is not None:
@@ -451,6 +459,32 @@ class PartitionMerger:
             pa.concat_tables(hot_parts) if hot_parts else PATH_DIM.empty_table()
         )
         return hot_rows
+
+    def _prior_rejected_keys(self, pid: int) -> set:
+        """Content keys (repo, path, commit, reason) of this partition's
+        already-persisted rejected rows from PRIOR runs.  Null-seq rejects
+        bypass the watermark by design (no change-id ordering), so under
+        steady redelivery they would otherwise re-append every run; this
+        content-key dedup bounds the rejected table.  The current run's own
+        file is excluded — a crash-resume rewrites it, so deduping against
+        it would drop rows from the rewrite."""
+        import glob as _glob
+
+        keys: set = set()
+        pat = os.path.join(self.out_dirs["rejected"], f"part-{pid:05d}-*.parquet")
+        for f in _glob.glob(pat):
+            if f.endswith(f"-{self.run_id}.parquet"):
+                continue
+            t = pq.read_table(f, columns=["repo", "path", "commit", "reason"])
+            keys.update(
+                zip(
+                    t["repo"].to_pylist(),
+                    t["path"].to_pylist(),
+                    t["commit"].to_pylist(),
+                    t["reason"].to_pylist(),
+                )
+            )
+        return keys
 
     def _dim_partial_frames(self, facts_df: pl.DataFrame, path_dim: pa.Table) -> list:
         """Per-partition dimension partial frames (the combiner side of
@@ -571,6 +605,24 @@ class PartitionMerger:
             },
             mpath,
         )
+
+
+def _drop_redelivered_null_seq(rej: pa.Table, prior_keys: set) -> pa.Table:
+    """Drop null-commit_seq rejected rows whose (repo, path, commit,
+    reason) already exists in a prior run's rejected table.  Watermarked
+    (non-null-seq) rows never reach the merge twice, so only the null-seq
+    side needs this content-key dedup."""
+    null_mask = pc.is_null(rej["commit_seq"]).to_numpy(zero_copy_only=False)
+    if not null_mask.any():
+        return rej
+    rows = zip(
+        rej["repo"].to_pylist(),
+        rej["path"].to_pylist(),
+        rej["commit"].to_pylist(),
+        rej["reason"].to_pylist(),
+    )
+    keep = [not (null_mask[i] and k in prior_keys) for i, k in enumerate(rows)]
+    return rej.filter(pa.array(keep))
 
 
 def reduce_hot_rows(hot: pa.Table) -> pa.Table:

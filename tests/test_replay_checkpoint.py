@@ -185,3 +185,43 @@ def test_modifier_fanout_write_path(tmp_path):
     assert row["modifier_path"] == "\\Mod\\EVEN\\"
     assert row["n_facts"] == n // 2
     assert row["first_seen_seq"] == 0
+
+
+def test_null_seq_rejects_not_reaccumulated(tmp_path):
+    """Null-commit_seq rows bypass the watermark by design (no change-id
+    ordering), so every redelivery would re-append them to the rejected
+    table; the content-key dedup must keep the rejected table bounded
+    under steady redelivery."""
+    import numpy as np
+    import pyarrow as pa
+
+    n = 40
+    seqs = [None if i % 10 == 0 else i for i in range(n)]  # 4 malformed rows
+    t = pa.table(
+        {
+            "repo": pa.array([f"r{i % 2}" for i in range(n)]),
+            "path": pa.array([f"f{i % 7}.py" for i in range(n)]),
+            "commit": pa.array([f"c{i}" for i in range(n)]),
+            "lang": pa.array(["py"] * n),
+            "content": pa.array([f"v{i}" for i in range(n)], pa.large_string()),
+            "commit_seq": pa.array(seqs, pa.int64()),
+            "op": pa.array(["U"] * n),
+        }
+    )
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    pq.write_table(t, os.path.join(d, "part-00000.parquet"))
+
+    spec = ReplaySpec(out_dir=str(tmp_path / "out"), num_partitions=4,
+                      salt_buckets=1, hot_key_threshold=0)
+    replay(d, spec, run_id="n1")
+    paths = out_paths(spec)
+    rej1 = _read_dir(paths["rejected"])
+    assert rej1.num_rows == 4
+
+    spec_u = ReplaySpec(out_dir=spec.out_dir, num_partitions=4, salt_buckets=1,
+                        hot_key_threshold=0, mode="update")
+    for rid in ("n2", "n3"):  # steady redelivery of the same slice
+        replay(d, spec_u, run_id=rid)
+    rej = _read_dir(paths["rejected"])
+    assert rej.num_rows == 4, f"rejected table grew to {rej.num_rows}"

@@ -81,10 +81,26 @@ def test_retract_source_deletes_across_partitions(tmp_path):
     )
     assert len(pdim.filter(pc.equal(pdim["lang"], "go"))) == 0
     # retracted facts archived, not destroyed
-    ret = glob.glob(os.path.join(spec.out_dir, "archive", "retracted-fact-*.parquet"))
+    ret = glob.glob(
+        os.path.join(spec.out_dir, "archive", "retractions", "*", "retracted-fact-*.parquet")
+    )
     assert sum(pq.ParquetFile(f).metadata.num_rows for f in ret) == 20
+    # merge-written archive table stays uniformly readable (ARCHIVE schema
+    # only at archive/*.parquet — retraction files live in their own subdir)
+    for f in glob.glob(os.path.join(spec.out_dir, "archive", "*.parquet")):
+        assert "retracted-fact" not in os.path.basename(f)
     # dims re-folded: lang_dim no longer lists 'go'; live counts updated
     lang_dim = pq.read_table(os.path.join(spec.out_dir, "lang_dim", "lang_dim.parquet"))
     assert "go" not in lang_dim["lang"].to_pylist()
     repo_dim = pq.read_table(os.path.join(spec.out_dir, "repo_dim", "repo_dim.parquet")).to_pandas().set_index("repo")
     assert int(repo_dim["n_paths_live"].sum()) == 20
+
+    # a SECOND retraction must not clobber the first one's history
+    summary2 = retract_source(spec.out_dir, {"py"})
+    assert summary2["facts_retracted"] == 20
+    ret2 = glob.glob(
+        os.path.join(spec.out_dir, "archive", "retractions", "*", "retracted-fact-*.parquet")
+    )
+    assert sum(pq.ParquetFile(f).metadata.num_rows for f in ret2) == 40, (
+        "second retraction overwrote the first's archive"
+    )

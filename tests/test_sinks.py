@@ -47,3 +47,24 @@ def test_partitioned_write_crash_recovery(tmp_path, ray_session):
     assert s["written"] == 1  # only the damaged key rewritten
     assert len(glob.glob(os.path.join(keydir, "*.parquet"))) == n_files
     assert _load_all(out).num_rows == ds.count()
+
+
+def test_crash_rerun_with_fewer_chunks_clears_stale_files(tmp_path, ray_session):
+    """A crashed attempt's higher-numbered chunks must not survive a rerun
+    that produces fewer chunks (e.g. a larger max_rows_per_file): stale
+    data-NNN files read alongside fresh ones would corrupt the partition."""
+    ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "lang", "n_chars"])
+    out = str(tmp_path / "stale")
+    write_partitioned(ds, out, by="lang", max_rows_per_file=30)
+    keydir = sorted(glob.glob(os.path.join(out, "lang=*")))[0]
+    assert len(glob.glob(os.path.join(keydir, "*.parquet"))) > 1
+    # crash: marker missing, higher-numbered chunks + a tmp left behind
+    os.remove(os.path.join(keydir, "data-000.parquet"))
+    with open(os.path.join(keydir, "data-099.parquet.tmp"), "wb"):
+        pass
+    # rerun writes ONE chunk per key (no max_rows_per_file)
+    s = write_partitioned(ds, out, by="lang")
+    assert s["written"] == 1
+    left = sorted(os.path.basename(f) for f in glob.glob(os.path.join(keydir, "data-*")))
+    assert left == ["data-000.parquet"], left
+    assert _load_all(out).num_rows == ds.count()

@@ -73,7 +73,7 @@ def test_ivf_dedup_precision_is_exact_at_low_assign(ray_session):
     old = dd.IVF_DEDUP_ASSIGN
     try:
         dd.IVF_DEDUP_ASSIGN = 2
-        got = dd.dedup_embedding_ivf(SF)
+        got = dd.dedup_embedding_ivf(SF).to_pandas()
     finally:
         dd.IVF_DEDUP_ASSIGN = old
     exact = duckdb.sql(

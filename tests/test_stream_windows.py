@@ -83,3 +83,28 @@ def test_partition_count_change_is_rejected(log_dir, tmp_path, ray_session):
     # the original partitioning still works
     s = update_windows(_slice_ds(full, 1000, 2000), out, num_partitions=4)
     assert s["rows_folded"] > 0
+
+
+def test_crash_between_state_and_manifest_does_not_double_count(
+    log_dir, tmp_path, ray_session
+):
+    """Simulate a crash AFTER the state parquet rename but BEFORE the JSON
+    mirror write: delete the JSON manifests (stale-watermark stand-in) and
+    refold the same batch.  The authoritative footer watermark must reject
+    the redelivery — additive state is not re-apply-idempotent, so this is
+    the exactly-once crash window the footer metadata closes."""
+    import glob
+    import os
+
+    full = read_changes_table(log_dir)
+    out = str(tmp_path / "crash")
+    update_windows(rd.from_arrow(full), out, num_partitions=4)
+    before = load_windows(out)
+
+    # the crash: JSON mirrors vanish/stale while state parquets are new
+    for f in glob.glob(os.path.join(out, "_window_manifest", "part-*.json")):
+        os.remove(f)
+
+    s = update_windows(rd.from_arrow(full), out, num_partitions=4)
+    assert s["rows_folded"] == 0, "footer watermark must reject redelivery"
+    assert_table_eq(load_windows(out), before, ["repo", "window_id"])
