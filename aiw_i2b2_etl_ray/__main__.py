@@ -35,6 +35,16 @@ def main(argv: list[str] | None = None) -> int:
     rp.add_argument("--salt-buckets", type=int, default=8)
     rp.add_argument("--hot-key-threshold", type=int, default=250_000)
     rp.add_argument("--merge-policy", default="last_writer_wins")
+    rp.add_argument(
+        "--pre-hook",
+        default=None,
+        help="'module:function' run before any output mutation (EK_PRE_HOOK)",
+    )
+    rp.add_argument(
+        "--post-hook",
+        default=None,
+        help="'module:function' run after all outputs commit (EK_POST_HOOK)",
+    )
 
     cp = sub.add_parser("compact", help="fold hot-key LSM runs into partitions")
     cp.add_argument("--out", required=True)
@@ -87,6 +97,8 @@ def main(argv: list[str] | None = None) -> int:
             hot_key_threshold=args.hot_key_threshold,
             mode=args.mode,
             merge_policy=args.merge_policy,
+            pre_hook=args.pre_hook,
+            post_hook=args.post_hook,
         )
         if args.input_format == "parquet":
             src = args.input  # replay() prunes at the parquet read itself

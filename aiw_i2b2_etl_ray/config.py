@@ -92,6 +92,18 @@ class ReplaySpec:
     #: the conservative default path).  Applied only for the duration of
     #: the replay execution; the session's DataContext is restored after.
     shuffle: str = "push"  # push | pull
+    #: run-level hooks — the stored-proc extension points the reference's
+    #: handler invokes around a load (EK_PRE_HOOK / EK_POST_HOOK +
+    #: index disable/enable, dest/I2b2QueryResultsHandler.java:97-161,
+    #: 1116-1139).  Like the reference's, each is a NAME (here a dotted
+    #: "module:function" path, resolved at run time), so the spec stays
+    #: JSON-round-trippable.  pre_hook(spec, run_id) runs before any
+    #: output mutation; post_hook(spec, run_id, summary) runs after every
+    #: output and manifest is committed (compaction / stats refresh live
+    #: here — see pipelines/hooks.py for shipped payloads).  A non-None
+    #: return value is recorded in the run summary.
+    pre_hook: str | None = None
+    post_hook: str | None = None
 
     def __post_init__(self):
         if self.merge_policy not in ("last_writer_wins", "first_writer_wins"):
@@ -105,6 +117,11 @@ class ReplaySpec:
         # rule at the hot transition.  Rather than ship a subtly-wrong
         # combination, reject it (the reference's first-writer dedup —
         # providers — is a small dimension that never needs salting).
+        for h in (self.pre_hook, self.post_hook):
+            if h is not None and ":" not in h:
+                raise ValueError(
+                    f"hook must be a 'module:function' dotted path: {h!r}"
+                )
         if self.merge_policy == "first_writer_wins" and (
             self.salt_buckets > 1 and self.hot_key_threshold > 0
         ):
@@ -120,6 +137,17 @@ class ReplaySpec:
     @staticmethod
     def from_json(s: str) -> "ReplaySpec":
         return ReplaySpec(**json.loads(s))
+
+
+def resolve_hook(path: str):
+    """Resolve a ``"module:function"`` hook name to the callable.  Fails
+    loudly (ImportError/AttributeError) — a run configured with a hook that
+    does not exist must not silently proceed, matching the reference's
+    behavior when a configured stored proc is missing."""
+    import importlib
+
+    mod_name, _, fn_name = path.partition(":")
+    return getattr(importlib.import_module(mod_name), fn_name)
 
 
 def out_paths(spec: ReplaySpec) -> dict[str, str]:

@@ -411,6 +411,70 @@ def cdc_key_map(sf_dir: str):
     return key_map(sf_dir)
 
 
+def cdc_repo_map(sf_dir: str) -> rd.Dataset:
+    """Repo-level surrogate mapping — the PATIENT_MAPPING analog
+    (sql/i2b2_data_tables_1_7_h2.sql:122-134; EK_INSERT_PID_MAP_FROMTEMP
+    assignment), the coarser sibling of ``cdc_key_map``'s
+    ENCOUNTER_MAPPING: one row per distinct repo with a dense int64
+    ``repo_num`` in repo order, the path count, and the reference's
+    mapping-status flag ('A'ctive while any path is live, 'D'eleted once
+    every path carries a tombstone — the patient_mapping STATUS_CD).
+
+    Physical plan: per-batch combiner partials over the already-reduced
+    path_dim (one row per (repo, path), so COUNT there == distinct-path
+    count), ONE small keyed aggregate on repo, then the two-phase
+    global-index id assignment (per-block counts -> driver prefix-sum) —
+    no full-row shuffle, and nothing driver-side beyond one int per block."""
+    import polars as pl
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.keymap import global_index
+
+    pdim = _path_dim_cached(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t.select(["repo", "delete_date"]))
+            .group_by("repo")
+            .agg(
+                pl.len().cast(pl.Int64).alias("pn"),
+                pl.col("delete_date").is_null().sum().cast(pl.Int64).alias("pv"),
+            )
+            .to_arrow()
+        )
+
+    agg = (
+        pdim.map_batches(partial, batch_format="pyarrow")
+        .groupby("repo")
+        .aggregate(Sum("pn", alias_name="n_paths"), Sum("pv", alias_name="n_live"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        status = pc.if_else(
+            pc.greater(t["n_live"], 0), pa.scalar("A"), pa.scalar("D")
+        )
+        return t.select(["repo", "n_paths"]).append_column("status", status)
+
+    keyed = agg.map_batches(finish, batch_format="pyarrow")
+    return global_index(keyed, ["repo"], id_name="repo_num")
+
+
+SQL_REPO_MAP = f"""
+WITH {CHANGES_FROM_EVENTS_SQL}, {_VALID}, {_LAST},
+per AS (
+  SELECT repo,
+         CAST(COUNT(*) AS BIGINT) AS n_paths,
+         CAST(SUM(CASE WHEN op <> 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_live
+  FROM last GROUP BY repo
+)
+SELECT repo, n_paths,
+       CASE WHEN n_live > 0 THEN 'A' ELSE 'D' END AS status,
+       ROW_NUMBER() OVER (ORDER BY repo) AS repo_num
+FROM per
+"""
+
+
 SQL_KEY_MAP = f"""
 WITH {CHANGES_FROM_EVENTS_SQL}, {_VALID}, {_LAST}
 SELECT repo, path,

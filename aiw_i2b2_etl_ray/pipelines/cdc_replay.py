@@ -196,6 +196,17 @@ def _replay_impl(
     """
     run_id = run_id or uuid.uuid4().hex[:8]
     paths = out_paths(spec)
+
+    # resolve BOTH hooks before touching any output: a run configured with
+    # a missing hook must fail before it clears tables, and the pre-hook
+    # (index-disable analog) must see the warehouse as the previous run
+    # left it (dest/I2b2QueryResultsHandler.java:97-161).
+    from ..config import resolve_hook
+
+    pre_fn = resolve_hook(spec.pre_hook) if spec.pre_hook else None
+    post_fn = resolve_hook(spec.post_hook) if spec.post_hook else None
+    pre_result = pre_fn(spec, run_id) if pre_fn else None
+
     if spec.mode == "replace" and not resume:
         for p in paths.values():
             if os.path.isdir(p):
@@ -414,6 +425,16 @@ def _replay_impl(
         for name in ("rows_applied", "dups_dropped", "conflicts_resolved", "rows_rejected")
     }
     summary["partitions"] = len(mt)
+
+    # post-hook runs only after EVERY output and manifest is durably
+    # committed (the enable-indexes / gather-stats slot): a crash inside
+    # the hook loses nothing, and a resumed run re-fires it.
+    if pre_fn and pre_result is not None:
+        summary["pre_hook"] = pre_result
+    if post_fn:
+        post_result = post_fn(spec, run_id, summary)
+        if post_result is not None:
+            summary["post_hook"] = post_result
     return summary
 
 
