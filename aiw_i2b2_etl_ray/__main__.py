@@ -69,6 +69,13 @@ def main(argv: list[str] | None = None) -> int:
     cb.add_argument("--out", required=True)
     cb.add_argument("--capacity", type=int, default=2048)
 
+    on = sub.add_parser(
+        "ontology",
+        help="incrementally merge discovered concepts into the persisted metadata table",
+    )
+    on.add_argument("--sf-dir", required=True, help="input table dir (documents.parquet)")
+    on.add_argument("--out", required=True, help="warehouse dir (metadata/ lives here)")
+
     wn = sub.add_parser(
         "windows", help="fold a change-log micro-batch into persistent window counts"
     )
@@ -129,6 +136,10 @@ def main(argv: list[str] | None = None) -> int:
         from .pipelines.curation import corpus_build
 
         print(json.dumps(corpus_build(args.sf_dir, args.out, capacity=args.capacity)))
+    elif args.cmd == "ontology":
+        from .pipelines.ontology_store import update_ontology
+
+        print(json.dumps(update_ontology(args.sf_dir, args.out)))
     elif args.cmd == "windows":
         from .pipelines.stream_windows import update_windows
 

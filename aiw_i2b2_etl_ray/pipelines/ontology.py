@@ -59,24 +59,13 @@ def _leaf_metadata_xml(pairs: list[tuple[str, str]]) -> dict[str, str]:
     }
 
 
-def ontology_table(sf_dir: str) -> pa.Table:
-    """Three-level concept hierarchy discovered from the data:
-    root -> lang -> source (depth >= 3, the reference's arbitrary-depth
-    metadata tree, ksb/I2b2KnowledgeSourceBackend.java:85-2249).
-
-    Synonym dedup (PropositionConceptTreeBuilder.java:128-133): the same
-    source concept appearing under a second lang keeps its row but is
-    flagged ``c_synonym_cd='Y'`` (the reference marks duplicate concept ids
-    SYNONYM instead of inserting a second primary row).
-
-    Leaf rows carry ``c_metadataxml`` — the generated ValueMetadata blob
-    (M17) the value-set query (``concept_value_sets``) parses back (M16),
-    mirroring the reference's C_METADATAXML column
-    (ksb/CMetadataXmlParser.java:39-193).
-
-    Domain discovery is distributed (combiner partials); tree assembly is
-    driver-side, like the reference's in-memory concept tree."""
-    pairs = _distinct_pairs(sf_dir)
+def build_tree(pairs: list[tuple[str, str]]) -> pa.Table:
+    """Deterministic tree emission from a sorted (lang, source) pair set —
+    the pure function both the one-shot query (``ontology_table``) and the
+    persistent incremental merge (``ontology_store.update_ontology``) share,
+    so an incrementally-merged table converges byte-identically to the
+    one-shot build over the union of its inputs."""
+    pairs = sorted(set(pairs))
     langs = sorted({l for l, _ in pairs})
     root_path = strings.hierarchy_path(pa.array([ROOT]))[0].as_py()
     leaf_xml = _leaf_metadata_xml(pairs)
@@ -111,6 +100,26 @@ def ontology_table(sf_dir: str) -> pa.Table:
             "c_metadataxml": pa.array(metaxml, pa.string()),
         }
     )
+
+
+def ontology_table(sf_dir: str) -> pa.Table:
+    """Three-level concept hierarchy discovered from the data:
+    root -> lang -> source (depth >= 3, the reference's arbitrary-depth
+    metadata tree, ksb/I2b2KnowledgeSourceBackend.java:85-2249).
+
+    Synonym dedup (PropositionConceptTreeBuilder.java:128-133): the same
+    source concept appearing under a second lang keeps its row but is
+    flagged ``c_synonym_cd='Y'`` (the reference marks duplicate concept ids
+    SYNONYM instead of inserting a second primary row).
+
+    Leaf rows carry ``c_metadataxml`` — the generated ValueMetadata blob
+    (M17) the value-set query (``concept_value_sets``) parses back (M16),
+    mirroring the reference's C_METADATAXML column
+    (ksb/CMetadataXmlParser.java:39-193).
+
+    Domain discovery is distributed (combiner partials); tree assembly is
+    driver-side, like the reference's in-memory concept tree."""
+    return build_tree(_distinct_pairs(sf_dir))
 
 
 _SQL_ONTO = r"""
