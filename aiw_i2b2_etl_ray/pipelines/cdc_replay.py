@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import glob
 import os
+import sys
 import uuid
 
 import pyarrow as pa
@@ -161,6 +162,13 @@ def replay(
     prev = ctx.shuffle_strategy
     if spec.shuffle == "push":
         ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+    # NOTE: ShuffleStrategy.HASH_SHUFFLE was evaluated for this exchange
+    # (the merge needs co-location, not order, so a sort looks like wasted
+    # work) and REJECTED: 3-6x slower than push-based sort shuffle at the
+    # 2M-event scale, and its dedicated aggregator actors deadlock against
+    # the autoscaling merge pool under constrained CPU (hangs at
+    # num_cpus=8) — the same actor-pool-starves-internal-tasks failure
+    # mode as the round-2 pool-before-sort livelock (BASELINE.md).
     try:
         return _replay_impl(
             input_path,
@@ -366,6 +374,8 @@ def _replay_impl(
     # winners only) is tiny.  to_arrow_refs() on the raw plan would trigger
     # a second full execution for schema inference.
     hot_mat = hot_rows_ds.materialize()
+    if os.environ.get("GRAFT_REPLAY_STATS"):  # per-stage wall-time breakdown
+        print(hot_mat.stats(), file=sys.stderr)
     hot_tbls = [t for t in ray.get(hot_mat.to_arrow_refs()) if len(t)]
     # extracted pre-transition state is already on disk as
     # hot-transition-<run_id>.parquet (written before the merge) and joins
