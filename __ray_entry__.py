@@ -68,11 +68,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     from aiw_i2b2_etl_ray.pipelines import graph as gr
     from aiw_i2b2_etl_ray.pipelines import ontology as on
+    from aiw_i2b2_etl_ray.pipelines import ontology_store as ost
     from aiw_i2b2_etl_ray.pipelines import windows as wn
 
     cat.update(
         {
             "ontology_table": on.ontology_table,  # K2/O2 metadata emission (3-level)
+            # persistent store: two-run incremental merge converging on the
+            # one-shot table (alreadyLoaded reconciliation)
+            "ontology_persisted": ost.ontology_persisted,
             "concept_value_sets": on.concept_value_sets,  # M16/M17 value-set read
             "concept_descendants": on.concept_descendants,  # LevelReader analog
             "table_access": on.table_access,  # TableAccessReader discovery
@@ -286,6 +290,9 @@ def oracle_sql() -> dict[str, str]:
     sql.update(
         {
             "ontology_table": on.SQL_ONTOLOGY_TABLE,
+            # convergence contract: the incrementally-merged store must be
+            # byte-identical to the one-shot emission
+            "ontology_persisted": on.SQL_ONTOLOGY_TABLE,
             "concept_value_sets": on.SQL_CONCEPT_VALUE_SETS,
             "concept_descendants": on.SQL_CONCEPT_DESCENDANTS,
             "table_access": on.SQL_TABLE_ACCESS,

@@ -19,16 +19,23 @@ from ..functions import strings
 ROOT = "Lang"
 
 
-def _distinct_pairs(sf_dir: str) -> list[tuple[str, str]]:
+def _distinct_pairs(sf_dir: str, row_filter=None) -> list[tuple[str, str]]:
     """Distinct (lang, source) via per-batch combiner partials + a tiny
     driver fold (the domain is small by construction; the full rows never
     leave their block — reference table discovery analog,
-    ksb/TableAccessReader.java:97-150)."""
+    ksb/TableAccessReader.java:97-150).  ``row_filter`` (a pyarrow dataset
+    expression) is pushed into the parquet scan — used by the persistent
+    ontology's update runs to discover from a corpus slice."""
     import polars as pl
 
     import ray
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "source"])
+    kwargs = {"columns": ["lang", "source"]}
+    if row_filter is not None:
+        # scanner filters apply BEFORE projection, so the filter may
+        # reference columns (doc_id) outside the pruned column set
+        kwargs["filter"] = row_filter
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", **kwargs)
 
     def partial(t: pa.Table) -> pa.Table:
         return pl.from_arrow(t).unique().to_arrow()

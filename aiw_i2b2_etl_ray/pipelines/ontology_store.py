@@ -68,11 +68,13 @@ def pairs_from_table(t: pa.Table) -> set[tuple[str, str]]:
     return out
 
 
-def update_ontology(sf_dir: str, out_dir: str) -> dict:
+def update_ontology(sf_dir: str, out_dir: str, row_filter=None) -> dict:
     """Fold the input corpus's concepts into the persisted ontology.
     Idempotent (re-running with the same input is a no-op) and
-    commutative across runs (any run order converges)."""
-    discovered = set(_distinct_pairs(sf_dir))
+    commutative across runs (any run order converges).  ``row_filter``
+    (pyarrow dataset expression) bounds discovery to a corpus slice —
+    the incremental-tail case."""
+    discovered = set(_distinct_pairs(sf_dir, row_filter=row_filter))
     prior_table = load_ontology(out_dir)
     prior = pairs_from_table(prior_table) if prior_table is not None else set()
     merged = prior | discovered
@@ -85,3 +87,24 @@ def update_ontology(sf_dir: str, out_dir: str) -> dict:
         "concepts_new": len(merged) - len(prior),
         "rows": len(table),
     }
+
+
+def ontology_persisted(sf_dir: str) -> pa.Table:
+    """Catalog surface for the persistent store: a genuine two-run
+    incremental build — run 1 discovers from a bounded doc_id prefix of
+    the corpus, run 2 from the full corpus — whose persisted result must land
+    byte-identical on the one-shot table (oracle: the same
+    SQL_ONTOLOGY_TABLE the one-shot query checks against, because
+    convergence IS the reconciliation contract, Metadata.java:424-513)."""
+    import shutil
+    import tempfile
+
+    import pyarrow.dataset as pads
+
+    out = tempfile.mkdtemp(prefix="aiw-onto-store-")
+    try:
+        update_ontology(sf_dir, out, row_filter=(pads.field("doc_id") < 100))
+        update_ontology(sf_dir, out)
+        return load_ontology(out)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
