@@ -179,6 +179,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "text_fingerprint": tx.text_fingerprint,
                 "text_scrub": tx.text_scrub,
                 "vocab_topk": tx.vocab_topk,
+                # exact heavy hitters without a full-domain shuffle
+                "heavy_hitter_tokens": tx.heavy_hitter_tokens,
                 "text_chunks": tx.text_chunks,
                 "text_rolling_fp": tx.text_rolling_fp,
                 "text_bpe_tokens": tx.text_bpe_tokens,
@@ -395,6 +397,7 @@ def oracle_sql() -> dict[str, str]:
                 "text_fingerprint": tx.SQL_TEXT_FINGERPRINT,
                 "text_scrub": tx.SQL_TEXT_SCRUB,
                 "vocab_topk": tx.SQL_VOCAB_TOPK,
+                "heavy_hitter_tokens": tx.SQL_HEAVY_HITTERS,
                 "text_chunks": tx.SQL_TEXT_CHUNKS,
             }
         )

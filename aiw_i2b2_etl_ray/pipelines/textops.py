@@ -15,6 +15,7 @@ import numpy as np
 import pandas as pd
 import polars as pl
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 from ..functions.hashing import rolling_fingerprint
@@ -449,4 +450,145 @@ FROM (SELECT UNNEST(regexp_extract_all(text, '{_WORD}')) AS tok FROM documents)
 GROUP BY tok
 ORDER BY COUNT(*) DESC, tok
 LIMIT {VOCAB_K}
+"""
+
+
+# --- exact heavy hitters, bounded-memory candidate pass ---------------------
+
+HH_PHI = 0.001  # report tokens with frequency >= HH_PHI * total tokens
+HH_CAP = 4096  # candidate-pass capacity: underestimate bound is N/HH_CAP
+_HH_PARTIAL = pa.schema([("tok", pa.large_string()), ("pn", pa.int64())])
+
+
+def heavy_hitter_tokens(sf_dir: str) -> rd.Dataset:
+    """EXACT corpus heavy hitters — every token with frequency >=
+    ``HH_PHI`` x total-token-count — in two bounded passes, the plan that
+    still works when the token domain itself is too large to shuffle:
+
+    1. CANDIDATES (lossy-counting prune, Manku & Motwani VLDB'02 shape):
+       each batch counts its tokens vectorized and keeps only tokens with
+       batch count > n_b/CAP (fewer than CAP survivors by construction).
+       Dropping a token loses at most n_b/CAP of its count per batch, so
+       the folded partial counts underestimate any token by at most N/CAP
+       — every true heavy hitter therefore folds to >= (PHI - 1/CAP)*N
+       and the candidate filter at that threshold is a guaranteed
+       SUPERSET.  The candidate set is itself bounded by construction:
+       at most 1/(PHI - 1/CAP) ~ 1.3k tokens can clear the filter, so the
+       broadcast to pass 2 is always tiny, independent of corpus size.
+    2. EXACT: candidates broadcast (``ray.put``), one more scan counts
+       ONLY candidate tokens (per-batch partials -> small keyed sum), and
+       the true threshold PHI*N filters the final answer.
+
+    Unlike ``vocab_topk`` (whose shuffle carries every distinct token),
+    nothing here ever shuffles the full domain: pass-1 partials carry
+    < CAP rows per batch, pass-2 partials < 1.3k rows per batch."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def candidate_partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        counts = (
+            df.select(pl.col("text").str.extract_all(_WORD).alias("tok"))
+            .explode("tok")
+            .drop_nulls()
+            .group_by("tok")
+            .agg(pl.len().cast(pl.Int64).alias("pn"))
+        )
+        n_b = int(counts["pn"].sum() or 0)
+        kept = counts.filter(pl.col("pn") > n_b / HH_CAP)
+        total_row = pl.DataFrame(
+            {"tok": [""], "pn": pl.Series([n_b], dtype=pl.Int64)}
+        )  # "" never matches _WORD, so it is a safe total-count sentinel
+        # explicit schema: every block identical regardless of batch content
+        return pl.concat([kept, total_row]).to_arrow().cast(_HH_PARTIAL)
+
+    partials = ds.map_batches(
+        candidate_partial, batch_format="pyarrow", **worker_runtime_env()
+    ).materialize()  # reused by the N-fold and the candidate fold below
+
+    n_total = int(
+        partials.map_batches(
+            lambda t: t.filter(pc.equal(t["tok"], "")), batch_format="pyarrow"
+        ).sum("pn")
+        or 0
+    )
+    if n_total == 0:
+        return rd.from_arrow(
+            pa.table({"token": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+        )
+
+    cand_thr = (HH_PHI - 1.0 / HH_CAP) * n_total
+    cand = (
+        partials.map_batches(
+            lambda t: t.filter(pc.invert(pc.equal(t["tok"], ""))),
+            batch_format="pyarrow",
+        )
+        .groupby("tok")
+        .aggregate(Sum("pn", alias_name="est"))
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t["est"], cand_thr)),
+            batch_format="pyarrow",
+        )
+    )
+    # bounded by 1/(PHI - 1/CAP) rows — safe driver fold + broadcast
+    cand_tokens = set()
+    for t in ray.get(cand.materialize().to_arrow_refs()):
+        cand_tokens.update(t["tok"].to_pylist())
+    cand_ref = ray.put(cand_tokens)
+
+    class ExactCounter:
+        """Pass 2: count ONLY the broadcast candidates (set fetched once
+        per worker from the object store, never re-shipped per batch)."""
+
+        def __init__(self, ref):
+            self.cands = pl.Series("c", sorted(ray.get(ref)))
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            df = pl.from_arrow(t)
+            return (
+                df.select(pl.col("text").str.extract_all(_WORD).alias("tok"))
+                .explode("tok")
+                .drop_nulls()
+                .filter(pl.col("tok").is_in(self.cands))
+                .group_by("tok")
+                .agg(pl.len().cast(pl.Int64).alias("pn"))
+                .to_arrow()
+                .cast(_HH_PARTIAL)
+            )
+
+    exact_thr = HH_PHI * n_total
+    exact_partials = ds.map_batches(
+        ExactCounter,
+        fn_constructor_kwargs={"ref": cand_ref},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        num_cpus=1,
+        **worker_runtime_env(),
+    ).materialize()  # actor pool must finish before the sort-based groupby
+    #                  samples run (pool-before-sort livelock, BASELINE.md);
+    #                  partials are tiny (< 1.3k candidate rows per batch)
+    return (
+        exact_partials.groupby("tok")
+        .aggregate(Sum("pn", alias_name="n"))
+        .map_batches(
+            lambda t: pa.table(
+                {"token": t["tok"], "n": t["n"].cast(pa.int64())}
+            ).filter(pc.greater_equal(t["n"].cast(pa.float64()), exact_thr)),
+            batch_format="pyarrow",
+        )
+    )
+
+
+SQL_HEAVY_HITTERS = f"""
+WITH toks AS (
+  SELECT UNNEST(regexp_extract_all(text, '{_WORD}')) AS tok FROM documents
+),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM toks),
+counts AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY tok)
+SELECT counts.tok AS token, counts.c AS n
+FROM counts, tot
+WHERE CAST(counts.c AS DOUBLE) >= {HH_PHI} * tot.n
 """

@@ -128,3 +128,50 @@ def test_ann_ivf_recall_vs_bruteforce():
     recall = len(e & a) / max(1, len(e))
     assert recall >= 0.5, f"IVF recall too low: {recall}"
     assert stats["rows_scanned"] < stats["rows_total"], stats
+
+
+def test_heavy_hitters_exact_with_adversarial_spread(tmp_path):
+    """The lossy-counting candidate pass must not miss a heavy hitter that
+    is THINLY SPREAD across batches (each batch occurrence count near the
+    per-batch prune threshold) — the failure mode of naive per-batch
+    top-k.  Exactness checked against a brute-force count."""
+    import collections
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aiw_i2b2_etl_ray.pipelines.textops import (
+        HH_PHI,
+        heavy_hitter_tokens,
+    )
+
+    # 2000 docs: a background of unique junk tokens + one "spread" token
+    # appearing exactly once per doc (never locally frequent), sized so it
+    # is globally just above the PHI threshold.
+    docs = []
+    for i in range(2000):
+        junk = " ".join(f"junk{i}x{j}" for j in range(5))
+        docs.append(f"spreadtok {junk}")
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+            "lang": pa.array(["en"] * len(docs)),
+            "source": pa.array(["synth"] * len(docs)),
+            "n_chars": pa.array([len(d) for d in docs], pa.int64()),
+        }
+    )
+    d = str(tmp_path / "hh")
+    os.makedirs(d)
+    pq.write_table(t, os.path.join(d, "documents.parquet"), row_group_size=100)
+
+    got = heavy_hitter_tokens(d).to_pandas().set_index("token")["n"].to_dict()
+
+    counts = collections.Counter()
+    for doc in docs:
+        counts.update(doc.split())
+    n_total = sum(counts.values())
+    want = {tok: c for tok, c in counts.items() if c >= HH_PHI * n_total}
+    assert got == want
+    assert "spreadtok" in got and got["spreadtok"] == 2000
