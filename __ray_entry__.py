@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from aiw_i2b2_etl_ray.pipelines import curation as cu
         from aiw_i2b2_etl_ray.pipelines import inference as inf
         from aiw_i2b2_etl_ray.pipelines import dedup as dd
+        from aiw_i2b2_etl_ray.pipelines import dedup_index as ddi
         from aiw_i2b2_etl_ray.pipelines import graph_cc as gc
         from aiw_i2b2_etl_ray.pipelines import similarity as sim
         from aiw_i2b2_etl_ray.pipelines import textops as tx
@@ -163,6 +164,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             {
                 "dedup_exact": dd.dedup_exact,
                 "dedup_minhash": dd.dedup_minhash_pairs,
+                # persistent LSH index, two-increment build == one-shot
+                "dedup_incremental": ddi.dedup_incremental,
                 "dedup_simhash": dd.dedup_simhash,
                 "dedup_ngram_jaccard": dd.dedup_ngram_jaccard,
                 "dedup_embedding": dd.dedup_embedding,
@@ -389,6 +392,7 @@ def oracle_sql() -> dict[str, str]:
                 # exact all-pairs shingle-join oracles (LSH recall is
                 # deterministically 1 on these inputs — see docstrings)
                 "dedup_minhash": dd.SQL_DEDUP_MINHASH,
+                "dedup_incremental": dd.SQL_DEDUP_MINHASH,  # convergence contract
                 "dedup_ngram_jaccard": dd.SQL_DEDUP_NGRAM_JACCARD,
                 "ann_topk": sim.SQL_ANN_TOPK,
                 "text_tokens": tx.SQL_TEXT_TOKENS,

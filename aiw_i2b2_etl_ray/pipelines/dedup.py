@@ -78,6 +78,27 @@ def _spread(ds: rd.Dataset, min_rows_per_block: int = 64) -> rd.Dataset:
     return ds.repartition(target) if target > 1 and n < 1_000_000 else ds
 
 
+def band_rows(t: pa.Table) -> pa.Table:
+    """MinHash-sign one batch of ``(doc_id, text)`` and explode to
+    ``(band_id, band_key, doc_id)`` rows — the 24 B/row unit that enters
+    every LSH band shuffle AND the persistent dedup index
+    (pipelines/dedup_index.py).  Empty-shingle docs are excluded (their
+    signature is the sentinel; matching "nothing" is meaningless)."""
+    sigs = sketch.minhash_signatures(t["text"], num_perm=MINHASH_PERMS)
+    nonempty = sigs[:, 0] != sketch._MAXH
+    sigs = sigs[nonempty]
+    ids = t["doc_id"].to_numpy()[nonempty]
+    bands = sketch.lsh_bands(sigs, bands=MINHASH_BANDS)  # (n, B)
+    n, B = bands.shape
+    return pa.table(
+        {
+            "band_id": pa.array(np.repeat(np.arange(B, dtype=np.int32), n)),
+            "band_key": pa.array(bands.T.reshape(-1).astype(np.int64)),
+            "doc_id": pa.array(np.tile(ids, B)),
+        }
+    )
+
+
 def _verify_pairs_fn(t: pa.Table) -> pa.Table:
     """Vectorized-per-batch exact verify: each distinct doc's shingle set is
     built ONCE per batch (cache keyed by doc id), then per-pair sorted-array
@@ -141,26 +162,9 @@ def dedup_minhash_pairs(sf_dir: str) -> rd.Dataset:
     MinHash is fully deterministic), so ``SQL_DEDUP_MINHASH`` — the exact
     all-pairs inverted-index join — is an equality oracle on these inputs.
     """
-    from ..stages.join import bucketed_join
-
     docs = _spread(
         rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     )
-
-    def explode(t: pa.Table) -> pa.Table:
-        sigs = sketch.minhash_signatures(t["text"], num_perm=MINHASH_PERMS)
-        nonempty = sigs[:, 0] != sketch._MAXH  # empty-shingle docs stay at the sentinel
-        sigs = sigs[nonempty]
-        ids = t["doc_id"].to_numpy()[nonempty]
-        bands = sketch.lsh_bands(sigs, bands=MINHASH_BANDS)  # (n, B)
-        n, B = bands.shape
-        return pa.table(
-            {
-                "band_id": pa.array(np.repeat(np.arange(B, dtype=np.int32), n)),
-                "band_key": pa.array(bands.T.reshape(-1).astype(np.int64)),
-                "doc_id": pa.array(np.tile(ids, B)),
-            }
-        )
 
     def bucket_pairs(g: pa.Table) -> pa.Table:
         ids = np.unique(g["doc_id"].to_numpy())
@@ -172,21 +176,28 @@ def dedup_minhash_pairs(sf_dir: str) -> rd.Dataset:
         )
 
     cands = (
-        docs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        docs.map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["band_id", "band_key"])
         .map_groups(bucket_pairs, batch_format="pyarrow")
         .materialize()
     )
+    return verify_candidate_pairs(cands, docs)
 
-    # Adaptive verify-fetch physical plan (candidate count is known and
-    # bounded after LSH; the same pair can surface from several bands):
-    #  - small candidate set (the common case): dedup the ID pairs
-    #    driver-side (16 B/row, bounded by PAIR_GATHER_LIMIT — texts never
-    #    come to the driver), broadcast the needed doc-id set, and prune
-    #    the corpus with it BEFORE the text-fetch joins;
-    #  - large candidate set: distributed pair dedup, full docs side.
-    # Either way the texts attach via two bucketed hash joins and the
-    # verify stage runs distributed; its Dataset is the return value.
+
+def verify_candidate_pairs(cands: rd.Dataset, docs: rd.Dataset) -> rd.Dataset:
+    """Exact-verify LSH candidate id pairs against the corpus texts.
+
+    Adaptive verify-fetch physical plan (candidate count is known and
+    bounded after LSH; the same pair can surface from several bands):
+     - small candidate set (the common case): dedup the ID pairs
+       driver-side (16 B/row, bounded by PAIR_GATHER_LIMIT — texts never
+       come to the driver), broadcast the needed doc-id set, and prune
+       the corpus with it BEFORE the text-fetch joins;
+     - large candidate set: distributed pair dedup, full docs side.
+    Either way the texts attach via two bucketed hash joins and the
+    verify stage runs distributed; its Dataset is the return value."""
+    from ..stages.join import bucketed_join
+
     n_pairs = cands.count()
     if n_pairs == 0:
         return rd.from_arrow(
