@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from aiw_i2b2_etl_ray.pipelines import dedup as dd
         from aiw_i2b2_etl_ray.pipelines import dedup_index as ddi
         from aiw_i2b2_etl_ray.pipelines import graph_cc as gc
+        from aiw_i2b2_etl_ray.pipelines import ann_index as anx
         from aiw_i2b2_etl_ray.pipelines import similarity as sim
         from aiw_i2b2_etl_ray.pipelines import textops as tx
         from aiw_i2b2_etl_ray.pipelines import multimodal as mm
@@ -176,6 +177,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "ann_topk": sim.ann_topk,
                 "ann_lsh": sim.ann_lsh_topk,
                 "ann_ivf": sim.ann_ivf_topk,
+                # persistent IVF index: two-increment build == one-shot
+                "ann_incremental": anx.ann_incremental,
                 "text_tokens": tx.text_tokens,
                 "text_quality": tx.text_quality,
                 "text_langid": tx.text_langid,
