@@ -15,6 +15,20 @@ import json
 import sys
 
 
+def _id_filter(col: str, lo: int | None, hi: int | None):
+    """Half-open [lo, hi) predicate on an id column, pushed into the
+    parquet scan; None bounds are open."""
+    import pyarrow.dataset as pads
+
+    expr = None
+    if lo is not None:
+        expr = pads.field(col) >= lo
+    if hi is not None:
+        e2 = pads.field(col) < hi
+        expr = e2 if expr is None else (expr & e2)
+    return expr
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="aiw_i2b2_etl_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -75,6 +89,32 @@ def main(argv: list[str] | None = None) -> int:
     )
     on.add_argument("--sf-dir", required=True, help="input table dir (documents.parquet)")
     on.add_argument("--out", required=True, help="warehouse dir (metadata/ lives here)")
+
+    di = sub.add_parser(
+        "dedup-index",
+        help="fold a document slice into the persistent LSH dedup index; "
+        "prints new-pair count (pairs involve at least one new doc)",
+    )
+    di.add_argument("--sf-dir", required=True, help="input dir (documents.parquet)")
+    di.add_argument("--out", required=True, help="warehouse dir (dedup_index/ lives here)")
+    di.add_argument("--id-min", type=int, default=None, help="doc_id >= bound")
+    di.add_argument("--id-max", type=int, default=None, help="doc_id < bound")
+    di.add_argument("--run-id", default=None)
+    di.add_argument(
+        "--compact", action="store_true", help="fold band run dirs after the update"
+    )
+
+    ai = sub.add_parser(
+        "ann-index",
+        help="fold an embedding slice into the persistent IVF index "
+        "(trains the quantizer on first use); --query prints top-k instead",
+    )
+    ai.add_argument("--sf-dir", required=True, help="input dir (embeddings.parquet)")
+    ai.add_argument("--out", required=True, help="warehouse dir (ann_index/ lives here)")
+    ai.add_argument("--id-min", type=int, default=None, help="vec_id >= bound")
+    ai.add_argument("--id-max", type=int, default=None, help="vec_id < bound")
+    ai.add_argument("--run-id", default=None)
+    ai.add_argument("--query", action="store_true", help="query instead of update")
 
     wn = sub.add_parser(
         "windows", help="fold a change-log micro-batch into persistent window counts"
@@ -140,6 +180,35 @@ def main(argv: list[str] | None = None) -> int:
         from .pipelines.ontology_store import update_ontology
 
         print(json.dumps(update_ontology(args.sf_dir, args.out)))
+    elif args.cmd == "dedup-index":
+        from .pipelines.dedup_index import index_compact, index_update
+
+        summary, cands = index_update(
+            args.sf_dir,
+            args.out,
+            row_filter=_id_filter("doc_id", args.id_min, args.id_max),
+            run_id=args.run_id,
+        )
+        if args.compact:
+            summary["compaction"] = index_compact(args.out)
+        print(json.dumps(summary))
+    elif args.cmd == "ann-index":
+        from .pipelines.ann_index import ann_index_query, ann_index_update
+
+        if args.query:
+            df = ann_index_query(args.sf_dir, args.out)
+            print(df.to_json(orient="records"))
+        else:
+            print(
+                json.dumps(
+                    ann_index_update(
+                        args.sf_dir,
+                        args.out,
+                        row_filter=_id_filter("vec_id", args.id_min, args.id_max),
+                        run_id=args.run_id,
+                    )
+                )
+            )
     elif args.cmd == "windows":
         from .pipelines.stream_windows import update_windows
 

@@ -96,11 +96,17 @@ def index_update(
 
         return add
 
+    def _files(dirs: list[str]) -> list[str]:
+        return [
+            f for d in dirs for f in sorted(glob.glob(os.path.join(d, "*.parquet")))
+        ]
+
     new_ds = rd.read_parquet(run_dir).map_batches(flag(True), batch_format="pyarrow")
     parts = [new_ds]
-    if prior_dirs:
+    prior_files = _files(prior_dirs)
+    if prior_files:
         parts.append(
-            rd.read_parquet(prior_dirs).map_batches(
+            rd.read_parquet(prior_files).map_batches(
                 flag(False), batch_format="pyarrow"
             )
         )
@@ -133,6 +139,32 @@ def index_update(
         "candidate_pairs": cands.count(),
     }
     return summary, cands
+
+
+def index_compact(out_dir: str) -> dict:
+    """Fold all band-row run dirs into one canonical run (the LSM
+    compaction analog of stages.merge.compact_path_dim).  Pure
+    optimization — bucket membership is a union, so correctness never
+    needs it; it bounds the file count a lookup reads."""
+    import shutil
+
+    dirs = _run_dirs(out_dir)
+    if len(dirs) <= 1:
+        return {"runs_folded": 0}
+    ds = rd.read_parquet(
+        [f for d in dirs for f in sorted(glob.glob(os.path.join(d, "*.parquet")))]
+    )
+    # tmp name must NOT match the run-* glob: a crash between write and
+    # rename would otherwise double-read rows (harmless for pair
+    # generation — buckets unique their ids — but wasteful)
+    tmp = os.path.join(_bands_root(out_dir), ".tmp-compaction")
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    ds.write_parquet(tmp)
+    for d in dirs:
+        shutil.rmtree(d)
+    os.replace(tmp, os.path.join(_bands_root(out_dir), "run-compacted"))
+    return {"runs_folded": len(dirs)}
 
 
 def dedup_incremental(sf_dir: str) -> rd.Dataset:

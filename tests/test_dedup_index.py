@@ -79,3 +79,25 @@ def test_union_of_increments_equals_one_shot(tmp_path):
     assert {(0, 1), (0, 6)}.issubset(
         set(map(tuple, batch[["doc_a", "doc_b"]].itertuples(index=False)))
     )
+
+
+def test_compaction_preserves_pair_discovery(tmp_path):
+    """Folding run dirs into one canonical run must not change what a
+    later update discovers (bucket membership is a union)."""
+    from aiw_i2b2_etl_ray.pipelines.dedup_index import index_compact
+
+    d = _write_docs(str(tmp_path / "docs"), _corpus())
+
+    plain, compacted = str(tmp_path / "p"), str(tmp_path / "c")
+    for out, compact in ((plain, False), (compacted, True)):
+        _, _ = index_update(out_dir=out, sf_dir=d, row_filter=(pads.field("doc_id") < 3), run_id="x1")
+        _, _ = index_update(out_dir=out, sf_dir=d, row_filter=(pads.field("doc_id") == 3), run_id="x2")
+        if compact:
+            assert index_compact(out)["runs_folded"] == 2
+        _, c = index_update(out_dir=out, sf_dir=d, row_filter=(pads.field("doc_id") > 3), run_id="x3")
+        pairs = set(map(tuple, c.to_pandas()[["doc_a", "doc_b"]].itertuples(index=False)))
+        if compact:
+            assert pairs == plain_pairs
+            assert (0, 6) in pairs
+        else:
+            plain_pairs = pairs
