@@ -115,6 +115,9 @@ def main(argv: list[str] | None = None) -> int:
     ai.add_argument("--id-max", type=int, default=None, help="vec_id < bound")
     ai.add_argument("--run-id", default=None)
     ai.add_argument("--query", action="store_true", help="query instead of update")
+    ai.add_argument(
+        "--compact", action="store_true", help="fold list run dirs after the update"
+    )
 
     wn = sub.add_parser(
         "windows", help="fold a change-log micro-batch into persistent window counts"
@@ -199,16 +202,17 @@ def main(argv: list[str] | None = None) -> int:
             df = ann_index_query(args.sf_dir, args.out)
             print(df.to_json(orient="records"))
         else:
-            print(
-                json.dumps(
-                    ann_index_update(
-                        args.sf_dir,
-                        args.out,
-                        row_filter=_id_filter("vec_id", args.id_min, args.id_max),
-                        run_id=args.run_id,
-                    )
-                )
+            summary = ann_index_update(
+                args.sf_dir,
+                args.out,
+                row_filter=_id_filter("vec_id", args.id_min, args.id_max),
+                run_id=args.run_id,
             )
+            if args.compact:
+                from .pipelines.ann_index import ann_index_compact
+
+                summary["compaction"] = ann_index_compact(args.out)
+            print(json.dumps(summary))
     elif args.cmd == "windows":
         from .pipelines.stream_windows import update_windows
 

@@ -152,6 +152,28 @@ def ann_index_update(
     }
 
 
+def ann_index_compact(out_dir: str) -> dict:
+    """Fold all list run dirs into one canonical run — the LSM compaction
+    analog (cf. dedup_index.index_compact); list membership is a union so
+    this is purely a file-count optimization."""
+    import shutil
+
+    dirs = _run_dirs(out_dir)
+    if len(dirs) <= 1:
+        return {"runs_folded": 0}
+    files = [
+        f for d in dirs for f in sorted(glob.glob(os.path.join(d, "*.parquet")))
+    ]
+    tmp = os.path.join(_root(out_dir), "lists", ".tmp-compaction")
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    rd.read_parquet(files).write_parquet(tmp)
+    for d in dirs:
+        shutil.rmtree(d)
+    os.replace(tmp, os.path.join(_root(out_dir), "lists", "run-compacted"))
+    return {"runs_folded": len(dirs)}
+
+
 def ann_index_query(sf_dir: str, out_dir: str) -> pd.DataFrame:
     """Top-k over the PERSISTED index: probe each query's IVF_NPROBE
     nearest lists, reading only those lists' rows from the run files

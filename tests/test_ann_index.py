@@ -56,3 +56,15 @@ def test_later_update_does_not_retrain(tmp_path):
     assert before.equals(after)
     a = np.stack(before["centroid"].to_pandas().to_numpy())
     assert a.shape[0] == 16
+
+
+def test_ann_compaction_preserves_query_results(tmp_path):
+    from aiw_i2b2_etl_ray.pipelines.ann_index import ann_index_compact
+
+    out = str(tmp_path / "wh")
+    ann_index_update(SF_DIR, out, row_filter=(pads.field("vec_id") < 400), run_id="c1")
+    ann_index_update(SF_DIR, out, row_filter=(pads.field("vec_id") >= 400), run_id="c2")
+    before = ann_index_query(SF_DIR, out).reset_index(drop=True)
+    assert ann_index_compact(out)["runs_folded"] == 2
+    after = ann_index_query(SF_DIR, out).reset_index(drop=True)
+    assert before.equals(after)
