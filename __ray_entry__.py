@@ -35,6 +35,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_rejected": cq.cdc_rejected,
         "cdc_key_map": cq.cdc_key_map,  # surrogate-id mapping table
         "cdc_repo_map": cq.cdc_repo_map,  # repo-level mapping (PATIENT_MAPPING)
+        "cdc_state_asof": cq.cdc_state_asof,  # time-travel state read
         "cdc_change_fact_mod": cq.cdc_change_fact_mod,  # modifier fan-out
         "cdc_modifier_dim": cq.cdc_modifier_dim,  # modifier_dimension analog
         "cdc_author_dim": cq.cdc_author_dim,  # provider_dimension analog
@@ -211,6 +212,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_rejected": cq.SQL_REJECTED,
         "cdc_key_map": cq.SQL_KEY_MAP,
         "cdc_repo_map": cq.SQL_REPO_MAP,
+        "cdc_state_asof": cq.SQL_STATE_ASOF,
         "cdc_change_fact_mod": cq.SQL_CHANGE_FACT_MOD,
         "cdc_modifier_dim": cq.SQL_MODIFIER_DIM,
         "cdc_author_dim": cq.SQL_AUTHOR_DIM,

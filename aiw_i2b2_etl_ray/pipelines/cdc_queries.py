@@ -87,7 +87,11 @@ def _fact_mod_cached(sf_dir: str) -> rd.Dataset:
 
 
 @lru_cache(maxsize=4)
-def _path_dim_cached(sf_dir: str) -> rd.Dataset:
+def _reduce_to_path_dim(facts: rd.Dataset) -> rd.Dataset:
+    """Per-key last-writer-wins reduce of (already-deduped) facts into
+    path_dim rows — the merger's reduction, re-expressed over a fact
+    Dataset.  Per-repo groups keep the inner reduce vectorized (few
+    calls, not one per path)."""
     import polars as pl
 
     from ..stages.merge import _path_dim_from_last
@@ -106,15 +110,11 @@ def _path_dim_cached(sf_dir: str) -> rd.Dataset:
         )
         return _path_dim_from_last(last)
 
-    # per-repo groups keep the inner reduce vectorized (few calls, not one
-    # per path); facts are already deduped so this is exactly the merger's
-    # last-writer-wins reduction
-    return (
-        _fact_cached(sf_dir)
-        .groupby("repo")
-        .map_groups(to_pdim, batch_format="pyarrow")
-        .materialize()
-    )
+    return facts.groupby("repo").map_groups(to_pdim, batch_format="pyarrow")
+
+
+def _path_dim_cached(sf_dir: str) -> rd.Dataset:
+    return _reduce_to_path_dim(_fact_cached(sf_dir)).materialize()
 
 
 def cdc_path_dim(sf_dir: str) -> rd.Dataset:
@@ -409,6 +409,48 @@ def cdc_key_map(sf_dir: str):
     from ..stages.keymap import key_map
 
     return key_map(sf_dir)
+
+
+def cdc_state_asof(sf_dir: str) -> rd.Dataset:
+    """Time-travel state read: path_dim reconstructed AS OF the stream's
+    midpoint sequence (cut = max(commit_seq) // 2) — the CDC engine's
+    answer to "what did the warehouse look like at commit S?".  The
+    reference replays a bounded Protempa interval to the same effect
+    (dest/I2b2QueryResultsHandler.java date-bounded queries; the engine's
+    write path exposes it as ``ReplaySpec.min_seq/max_seq``); here the
+    bound is applied to the already-deduped fact stream and the identical
+    LWW reduce runs over the prefix.
+
+    Plan: one tiny distributed max (the cut), a stateless filter, the
+    shared per-repo LWW reduce — no extra shuffle beyond path_dim's own."""
+    facts = _fact_cached(sf_dir)
+    cut = int(facts.max("commit_seq")) // 2
+
+    def bound(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less_equal(t["commit_seq"], cut))
+
+    return _reduce_to_path_dim(facts.map_batches(bound, batch_format="pyarrow"))
+
+
+SQL_STATE_ASOF = f"""
+WITH {CHANGES_FROM_EVENTS_SQL}, {_VALID},
+cut AS (SELECT MAX(commit_seq) // 2 AS s FROM dedup),
+bounded AS (SELECT d.* FROM dedup d, cut WHERE d.commit_seq <= cut.s),
+last AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY repo, path ORDER BY commit_seq DESC
+    ) AS rn2 FROM bounded
+  ) WHERE rn2 = 1
+)
+SELECT repo, path, lang,
+       sha256(content)                                   AS content_sha256,
+       "commit"                                          AS last_commit,
+       commit_seq                                        AS last_commit_seq,
+       CASE WHEN op = 'D' THEN make_timestamp(commit_seq) END AS delete_date,
+       CAST(NULL AS BIGINT)                              AS size
+FROM last
+"""
 
 
 def cdc_repo_map(sf_dir: str) -> rd.Dataset:
