@@ -165,7 +165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         cat.update(
             {
                 "dedup_exact": dd.dedup_exact,
-                "dedup_minhash": dd.dedup_minhash_pairs,
+                "dedup_minhash": dd.minhash_pairs_cached,
                 # persistent LSH index, two-increment build == one-shot
                 "dedup_incremental": ddi.dedup_incremental,
                 "dedup_simhash": dd.dedup_simhash,

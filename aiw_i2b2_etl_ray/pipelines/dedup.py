@@ -184,6 +184,20 @@ def dedup_minhash_pairs(sf_dir: str) -> rd.Dataset:
     return verify_candidate_pairs(cands, docs)
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=4)
+def minhash_pairs_cached(sf_dir: str) -> rd.Dataset:
+    """Materialized verified-pairs set, shared per sf_dir: the catalog's
+    `dedup_minhash`, the CC clustering (`dedup_clusters`) and the corpus
+    gate (`corpus_filter`) all consume the same pair set — compute the
+    sketch+shuffle+verify once (same memoization pattern as
+    cdc_queries._fact_cached; pairs are output-sized, held in the object
+    store, never the driver)."""
+    return dedup_minhash_pairs(sf_dir).materialize()
+
+
 def verify_candidate_pairs(cands: rd.Dataset, docs: rd.Dataset) -> rd.Dataset:
     """Exact-verify LSH candidate id pairs against the corpus texts.
 

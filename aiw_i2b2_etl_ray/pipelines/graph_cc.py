@@ -132,11 +132,12 @@ def dedup_clusters(sf_dir: str) -> rd.Dataset:
     """Duplicate clusters from the MinHash+LSH verified pairs: each doc in
     any near-dup pair is labeled with its component's min doc_id (the
     canonical survivor a keep-one policy would retain)."""
-    from .dedup import dedup_minhash_pairs
+    from .dedup import minhash_pairs_cached
 
-    # pairs arrive as a Dataset and feed the CC rounds directly — the
-    # edge list never lands on the driver
-    edges = dedup_minhash_pairs(sf_dir).select_columns(["doc_a", "doc_b"])
+    # pairs arrive as a (memoized, materialized) Dataset and feed the CC
+    # rounds directly — the edge list never lands on the driver, and the
+    # sketch+verify pass is shared with the dedup_minhash catalog entry
+    edges = minhash_pairs_cached(sf_dir).select_columns(["doc_a", "doc_b"])
     return connected_components(edges)
 
 
