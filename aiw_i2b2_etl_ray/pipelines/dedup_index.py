@@ -132,10 +132,16 @@ def index_update(
         .map_groups(bucket_pairs_new, batch_format="pyarrow")
         .materialize()
     )
+    import pyarrow.parquet as pq
+
+    n_new = sum(  # footer metadata only — counting the lazy new_bands
+        pq.ParquetFile(f).metadata.num_rows  # would re-run the sketch pass
+        for f in glob.glob(os.path.join(run_dir, "*.parquet"))
+    )
     summary = {
         "run_id": run_id,
         "prior_runs": len(prior_dirs),
-        "new_band_rows": new_bands.count(),
+        "new_band_rows": n_new,
         "candidate_pairs": cands.count(),
     }
     return summary, cands
