@@ -93,7 +93,8 @@ def main(argv: list[str] | None = None) -> int:
     di = sub.add_parser(
         "dedup-index",
         help="fold a document slice into the persistent LSH dedup index; "
-        "prints new-pair count (pairs involve at least one new doc)",
+        "prints the UNVERIFIED candidate-pair count (pairs involving at "
+        "least one new doc; exact-verify downstream)",
     )
     di.add_argument("--sf-dir", required=True, help="input dir (documents.parquet)")
     di.add_argument("--out", required=True, help="warehouse dir (dedup_index/ lives here)")

@@ -137,9 +137,19 @@ def ann_index_update(
         num_cpus=1,
         **worker_runtime_env(),
     )
+    # ATOMIC run commit (cf. dedup_index.index_update): tmp dir + rename,
+    # so a crashed update can't leave a partial run and a same-run_id
+    # retry can't merge fresh files with stale ones (duplicated vectors
+    # would crowd true neighbors out of top-k)
+    import shutil
+
     run_dir = os.path.join(_root(out_dir), "lists", f"run-{run_id}")
-    os.makedirs(run_dir, exist_ok=True)
-    assigned.write_parquet(run_dir)
+    tmp_dir = os.path.join(_root(out_dir), "lists", f".tmp-run-{run_id}")
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    shutil.rmtree(run_dir, ignore_errors=True)
+    os.makedirs(tmp_dir)
+    assigned.write_parquet(tmp_dir)
+    os.replace(tmp_dir, run_dir)
     n = sum(
         pq.ParquetFile(f).metadata.num_rows
         for f in glob.glob(os.path.join(run_dir, "*.parquet"))
@@ -164,13 +174,18 @@ def ann_index_compact(out_dir: str) -> dict:
     files = [
         f for d in dirs for f in sorted(glob.glob(os.path.join(d, "*.parquet")))
     ]
+    # rename-in-before-delete (cf. dedup_index.index_compact): a crash
+    # mid-deletion leaves duplicates (the query fold dedups by vec_id and
+    # a compaction re-run folds them away); the old order lost the index
     tmp = os.path.join(_root(out_dir), "lists", ".tmp-compaction")
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp)
     rd.read_parquet(files).write_parquet(tmp)
+    os.replace(
+        tmp, os.path.join(_root(out_dir), "lists", f"run-compacted-{uuid.uuid4().hex[:8]}")
+    )
     for d in dirs:
         shutil.rmtree(d)
-    os.replace(tmp, os.path.join(_root(out_dir), "lists", "run-compacted"))
     return {"runs_folded": len(dirs)}
 
 
@@ -252,6 +267,10 @@ def ann_index_query(sf_dir: str, out_dir: str) -> pd.DataFrame:
         partials.sort_values(
             ["query_id", "cosine", "vec_id"], ascending=[True, False, True]
         )
+        # duplicate vec_ids can transiently exist after a crashed
+        # compaction (rename-in-before-delete window); dedup so they can
+        # never crowd a true neighbor out of the top-k
+        .drop_duplicates(["query_id", "vec_id"])
         .groupby("query_id", sort=True)
         .head(TOP_K)
         .reset_index(drop=True)

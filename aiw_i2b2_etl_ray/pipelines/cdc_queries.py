@@ -86,7 +86,6 @@ def _fact_mod_cached(sf_dir: str) -> rd.Dataset:
     ).materialize()
 
 
-@lru_cache(maxsize=4)
 def _reduce_to_path_dim(facts: rd.Dataset) -> rd.Dataset:
     """Per-key last-writer-wins reduce of (already-deduped) facts into
     path_dim rows — the merger's reduction, re-expressed over a fact
@@ -113,7 +112,9 @@ def _reduce_to_path_dim(facts: rd.Dataset) -> rd.Dataset:
     return facts.groupby("repo").map_groups(to_pdim, batch_format="pyarrow")
 
 
-def _path_dim_cached(sf_dir: str) -> rd.Dataset:
+@lru_cache(maxsize=4)  # the materialization memo — keyed on sf_dir, NOT on
+def _path_dim_cached(sf_dir: str) -> rd.Dataset:  # the (unhashable-identity)
+    # Dataset, so every path_dim-derived query shares one executed reduce
     return _reduce_to_path_dim(_fact_cached(sf_dir)).materialize()
 
 

@@ -312,20 +312,28 @@ def _replay_impl(
     from ..stages.merge import (
         _atomic_write,
         _bump_salted_watermarks,
-        expunge_keys_from_parts,
+        extract_keys_from_parts,
+        remove_keys_from_parts,
     )
 
     persisted_prior = set((job or {}).get("hot_keys", []))
     newly_hot = (hot_keys or set()) - persisted_prior
     if newly_hot and spec.mode == "update":
-        extracted = expunge_keys_from_parts(spec.out_dir, newly_hot, spec.num_partitions)
+        # DURABILITY ordering: (1) read-only extract, (2) persist the
+        # extracted state as a hot-transition file, (3) bump watermarks,
+        # (4) only THEN destructively remove the keys from the canonical
+        # parts.  The state always exists in >=1 durable place: a crash
+        # before (4) leaves keys in both parts and the hot file — the LWW
+        # merge-on-read folds the duplicates and a resumed run re-runs
+        # all four phases idempotently.  (The previous one-pass expunge
+        # rewrote parts while holding the extracted rows only in driver
+        # memory — a crash mid-loop lost them unrecoverably.)
+        extracted = extract_keys_from_parts(
+            spec.out_dir, newly_hot, spec.num_partitions
+        )
         if len(extracted):
-            # DURABILITY: expunge destructively rewrote canonical partition
-            # files, so the extracted state must hit disk BEFORE the merge
-            # runs — a crash mid-merge would otherwise lose it forever
-            # (re-expunge on resume finds nothing).  The hot-*.parquet glob
-            # + LWW reduce below absorbs this file exactly like a hot-run
-            # file, so no in-memory hand-off is needed.
+            # hot-*.parquet glob + LWW reduce below absorbs this file
+            # exactly like a hot-run file, so no in-memory hand-off needed
             _atomic_write(
                 extracted,
                 os.path.join(paths["path_dim"], f"hot-transition-{run_id}.parquet"),
@@ -333,6 +341,7 @@ def _replay_impl(
             _bump_salted_watermarks(
                 spec.out_dir, extracted, spec.num_partitions, spec.salt_buckets, run_id
             )
+            remove_keys_from_parts(spec.out_dir, newly_hot, spec.num_partitions)
 
     norm = normalized(changes, spec, hot_keys, modifier_specs)
 

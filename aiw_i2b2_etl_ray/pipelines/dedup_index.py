@@ -84,9 +84,20 @@ def index_update(
     new_bands = docs.map_batches(
         band_rows, batch_format="pyarrow", zero_copy_batch=True, **worker_runtime_env()
     )
+    # ATOMIC run commit: write to a tmp dir (excluded from the run-* glob)
+    # and rename into place — a crashed update must not leave a partial
+    # run that later updates would treat as committed prior state (its
+    # docs would never pair with future ingests), and a same-run_id retry
+    # must not merge fresh files with stale ones.
     run_dir = os.path.join(_bands_root(out_dir), f"run-{run_id}")
-    os.makedirs(run_dir, exist_ok=True)
-    new_bands.write_parquet(run_dir)
+    tmp_dir = os.path.join(_bands_root(out_dir), f".tmp-run-{run_id}")
+    import shutil
+
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    shutil.rmtree(run_dir, ignore_errors=True)  # same-run_id retry: replace
+    os.makedirs(tmp_dir)
+    new_bands.write_parquet(tmp_dir)
+    os.replace(tmp_dir, run_dir)
 
     def flag(is_new: bool):
         def add(t: pa.Table) -> pa.Table:
@@ -101,7 +112,24 @@ def index_update(
             f for d in dirs for f in sorted(glob.glob(os.path.join(d, "*.parquet")))
         ]
 
-    new_ds = rd.read_parquet(run_dir).map_batches(flag(True), batch_format="pyarrow")
+    run_files = sorted(glob.glob(os.path.join(run_dir, "*.parquet")))
+    if not run_files:
+        # empty update slice (no docs, or only empty-shingle docs): a
+        # benign no-op — no new band rows means no pair can involve a new
+        # doc, so skip the exchange entirely
+        empty = rd.from_arrow(
+            pa.table({c: pa.array([], t) for c, t in _PAIR_COLS.items()})
+        ).materialize()
+        return (
+            {
+                "run_id": run_id,
+                "prior_runs": len(prior_dirs),
+                "new_band_rows": 0,
+                "candidate_pairs": 0,
+            },
+            empty,
+        )
+    new_ds = rd.read_parquet(run_files).map_batches(flag(True), batch_format="pyarrow")
     parts = [new_ds]
     prior_files = _files(prior_dirs)
     if prior_files:
@@ -160,16 +188,24 @@ def index_compact(out_dir: str) -> dict:
     ds = rd.read_parquet(
         [f for d in dirs for f in sorted(glob.glob(os.path.join(d, "*.parquet")))]
     )
-    # tmp name must NOT match the run-* glob: a crash between write and
-    # rename would otherwise double-read rows (harmless for pair
-    # generation — buckets unique their ids — but wasteful)
+    # Crash-safe ordering: write to a tmp dir (excluded from the run-*
+    # glob), RENAME the compacted run into place, and only then delete
+    # the source runs.  A crash mid-deletion leaves the compacted run
+    # plus some originals — duplicate band rows, which pair generation
+    # tolerates (buckets unique their ids) and a re-run of compaction
+    # folds away.  The old delete-then-rename order lost the whole index
+    # on a crash in between.  Unique name per compaction: os.replace
+    # cannot atomically replace a non-empty directory.
     tmp = os.path.join(_bands_root(out_dir), ".tmp-compaction")
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp)
     ds.write_parquet(tmp)
+    os.replace(
+        tmp,
+        os.path.join(_bands_root(out_dir), f"run-compacted-{uuid.uuid4().hex[:8]}"),
+    )
     for d in dirs:
         shutil.rmtree(d)
-    os.replace(tmp, os.path.join(_bands_root(out_dir), "run-compacted"))
     return {"runs_folded": len(dirs)}
 
 

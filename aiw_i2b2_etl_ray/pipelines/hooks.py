@@ -25,7 +25,12 @@ import pyarrow.parquet as pq
 
 
 def _table_row_counts(out_dir: str) -> dict[str, int]:
-    """Footer-only row counts per logical output table (no data read)."""
+    """Footer-only PHYSICAL row counts per output table (no data read).
+    For LSM-run tables (path_dim with hot-*.parquet runs) this counts
+    file rows, not logically-deduped keys — each update run's hot file
+    re-states its keys, so path_dim can exceed the merge-on-read count
+    until compaction folds the runs (the GATHER_TABLE_STATS analog has
+    the same physical-rows semantics)."""
     counts: dict[str, int] = {}
     for d in sorted(glob.glob(os.path.join(out_dir, "*"))):
         name = os.path.basename(d)
@@ -56,9 +61,11 @@ def post_compact(spec, run_id: str, summary: dict) -> dict:
 
 
 def post_stats_refresh(spec, run_id: str, summary: dict) -> dict:
-    """Post-hook: refresh warehouse statistics — per-table row counts
-    written as a ``_stats`` side table (the GATHER_TABLE_STATS analog the
-    reference's post-hook slot exists for)."""
+    """Post-hook: refresh warehouse statistics — per-table PHYSICAL row
+    counts (see _table_row_counts) written as a ``_stats`` side table
+    (the GATHER_TABLE_STATS analog the reference's post-hook slot exists
+    for).  Run post_compact first (post_compact_and_stats does) for
+    stats closest to the logical counts."""
     counts = _table_row_counts(spec.out_dir)
     t = pa.table(
         {

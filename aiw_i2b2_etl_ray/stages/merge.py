@@ -719,15 +719,7 @@ def _bump_salted_watermarks(
             _atomic_json(rec, mpath)
 
 
-def expunge_keys_from_parts(out_dir: str, keys: set[str], num_partitions: int) -> pa.Table:
-    """Newly-hot-key transition: extract the listed keys' rows from their
-    canonical partition files (and those partitions' repo_live dimension
-    partials), returning the extracted PATH_DIM rows so the caller folds
-    them into the hot runs.  Restores the exclusively-hot-owned invariant
-    when a previously-cold key crosses the salting threshold.  ``keys`` are
-    "repo\\x1fpath" strings (the hot-set encoding)."""
-    if not keys:
-        return PATH_DIM.empty_table()
+def _hot_key_pids(keys: set[str], num_partitions: int) -> list[int]:
     key_rows = [k.split("\x1f", 1) for k in keys]
     kt = pa.table(
         {
@@ -737,10 +729,49 @@ def expunge_keys_from_parts(out_dir: str, keys: set[str], num_partitions: int) -
     )
     from ..functions.hashing import bucket_hash
 
-    pids = bucket_hash(kt, ["repo", "path"], num_partitions)
+    return sorted(set(bucket_hash(kt, ["repo", "path"], num_partitions).to_pylist()))
+
+
+def extract_keys_from_parts(out_dir: str, keys: set[str], num_partitions: int) -> pa.Table:
+    """Phase 1 of the newly-hot-key transition: READ-ONLY collection of the
+    listed keys' rows from their canonical partition files.  The caller
+    must persist the result durably (the hot-transition file) BEFORE
+    calling :func:`remove_keys_from_parts` — that ordering means the
+    state always exists in at least one durable place; the old
+    extract-and-rewrite-in-one-pass version lost it forever on a crash
+    mid-loop (the rewritten parts no longer had it, the return value was
+    only in driver memory)."""
+    if not keys:
+        return PATH_DIM.empty_table()
     extracted = []
     key_set = set(keys)
-    for pid in sorted(set(pids.to_pylist())):
+    for pid in _hot_key_pids(keys, num_partitions):
+        part = os.path.join(out_dir, "path_dim", f"part-{pid:05d}.parquet")
+        if not os.path.exists(part):
+            continue
+        t = ensure_columns(pq.read_table(part), PATH_DIM)
+        df = pl.from_arrow(t).with_columns(
+            pl.concat_str([pl.col("repo"), pl.col("path")], separator="\x1f").alias("_k")
+        )
+        hit = df.filter(pl.col("_k").is_in(list(key_set)))
+        if len(hit):
+            extracted.append(ensure_columns(hit.drop("_k").to_arrow(), PATH_DIM))
+    if not extracted:
+        return PATH_DIM.empty_table()
+    return pa.concat_tables(extracted)
+
+
+def remove_keys_from_parts(out_dir: str, keys: set[str], num_partitions: int) -> None:
+    """Phase 2 of the newly-hot-key transition: destructively rewrite the
+    canonical partition files (and their repo_live dimension partials)
+    WITHOUT the listed keys.  Only safe after the extracted state is on
+    disk (hot-transition file): a crash mid-rewrite then leaves some keys
+    in both places, which the LWW merge-on-read folds and a resumed run's
+    re-extract + re-remove repairs."""
+    if not keys:
+        return
+    key_set = set(keys)
+    for pid in _hot_key_pids(keys, num_partitions):
         part = os.path.join(out_dir, "path_dim", f"part-{pid:05d}.parquet")
         if not os.path.exists(part):
             continue
@@ -753,7 +784,6 @@ def expunge_keys_from_parts(out_dir: str, keys: set[str], num_partitions: int) -
             continue
         keep = df.filter(~pl.col("_k").is_in(list(key_set))).drop("_k")
         _atomic_write(ensure_columns(keep.to_arrow(), PATH_DIM), part)
-        extracted.append(ensure_columns(hit.drop("_k").to_arrow(), PATH_DIM))
         # refresh this partition's repo_live snapshot (now excluding the keys)
         dp_path = os.path.join(out_dir, "_dimpart", f"part-{pid:05d}.parquet")
         fresh_live = (
@@ -774,9 +804,6 @@ def expunge_keys_from_parts(out_dir: str, keys: set[str], num_partitions: int) -
             )
             fresh_live = pl.concat([prior, fresh_live])
         _atomic_write(fresh_live.to_arrow(), dp_path)
-    if not extracted:
-        return PATH_DIM.empty_table()
-    return pa.concat_tables(extracted)
 
 
 def load_path_dim(out_dir: str) -> pa.Table:

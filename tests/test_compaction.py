@@ -207,3 +207,53 @@ def test_transition_run_redelivery_dropped(tmp_path):
     assert n_a0 == 1, f"redelivered a0 applied {n_a0} times in the transition run"
     assert len(facts) == len(golden.change_fact)
     assert_table_eq(load_path_dim(spec.out_dir), golden.path_dim, ["repo", "path"])
+
+
+def test_hot_transition_survives_crash_before_part_rewrite(tmp_path):
+    """Two-phase transition durability: a crash AFTER the hot-transition
+    file is persisted but BEFORE the canonical parts are rewritten leaves
+    the key's state in BOTH places — the LWW merge-on-read folds the
+    duplicates, and the resumed run converges to golden state."""
+    from aiw_i2b2_etl_ray.stages.merge import (
+        _atomic_write,
+        _bump_salted_watermarks,
+        extract_keys_from_parts,
+    )
+
+    t1 = _mk("mega", "hot.c", ["a0"], seq0=0)  # cold in run 1
+    churn = [f"b{i}" for i in range(1000)]
+    t2 = _mk("mega", "hot.c", churn, seq0=1)  # crosses threshold in run 2
+    golden = oracle.replay(pa.concat_tables([t1, t2]))
+
+    d1, d2 = str(tmp_path / "r1"), str(tmp_path / "r2")
+    os.makedirs(d1), os.makedirs(d2)
+    pq.write_table(t1, os.path.join(d1, "p.parquet"))
+    pq.write_table(t2, os.path.join(d2, "p.parquet"))
+
+    spec = ReplaySpec(
+        out_dir=str(tmp_path / "out"), num_partitions=8, salt_buckets=4, hot_key_threshold=100
+    )
+    replay(d1, spec, run_id="x1")
+
+    # simulate the crashed transition run: phases 1-3 ran, phase 4 (the
+    # destructive part rewrite) never did
+    keys = {"mega\x1fhot.c"}
+    extracted = extract_keys_from_parts(spec.out_dir, keys, 8)
+    assert len(extracted) == 1
+    _atomic_write(
+        extracted, os.path.join(spec.out_dir, "path_dim", "hot-transition-crash.parquet")
+    )
+    _bump_salted_watermarks(spec.out_dir, extracted, 8, 4, "crash")
+    # state now exists in BOTH the canonical part and the hot file; the
+    # merge-on-read must not double it
+    assert len(load_path_dim(spec.out_dir).filter(
+        pc.equal(pc.field("path"), "hot.c")
+    )) == 1
+
+    # the retried run re-runs all phases and converges to golden
+    spec_u = ReplaySpec(
+        out_dir=spec.out_dir, num_partitions=8, salt_buckets=4, hot_key_threshold=100,
+        mode="update",
+    )
+    replay(d2, spec_u, run_id="x2")
+    assert_table_eq(load_path_dim(spec.out_dir), golden.path_dim, ["repo", "path"])

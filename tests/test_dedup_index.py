@@ -101,3 +101,36 @@ def test_compaction_preserves_pair_discovery(tmp_path):
             assert (0, 6) in pairs
         else:
             plain_pairs = pairs
+
+
+def test_empty_update_slice_is_noop(tmp_path):
+    d = _write_docs(str(tmp_path / "docs"), _corpus())
+    out = str(tmp_path / "wh")
+    index_update(d, out, run_id="full")
+    s, c = index_update(
+        d, out, row_filter=(pads.field("doc_id") > 10_000), run_id="empty"
+    )
+    assert s["new_band_rows"] == 0 and s["candidate_pairs"] == 0
+    assert c.count() == 0
+
+
+def test_crashed_compaction_window_tolerated(tmp_path):
+    """Rename-in-before-delete: if a crash leaves BOTH the compacted run
+    and the originals, pair discovery is unchanged (duplicate band rows
+    fold in the bucket unique) and a compaction re-run converges."""
+    import glob as _glob
+    import shutil
+
+    from aiw_i2b2_etl_ray.pipelines.dedup_index import _run_dirs, index_compact
+
+    d = _write_docs(str(tmp_path / "docs"), _corpus())
+    out = str(tmp_path / "wh")
+    index_update(d, out, row_filter=(pads.field("doc_id") < 6), run_id="k1")
+    # simulate the crash window: compacted run landed, originals survive
+    src = _run_dirs(out)[0]
+    shutil.copytree(src, src.replace("run-k1", "run-compacted-deadbeef"))
+    _, c = index_update(d, out, row_filter=(pads.field("doc_id") >= 6), run_id="k2")
+    pairs = set(map(tuple, c.to_pandas()[["doc_a", "doc_b"]].itertuples(index=False)))
+    assert (0, 6) in pairs and (0, 1) not in pairs
+    assert index_compact(out)["runs_folded"] == 3
+    assert len(_run_dirs(out)) == 1
