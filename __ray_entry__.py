@@ -198,7 +198,81 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
     except ImportError:
         pass
-    return cat
+    # Driver-window ordering: the correctness gate checks only the FIRST 50
+    # entries in dict order.  Rounds 1-3 left 43 catalog queries (the entire
+    # LLM-training-data family plus the r03-displaced window functions) with
+    # no driver row because the flagship-first ordering kept them past slot
+    # 50.  Slots 1-50 now carry: two CDC sentinels, every never-driver-green
+    # query, and the ontology queries whose schema widened this round; all
+    # rotated-out queries remain in the dict (and stay green in the local
+    # oracle harness, tests/test_queries_vs_duckdb.py — same compare).
+    window = [
+        # CDC sentinels (flagship must keep a driver row)
+        "cdc_path_dim",
+        "cdc_change_fact",
+        # never driver-green: r03-displaced + never-windowed window funcs
+        "users_per_type",
+        "value_quantiles",
+        "pivot_event_counts",
+        "unpivot_lineitem",
+        "event_gaps",
+        "json_extract_props",
+        "global_rank",
+        "funnel_conversion",
+        "retention_cohorts",
+        "value_outliers",
+        "user_journeys",
+        # sketches + curation sampling/mixing
+        "approx_distinct_users",
+        "approx_median_hist",
+        "sample_per_lang",
+        "mix_sources",
+        "pack_sequences",
+        "weighted_sample",
+        # declarative/extraction family (local-only through r03)
+        "declarative_read_phenotype",
+        "ontology_with_totals",
+        "value_precedence",
+        "date_resolution",
+        "visit_default",
+        # dedup family (dedup_exact: driver-green r01+r02, rotated out)
+        "dedup_minhash",
+        "dedup_incremental",
+        "dedup_simhash",
+        "dedup_ngram_jaccard",
+        "dedup_embedding",
+        "dedup_embedding_ivf",
+        "dedup_clusters",
+        "corpus_filter",
+        "model_score",
+        # similarity family
+        "ann_topk",
+        "ann_lsh",
+        "ann_ivf",
+        "ann_incremental",
+        # text analysis family
+        "text_langid",
+        "text_scrub",
+        "vocab_topk",
+        "heavy_hitter_tokens",
+        "text_chunks",
+        "text_rolling_fp",
+        "text_bpe_tokens",
+        # multimodal plumbing
+        "multimodal_features",
+        "multimodal_frames",
+        "multimodal_resize",
+        # ontology: schema widened round 4 -> needs driver re-verification;
+        # concept_ancestors is new this round (LevelReader parent direction)
+        "ontology_table",
+        "ontology_persisted",
+        "concept_ancestors",
+    ]
+    ordered: dict[str, Callable[[str], Any]] = {
+        k: cat[k] for k in window if k in cat
+    }
+    ordered.update({k: v for k, v in cat.items() if k not in ordered})
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:
