@@ -7,18 +7,20 @@ come from ONE fused ``map_batches`` pass over the corpus — the scorer
 kernels are shared polars expression builders from textops, so the fused
 gate is definitionally identical to chaining text_quality + text_langid
 but reads and decodes the ``text`` column once instead of twice and
-needs no doc_id join shuffle at all.  The duplicate drop-set is tiny
-(non-canonical members of near-dup clusters) and broadcasts via
-``ray.put`` into a vectorized filter — no shuffle.  At 100 TB the
-drop-set broadcast becomes a bloom filter, same plan.
+needs no doc_id join shuffle at all.  The duplicate drop-set (non-
+canonical members of near-dup clusters) stays a Dataset end-to-end and
+is removed with a bucketed ANTI-join on doc_id: on a duplicate-heavy
+corpus the drop-set is output-sized (billions of ids at 100 TB), so it
+must never land on the driver or broadcast — only id+signal rows
+(~24 B each) move through the one co-partitioning shuffle, and the gate
+runs BEFORE the join so already-rejected docs never shuffle at all.
 """
 
 from __future__ import annotations
 
-import numpy as np
 import polars as pl
 import pyarrow as pa
-import ray
+import pyarrow.compute as pc
 import ray.data as rd
 
 from ..util import worker_runtime_env
@@ -45,45 +47,43 @@ class CurationSpec:
 
 def corpus_filter(sf_dir: str, spec: CurationSpec = CurationSpec()) -> rd.Dataset:
     """doc ids that survive curation, with the signals that admitted them."""
+    from ..stages.join import bucketed_join
     from .graph_cc import dedup_clusters
     from .textops import _alpha_ratio_expr, _with_langid
 
-    if spec.drop_duplicates:
-        # non-canonical members of duplicate clusters (tiny: only docs in pairs)
-        clusters = dedup_clusters(sf_dir).to_pandas()
-        drop = set(
-            clusters.loc[clusters["doc_id"] != clusters["cluster_id"], "doc_id"].tolist()
-        )
-    else:
-        drop = set()
-    drop_ref = ray.put(np.array(sorted(drop), dtype=np.int64))
-
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
-    class Gate:
-        """Fused quality + language gate + duplicate drop: one pass over
-        the text column computes both admission signals (shared textops
-        kernels) and applies all three predicates in the same batch."""
-
-        def __init__(self):
-            self.drop = ray.get(drop_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            df = _with_langid(pl.from_arrow(t).with_columns(_alpha_ratio_expr()))
-            df = df.filter(
+    def gate(t: pa.Table) -> pa.Table:
+        """Fused quality + language gate: one pass over the text column
+        computes both admission signals (shared textops kernels) and
+        applies both predicates in the same batch."""
+        df = _with_langid(pl.from_arrow(t).with_columns(_alpha_ratio_expr()))
+        return (
+            df.filter(
                 (pl.col("alpha_ratio") >= spec.min_alpha_ratio)
                 & (pl.col("pred_lang") != "und")
                 & (pl.col("stopword_score") >= spec.min_stopword_score)
-            ).select("doc_id", "alpha_ratio", "pred_lang")
-            out = df.to_arrow()
-            if self.drop.size:
-                keep = ~np.isin(out["doc_id"].to_numpy(), self.drop)
-                out = out.filter(pa.array(keep))
-            return out
+            )
+            .select("doc_id", "alpha_ratio", "pred_lang")
+            .to_arrow()
+        )
 
-    return docs.map_batches(
-        Gate, batch_format="pyarrow", concurrency=(1, 8), **worker_runtime_env()
+    gated = docs.map_batches(gate, batch_format="pyarrow", **worker_runtime_env())
+    if not spec.drop_duplicates:
+        return gated
+
+    # non-canonical members of duplicate clusters, kept distributed: the
+    # drop-set is output-sized on a duplicate-heavy corpus, so it is
+    # removed with a bucketed anti-join (right side = key Dataset), never
+    # collected to the driver or ray.put-broadcast
+    drop_ids = dedup_clusters(sf_dir).map_batches(
+        lambda t: t.filter(pc.not_equal(t["doc_id"], t["cluster_id"])).select(
+            ["doc_id"]
+        ),
+        batch_format="pyarrow",
+        **worker_runtime_env(),
     )
+    return bucketed_join(gated, drop_ids, on=["doc_id"], how="anti", num_buckets=8)
 
 
 def _sql() -> str:

@@ -184,18 +184,29 @@ def dedup_minhash_pairs(sf_dir: str) -> rd.Dataset:
     return verify_candidate_pairs(cands, docs)
 
 
-from functools import lru_cache
+_PAIRS_MEMO: dict[tuple, rd.Dataset] = {}
 
 
-@lru_cache(maxsize=4)
 def minhash_pairs_cached(sf_dir: str) -> rd.Dataset:
     """Materialized verified-pairs set, shared per sf_dir: the catalog's
     `dedup_minhash`, the CC clustering (`dedup_clusters`) and the corpus
     gate (`corpus_filter`) all consume the same pair set — compute the
     sketch+shuffle+verify once (same memoization pattern as
     cdc_queries._fact_cached; pairs are output-sized, held in the object
-    store, never the driver)."""
-    return dedup_minhash_pairs(sf_dir).materialize()
+    store, never the driver).  The memo key includes the input file's
+    (mtime, size) so an in-process rewrite of documents.parquet never
+    serves stale pairs; entries are evicted FIFO past 4 (their blocks may
+    also die with the Ray session — single-session cache only)."""
+    import os
+
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    key = (sf_dir, st.st_mtime_ns, st.st_size)
+    ds = _PAIRS_MEMO.get(key)
+    if ds is None:
+        while len(_PAIRS_MEMO) >= 4:
+            _PAIRS_MEMO.pop(next(iter(_PAIRS_MEMO)))
+        ds = _PAIRS_MEMO[key] = dedup_minhash_pairs(sf_dir).materialize()
+    return ds
 
 
 def verify_candidate_pairs(cands: rd.Dataset, docs: rd.Dataset) -> rd.Dataset:

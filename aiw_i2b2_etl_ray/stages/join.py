@@ -47,13 +47,22 @@ def bucketed_join(
     a single worker.  Output is identical (salt only affects placement).
     Use the heavy-hitter pre-pass (``cdc_replay.find_hot_keys_local``-style
     sample) to obtain ``hot_keys``; replication cost is |hot right rows| x
-    salt, so keep the replicated side the smaller one."""
+    salt, so keep the replicated side the smaller one.
+
+    ``how="semi"`` / ``how="anti"`` return LEFT columns only (the right
+    side acts as a distributed key set — the scale path for NOT-IN /
+    EXISTS filters whose key set is too large to broadcast).  The right
+    side's key rows are deduplicated inside each bucket, so duplicate
+    right keys never multiply output rows."""
     if hot_keys is not None and how != "inner":
         raise ValueError("hot-key salting currently supports inner joins only")
+    filter_join = how in ("semi", "anti")
     l_schema = left.schema().base_schema
     r_schema = right.schema().base_schema
     l_only = [f.name for f in l_schema if f.name not in on]
-    r_only = [f.name for f in r_schema if f.name not in on]
+    # semi/anti use the right side as a key set: its non-key columns are
+    # dropped before the shuffle (never shipped), so no collision applies
+    r_only = [] if filter_join else [f.name for f in r_schema if f.name not in on]
     overlap = set(l_only) & set(r_only)
     if overlap:
         raise ValueError(f"non-key column collision: {sorted(overlap)}")
@@ -120,6 +129,9 @@ def bucketed_join(
     def join_bucket(g: pa.Table) -> pa.Table:
         df = pl.from_arrow(g)
         lhs = df.filter(pl.col("_side") == "l").select(join_keys + l_only)
+        if filter_join:
+            rhs = df.filter(pl.col("_side") == "r").select(join_keys).unique()
+            return lhs.join(rhs, on=join_keys, how=how).select(on + l_only).to_arrow()
         rhs = df.filter(pl.col("_side") == "r").select(join_keys + r_only)
         out = lhs.join(rhs, on=join_keys, how=how)
         return out.select(on + l_only + r_only).to_arrow()

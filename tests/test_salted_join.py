@@ -78,3 +78,39 @@ def test_salting_rejects_outer_joins(skewed):
             how="left",
             hot_keys={7},
         )
+
+
+def test_anti_and_semi_join_match_local(skewed):
+    """Distributed semi/anti joins return LEFT columns only and match the
+    local polars result; duplicate and extra right columns never multiply
+    or leak into the output (the right side is a key SET)."""
+    import polars as pl
+
+    left, right = skewed
+    # duplicate right keys + an extra non-key column that must be ignored
+    right_dup = pd.concat([right, right.head(10)], ignore_index=True)
+    right_dup["junk"] = "x"
+    right_half = right_dup[right_dup["k"] % 2 == 0]
+
+    for how in ("semi", "anti"):
+        got = (
+            bucketed_join(
+                rd.from_arrow(pa.Table.from_pandas(left)),
+                rd.from_arrow(pa.Table.from_pandas(right_half)),
+                on=["k"],
+                num_buckets=16,
+                how=how,
+            )
+            .to_pandas()
+            .sort_values(["k", "lv"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        want = (
+            pl.from_pandas(left)
+            .join(pl.from_pandas(right_half[["k"]]), on="k", how=how)
+            .to_pandas()
+            .sort_values(["k", "lv"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        assert list(got.columns) == ["k", "lv"], how
+        pd.testing.assert_frame_equal(got, want[got.columns]), how

@@ -230,3 +230,65 @@ def test_dedup_pair_outputs_are_datasets():
         assert {"doc_a", "doc_b", "vec_a", "vec_b", "doc_id"} & set(
             out.schema().names
         ), fn.__name__
+
+
+def test_verify_pairs_distributed_branch_matches_small_branch():
+    """dedup.py's verify has two physical plans around PAIR_GATHER_LIMIT
+    (bounded driver pair-dedup + pruned docs vs fully distributed pair
+    dedup + full docs side).  Force the distributed branch by dropping the
+    limit to 0 and assert the verified pair set is identical — the branch
+    only changes placement, never the result."""
+    from aiw_i2b2_etl_ray.pipelines import dedup as dd
+
+    sf = "/root/testdata/sf0.001"
+
+    def pairs_df(ds):
+        return (
+            ds.to_pandas()
+            .sort_values(["doc_a", "doc_b"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+
+    small = pairs_df(dd.dedup_minhash_pairs(sf))
+    assert len(small) > 0, "fixture must contain near-duplicate pairs"
+    orig = dd.PAIR_GATHER_LIMIT
+    dd.PAIR_GATHER_LIMIT = 0
+    try:
+        big = pairs_df(dd.dedup_minhash_pairs(sf))
+    finally:
+        dd.PAIR_GATHER_LIMIT = orig
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(big, small)
+
+
+def test_curation_chain_has_no_driver_collection():
+    """The duplicate drop-set is output-sized on a duplicate-heavy corpus:
+    the curation chain downstream of the (memoized) pair set must never
+    collect a Dataset onto the driver or ray.put a broadcast of it.  Warm
+    the pair memo first (its bounded small-branch hop is legitimate), then
+    ban Dataset collection for the rest of the chain; the broadcast ban is
+    a source-level check (Ray Data internals use ray.put legitimately)."""
+    import inspect
+
+    import ray.data as rd
+
+    from aiw_i2b2_etl_ray.pipelines import curation
+    from aiw_i2b2_etl_ray.pipelines import dedup as dd
+    from aiw_i2b2_etl_ray.pipelines.curation import corpus_filter
+
+    assert "ray.put(" not in inspect.getsource(curation)  # call sites only
+
+    sf = "/root/testdata/sf0.001"
+    dd.minhash_pairs_cached(sf)  # warm the shared pair memo
+
+    def banned(*a, **k):
+        raise AssertionError("driver-side collection inside the curation chain")
+
+    saved = (rd.Dataset.to_pandas, rd.Dataset.take_all)
+    rd.Dataset.to_pandas, rd.Dataset.take_all = banned, banned
+    try:
+        out = corpus_filter(sf).materialize()
+    finally:
+        rd.Dataset.to_pandas, rd.Dataset.take_all = saved
+    assert out.count() > 0
