@@ -17,69 +17,61 @@ queries):
 
 from __future__ import annotations
 
-import re
-
-import numpy as np
-import pandas as pd
+import polars as pl
 import pyarrow as pa
 import ray.data as rd
 
-_PROP_K = re.compile(r'"k": (\d+)')
-_UNIT_NAME = re.compile(r'"(\w+)":')
+from ..util import worker_runtime_env
 
 
 def value_precedence(sf_dir: str) -> rd.Dataset:
     """4-level value precedence + units over the events stream; output
     carries ``value_src`` naming which level fired (property / modifier /
-    value / nominal)."""
+    value / nominal).  Fully vectorized polars-over-Arrow (regexes compile
+    once inside the Rust kernel) — no pandas copy of the full table."""
+    from ..functions.numeric import round_half_away_pl
+
     ds = rd.read_parquet(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "event_type", "value", "props", "user_id"],
     )
 
-    class Extract:
-        def __init__(self):
-            self.prop_k = _PROP_K
-            self.unit_name = _UNIT_NAME
+    def extract(t: pa.Table) -> pa.Table:
+        # expressions built per batch: polars `Then` nodes don't pickle,
+        # and construction cost is trivial next to the kernel work
+        # L1 explicit property: the props 'k' value, purchases only
+        l1 = pl.when(pl.col("event_type") == "purchase").then(
+            pl.col("props").str.extract(r'"k": (\d+)', 1)
+        )
+        # L2 modifier property: uppercased type for the flagged cohort
+        l2 = pl.when(pl.col("user_id") % 5 == 0).then(
+            pl.col("event_type").str.to_uppercase()
+        )
+        # L3 parameter value: the numeric value as integer cents
+        l3 = pl.when(pl.col("value").is_not_null()).then(
+            round_half_away_pl(pl.col("value") * 100, 0).cast(pl.Int64).cast(pl.String)
+        )
+        # L4 nominal: the prop id itself
+        l4 = pl.col("event_type")
+        return (
+            pl.from_arrow(t)
+            .select(
+                "event_id",
+                pl.coalesce(l1, l2, l3, l4).alias("tval"),
+                pl.when(l1.is_not_null())
+                .then(pl.lit("property"))
+                .when(l2.is_not_null())
+                .then(pl.lit("modifier"))
+                .when(l3.is_not_null())
+                .then(pl.lit("value"))
+                .otherwise(pl.lit("nominal"))
+                .alias("value_src"),
+                pl.col("props").str.extract(r'"(\w+)":', 1).fill_null("@").alias("units_cd"),
+            )
+            .to_arrow()
+        )
 
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            # L1 explicit property: the props 'k' value, purchases only
-            l1 = b["props"].str.extract(self.prop_k, expand=False).where(
-                b["event_type"] == "purchase"
-            )
-            # L2 modifier property: uppercased type for the flagged cohort
-            l2 = b["event_type"].str.upper().where(b["user_id"] % 5 == 0)
-            # L3 parameter value: the numeric value as integer cents
-            from ..functions.numeric import round_half_away
-
-            cents = round_half_away(b["value"] * 100, 0)
-            l3 = pd.Series(
-                np.where(
-                    b["value"].notna(), cents.astype("Int64").astype("string"), None
-                ),
-                index=b.index,
-            )
-            # L4 nominal: the prop id itself
-            l4 = b["event_type"]
-            tval = l1.fillna(l2).fillna(l3).fillna(l4)
-            src = np.select(
-                [l1.notna(), l2.notna(), l3.notna()],
-                ["property", "modifier", "value"],
-                default="nominal",
-            )
-            units = (
-                b["props"].str.extract(self.unit_name, expand=False).fillna("@")
-            )
-            return pd.DataFrame(
-                {
-                    "event_id": b["event_id"],
-                    "tval": tval.astype("string"),
-                    "value_src": src,
-                    "units_cd": units.astype("string"),
-                }
-            )
-
-    return ds.map_batches(Extract, batch_format="pandas", concurrency=(1, 8))
+    return ds.map_batches(extract, batch_format="pyarrow", **worker_runtime_env())
 
 
 SQL_VALUE_PRECEDENCE = r"""

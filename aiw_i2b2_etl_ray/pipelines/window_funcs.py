@@ -24,7 +24,7 @@ import pyarrow as pa
 import ray.data as rd
 from ray.data.aggregate import Sum
 
-from ..functions.numeric import round_half_away, round_half_away_pc
+from ..functions.numeric import round_half_away, round_half_away_pc, round_half_away_pl
 from ..util import worker_runtime_env
 
 
@@ -596,27 +596,38 @@ def value_outliers(sf_dir: str) -> rd.Dataset:
         .aggregate(Sum("s", alias_name="s"), Sum("ss", alias_name="ss"), Sum("n", alias_name="n"))
         .to_pandas()
     )
-    mv = {}
-    for et, s, ss, n in zip(stats["event_type"], stats["s"], stats["ss"], stats["n"]):
-        mean = s / n
-        var = max(ss / n - mean * mean, 0.0)
-        mv[et] = (mean, var**0.5)
-    mv_ref = ray.put(mv)
+    mean = stats["s"].to_numpy() / stats["n"].to_numpy()
+    sd = np.sqrt(np.maximum(stats["ss"].to_numpy() / stats["n"].to_numpy() - mean * mean, 0.0))
+    stats_ref = ray.put(
+        pl.DataFrame({"event_type": stats["event_type"], "m": mean, "sd": sd})
+    )
 
     class Flag:
+        """Vectorized z-score screen: the tiny per-type stats table joins
+        each batch inside polars (hash lookup in the Rust kernel — no
+        per-row Python) and the filter+round stay in Arrow memory."""
+
         def __init__(self):
-            self.mv = ray.get(mv_ref)
+            self.stats = ray.get(stats_ref)
 
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            mean = b["event_type"].map(lambda e: self.mv[e][0]).to_numpy()
-            std = b["event_type"].map(lambda e: self.mv[e][1]).to_numpy()
-            z = (b["value"].to_numpy() - mean) / np.where(std == 0, np.inf, std)
-            keep = np.abs(z) > Z_CUTOFF
-            out = b.loc[keep, ["event_id", "event_type", "value"]].copy()
-            out["z"] = round_half_away(z[keep], 4)
-            return out
+        def __call__(self, t: pa.Table) -> pa.Table:
+            z = (pl.col("value") - pl.col("m")) / pl.col("sd")
+            return (
+                pl.from_arrow(t)
+                .join(self.stats, on="event_type", how="left")
+                .filter((pl.col("sd") > 0) & (z.abs() > Z_CUTOFF))
+                .select(
+                    "event_id",
+                    "event_type",
+                    "value",
+                    round_half_away_pl(z, 4).alias("z"),
+                )
+                .to_arrow()
+            )
 
-    return ds.map_batches(Flag, batch_format="pandas", concurrency=(1, 4))
+    return ds.map_batches(
+        Flag, batch_format="pyarrow", concurrency=(1, 4), **worker_runtime_env()
+    )
 
 
 SQL_VALUE_OUTLIERS = f"""
