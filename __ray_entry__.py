@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "ontology_persisted": ost.ontology_persisted,
             "concept_value_sets": on.concept_value_sets,  # M16/M17 value-set read
             "concept_descendants": on.concept_descendants,  # LevelReader analog
+            "concept_ancestors": on.concept_ancestors,  # LevelReader parent walk
             "table_access": on.table_access,  # TableAccessReader discovery
             "lang_stats": on.lang_stats,  # A4 statistics + rollup
             "event_rank": wn.event_rank,  # O1/ST9 per-key ordering
@@ -379,6 +380,7 @@ def oracle_sql() -> dict[str, str]:
             "ontology_persisted": on.SQL_ONTOLOGY_TABLE,
             "concept_value_sets": on.SQL_CONCEPT_VALUE_SETS,
             "concept_descendants": on.SQL_CONCEPT_DESCENDANTS,
+            "concept_ancestors": on.SQL_CONCEPT_ANCESTORS,
             "table_access": on.SQL_TABLE_ACCESS,
             "lang_stats": on.SQL_LANG_STATS,
             "event_rank": wn.SQL_EVENT_RANK,

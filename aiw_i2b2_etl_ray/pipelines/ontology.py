@@ -66,12 +66,54 @@ def _leaf_metadata_xml(pairs: list[tuple[str, str]]) -> dict[str, str]:
     }
 
 
+#: Widened-schema constants, mirroring the reference's 25-column METADATA
+#: insert (dest/table/MetaTableConceptHandler.java:38-44) and the concept
+#: defaults in dest/metadata/UserObject.java:36-39,82-89: concept rows
+#: query the concept_dimension, modifier rows the modifier_dimension
+#: (PropositionConceptTreeBuilder.java:222-225, reference casing kept).
+CONCEPT_TABLE_COLS = ("concept_cd", "concept_dimension", "concept_path")
+MODIFIER_TABLE_COLS = ("MODIFIER_CD", "MODIFIER_DIMENSION", "MODIFIER_PATH")
+COLUMN_DATATYPE = "T"  # DataType.TEXT, the UserObject default
+SOURCESYSTEM_CONCEPTS = "DOCUMENTS"  # discovery source (the warehouse table)
+SOURCESYSTEM_MODIFIERS = "CONFIG"  # modifiers come from the job's ModifierSpecs
+MOD_ROOT = "Mod"
+
+
+def _modifier_names() -> list[str]:
+    """The configured modifier set (the reference's ModifierSpec list,
+    conf/.../ModifierSpec — config, not data): the same specs the CDC
+    fan-out applies (cdc_queries.MODIFIER_SPECS)."""
+    from .cdc_queries import MODIFIER_SPECS
+
+    return sorted(s.name for s in MODIFIER_SPECS)
+
+
+def _operator(vis: str, dimcode: str) -> str:
+    """ConceptOperator choice (UserObject.java:211-217): leaves — the
+    queryable, in-data-source concepts — use '=' unless the dimcode
+    contains '_' (the documented i2b2 1.7 LIKE-workaround); folders and
+    modifiers aggregate by LIKE."""
+    return "=" if vis == "LA" and "_" not in dimcode else "LIKE"
+
+
 def build_tree(pairs: list[tuple[str, str]]) -> pa.Table:
     """Deterministic tree emission from a sorted (lang, source) pair set —
     the pure function both the one-shot query (``ontology_table``) and the
     persistent incremental merge (``ontology_store.update_ontology``) share,
     so an incrementally-merged table converges byte-identically to the
-    one-shot build over the union of its inputs."""
+    one-shot build over the union of its inputs.
+
+    Emits the reference's full 25-column METADATA schema
+    (MetaTableConceptHandler.java:38-44): derived columns (c_dimcode =
+    fullname per UserObject.getDimCode's null default, c_path/c_tooltip
+    from the path walk in PathSupport.java:82-123, c_symbol = concept
+    code) plus one modifier row per configured ModifierSpec with
+    ``m_applied_path`` scoping it to the whole concept subtree
+    (PropositionConceptTreeBuilder.java:221 appliedPath + '%'); concept
+    rows carry the mandatory '@' default (UserObject.java:85).  The
+    timestamp columns stay NULL: the engine is deterministically
+    clock-free (see functions/dates.py — the reference's own tests ignore
+    its wall-clock importTimestamp)."""
     pairs = sorted(set(pairs))
     langs = sorted({l for l, _ in pairs})
     root_path = strings.hierarchy_path(pa.array([ROOT]))[0].as_py()
@@ -96,15 +138,64 @@ def build_tree(pairs: list[tuple[str, str]]) -> pa.Table:
         metaxml.append(leaf_xml[s])
         seen_src.add(s)
 
+    n_concepts = len(fullname)
+    for m in _modifier_names():
+        hlevel.append(1)
+        fullname.append(f"\\{MOD_ROOT}\\{m}\\")
+        name.append(m)
+        basecode.append(f"MOD:{m}")
+        vis.append("RA")  # i2b2 modifier-leaf visual attributes
+        syn.append("N")
+        metaxml.append(None)
+
+    n = len(fullname)
+    is_mod = [i >= n_concepts for i in range(n)]
+    dimcode = list(fullname)  # getDimCode null default -> fullname
+    segs = [f.strip("\\").split("\\") for f in fullname]
+    tooltip = ["".join(" \\ " + s for s in sg) for sg in segs]
+    cpath = ["\\" + "\\".join(sg[:-1]) + ("\\" if len(sg) > 1 else "") for sg in segs]
+    nulls_s = pa.nulls(n, pa.string())
+    nulls_ts = pa.nulls(n, pa.timestamp("us"))
+
     return pa.table(
         {
             "c_hlevel": pa.array(hlevel, pa.int64()),
             "c_fullname": pa.array(fullname, pa.string()),
             "c_name": pa.array(name, pa.string()),
-            "c_basecode": pa.array(basecode, pa.string()),
-            "c_visualattributes": pa.array(vis, pa.string()),
             "c_synonym_cd": pa.array(syn, pa.string()),
+            "c_visualattributes": pa.array(vis, pa.string()),
+            "c_totalnum": pa.nulls(n, pa.int64()),
+            "c_basecode": pa.array(basecode, pa.string()),
             "c_metadataxml": pa.array(metaxml, pa.string()),
+            "c_facttablecolumn": pa.array(
+                [MODIFIER_TABLE_COLS[0] if m else CONCEPT_TABLE_COLS[0] for m in is_mod]
+            ),
+            "c_tablename": pa.array(
+                [MODIFIER_TABLE_COLS[1] if m else CONCEPT_TABLE_COLS[1] for m in is_mod]
+            ),
+            "c_columnname": pa.array(
+                [MODIFIER_TABLE_COLS[2] if m else CONCEPT_TABLE_COLS[2] for m in is_mod]
+            ),
+            "c_columndatatype": pa.array([COLUMN_DATATYPE] * n),
+            "c_operator": pa.array(
+                [_operator(v, d) for v, d in zip(vis, dimcode)]
+            ),
+            "c_dimcode": pa.array(dimcode, pa.string()),
+            "c_comment": nulls_s,
+            "c_tooltip": pa.array(tooltip, pa.string()),
+            "update_date": nulls_ts,
+            "download_date": nulls_ts,
+            "import_date": nulls_ts,
+            "sourcesystem_cd": pa.array(
+                [SOURCESYSTEM_MODIFIERS if m else SOURCESYSTEM_CONCEPTS for m in is_mod]
+            ),
+            "valuetype_cd": nulls_s,  # ValueTypeCode.UNSPECIFIED has code null
+            "m_applied_path": pa.array(
+                [f"\\{ROOT}\\%" if m else "@" for m in is_mod]
+            ),
+            "m_exclusion_cd": nulls_s,
+            "c_path": pa.array(cpath, pa.string()),
+            "c_symbol": pa.array(basecode, pa.string()),  # getSymbol = conceptCode
         }
     )
 
@@ -129,7 +220,35 @@ def ontology_table(sf_dir: str) -> pa.Table:
     return build_tree(_distinct_pairs(sf_dir))
 
 
-_SQL_ONTO = r"""
+#: The widened final column list (reference insert order,
+#: MetaTableConceptHandler.java:38-44).
+_ONTO_COLS = (
+    "c_hlevel, c_fullname, c_name, c_synonym_cd, c_visualattributes, "
+    "c_totalnum, c_basecode, c_metadataxml, c_facttablecolumn, c_tablename, "
+    "c_columnname, c_columndatatype, c_operator, c_dimcode, c_comment, "
+    "c_tooltip, update_date, download_date, import_date, sourcesystem_cd, "
+    "valuetype_cd, m_applied_path, m_exclusion_cd, c_path, c_symbol"
+)
+
+
+def _onto_cte() -> str:
+    """The shared onto CTE, all 25 columns + the c_parent edge helper;
+    the modifier arm is generated from the configured ModifierSpec set so
+    SQL and engine can never disagree on the modifier list."""
+    mod_arms = "".join(
+        f"""
+  UNION ALL
+  SELECT CAST(1 AS BIGINT), '\\Mod\\{m}\\', '{m}', 'N', 'RA',
+         CAST(NULL AS BIGINT), 'MOD:{m}', CAST(NULL AS VARCHAR),
+         'MODIFIER_CD', 'MODIFIER_DIMENSION', 'MODIFIER_PATH', 'T',
+         'LIKE', '\\Mod\\{m}\\',
+         CAST(NULL AS VARCHAR), ' \\ Mod \\ {m}',
+         CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP),
+         'CONFIG', CAST(NULL AS VARCHAR), '\\Lang\\%', CAST(NULL AS VARCHAR),
+         '\\Mod\\', 'MOD:{m}', CAST(NULL AS VARCHAR)"""
+        for m in _modifier_names()
+    )
+    return r"""
 pairs AS (SELECT DISTINCT lang, source FROM documents),
 langs AS (SELECT DISTINCT lang FROM documents),
 vm AS (
@@ -143,29 +262,55 @@ vm AS (
 ),
 onto AS (
   SELECT CAST(0 AS BIGINT) AS c_hlevel, '\Lang\' AS c_fullname,
-         'Lang' AS c_name, CAST(NULL AS VARCHAR) AS c_basecode,
-         'FA' AS c_visualattributes, 'N' AS c_synonym_cd,
+         'Lang' AS c_name, 'N' AS c_synonym_cd, 'FA' AS c_visualattributes,
+         CAST(NULL AS BIGINT) AS c_totalnum,
+         CAST(NULL AS VARCHAR) AS c_basecode,
          CAST(NULL AS VARCHAR) AS c_metadataxml,
+         'concept_cd' AS c_facttablecolumn,
+         'concept_dimension' AS c_tablename,
+         'concept_path' AS c_columnname, 'T' AS c_columndatatype,
+         'LIKE' AS c_operator, '\Lang\' AS c_dimcode,
+         CAST(NULL AS VARCHAR) AS c_comment, ' \ Lang' AS c_tooltip,
+         CAST(NULL AS TIMESTAMP) AS update_date,
+         CAST(NULL AS TIMESTAMP) AS download_date,
+         CAST(NULL AS TIMESTAMP) AS import_date,
+         'DOCUMENTS' AS sourcesystem_cd,
+         CAST(NULL AS VARCHAR) AS valuetype_cd,
+         '@' AS m_applied_path, CAST(NULL AS VARCHAR) AS m_exclusion_cd,
+         '\' AS c_path, CAST(NULL AS VARCHAR) AS c_symbol,
          CAST(NULL AS VARCHAR) AS c_parent
   UNION ALL
-  SELECT CAST(1 AS BIGINT), '\Lang\' || lang || '\', lang,
-         'LANG:' || lang, 'FA', 'N', CAST(NULL AS VARCHAR), '\Lang\'
+  SELECT CAST(1 AS BIGINT), '\Lang\' || lang || '\', lang, 'N', 'FA',
+         CAST(NULL AS BIGINT), 'LANG:' || lang, CAST(NULL AS VARCHAR),
+         'concept_cd', 'concept_dimension', 'concept_path', 'T',
+         'LIKE', '\Lang\' || lang || '\',
+         CAST(NULL AS VARCHAR), ' \ Lang \ ' || lang,
+         CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP),
+         'DOCUMENTS', CAST(NULL AS VARCHAR), '@', CAST(NULL AS VARCHAR),
+         '\Lang\', 'LANG:' || lang, '\Lang\'
   FROM langs
   UNION ALL
   SELECT CAST(2 AS BIGINT), '\Lang\' || p.lang || '\' || p.source || '\', p.source,
-         'SRC:' || p.source, 'LA',
          CASE WHEN ROW_NUMBER() OVER (PARTITION BY p.source ORDER BY p.lang) > 1
               THEN 'Y' ELSE 'N' END,
-         v.xml,
+         'LA', CAST(NULL AS BIGINT), 'SRC:' || p.source, v.xml,
+         'concept_cd', 'concept_dimension', 'concept_path', 'T',
+         CASE WHEN strpos('\Lang\' || p.lang || '\' || p.source || '\', '_') = 0
+              THEN '=' ELSE 'LIKE' END,
+         '\Lang\' || p.lang || '\' || p.source || '\',
+         CAST(NULL AS VARCHAR), ' \ Lang \ ' || p.lang || ' \ ' || p.source,
+         CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP),
+         'DOCUMENTS', CAST(NULL AS VARCHAR), '@', CAST(NULL AS VARCHAR),
+         '\Lang\' || p.lang || '\', 'SRC:' || p.source,
          '\Lang\' || p.lang || '\'
-  FROM pairs p JOIN vm v ON v.source = p.source
-)
-"""
+  FROM pairs p JOIN vm v ON v.source = p.source""" + mod_arms + "\n)\n"
+
+
+_SQL_ONTO = _onto_cte()
 
 SQL_ONTOLOGY_TABLE = f"""
 WITH {_SQL_ONTO}
-SELECT c_hlevel, c_fullname, c_name, c_basecode, c_visualattributes,
-       c_synonym_cd, c_metadataxml
+SELECT {_ONTO_COLS}
 FROM onto
 """
 
@@ -258,6 +403,58 @@ SELECT * FROM walk
 """
 
 
+def concept_ancestors(sf_dir: str) -> pa.Table:
+    """Parent/ancestor navigation — the LevelReader's OTHER direction
+    (ksb/LevelReader.java:116-141 ``readParentsFromDatabase``: given
+    concept paths, read the rows above them): the full child->ancestor
+    closure of the concept tree, one row per (concept, strict ancestor).
+    Path-prefix semantics over the path-encoded table (ancestry IS prefix
+    containment, PathSupport.java:89-94); modifier rows live outside the
+    concept subtree and so contribute no rows.  The oracle computes the
+    same closure with a prefix self-join."""
+    import pyarrow.compute as pc
+
+    onto = ontology_table(sf_dir)
+    paths = onto["c_fullname"].to_pylist()
+    names = onto["c_name"].to_pylist()
+    levels = onto["c_hlevel"].to_pylist()
+    by_path = {p: i for i, p in enumerate(paths)}
+    child, anc, anc_name, anc_level = [], [], [], []
+    for p in paths:
+        # walk the encoded path upward: each proper prefix ending in '\'
+        segs = p.strip("\\").split("\\")
+        for k in range(1, len(segs)):
+            a = "\\" + "\\".join(segs[:k]) + "\\"
+            i = by_path.get(a)
+            if i is None:
+                continue  # modifier namespace has no materialized root
+            child.append(p)
+            anc.append(a)
+            anc_name.append(names[i])
+            anc_level.append(levels[i])
+    return pa.table(
+        {
+            "c_fullname": pa.array(child, pa.string()),
+            "anc_fullname": pa.array(anc, pa.string()),
+            "anc_name": pa.array(anc_name, pa.string()),
+            "anc_hlevel": pa.array(anc_level, pa.int64()),
+        }
+    )
+
+
+SQL_CONCEPT_ANCESTORS = f"""
+WITH {_SQL_ONTO}
+SELECT o.c_fullname,
+       a.c_fullname AS anc_fullname,
+       a.c_name     AS anc_name,
+       a.c_hlevel   AS anc_hlevel
+FROM onto o
+JOIN onto a
+  ON starts_with(o.c_fullname, a.c_fullname)
+ AND o.c_fullname <> a.c_fullname
+"""
+
+
 def lang_stats(sf_dir: str) -> rd.Dataset:
     """Per-concept counts + the parent rollup (total) row, computed with
     per-batch partials (A4 statistics shape)."""
@@ -329,8 +526,16 @@ def ontology_with_totals(sf_dir: str) -> pa.Table:
         sum(n for p, n in doc_paths.items() if p.startswith(row_path))
         for row_path in paths
     ]
-    return onto.append_column("c_totalnum", pa.array(totals, pa.int64()))
+    # fill the base table's NULL c_totalnum placeholder (the reference
+    # inserts null at metadata load, I2b2QueryResultsHandler updates later)
+    return onto.set_column(
+        onto.column_names.index("c_totalnum"), "c_totalnum", pa.array(totals, pa.int64())
+    )
 
+
+_ONTO_COLS_NO_TOTAL = ", ".join(
+    "o." + c for c in _ONTO_COLS.split(", ") if c != "c_totalnum"
+)
 
 SQL_ONTOLOGY_WITH_TOTALS = f"""
 WITH {_SQL_ONTO},
@@ -339,8 +544,7 @@ doc_counts AS (
          CAST(COUNT(*) AS BIGINT) AS n
   FROM documents GROUP BY lang, source
 )
-SELECT o.c_hlevel, o.c_fullname, o.c_name, o.c_basecode,
-       o.c_visualattributes, o.c_synonym_cd, o.c_metadataxml,
+SELECT {_ONTO_COLS_NO_TOTAL},
        CAST(COALESCE((SELECT SUM(d.n) FROM doc_counts d
                  WHERE d.p LIKE o.c_fullname || '%'), 0) AS BIGINT) AS c_totalnum
 FROM onto o
