@@ -113,6 +113,14 @@ def ann_index_update(
             self.cents = ray.get(cents_ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
+            if len(t) == 0:  # predicate-pushed reads can emit empty blocks
+                return pa.table(
+                    {
+                        "list_id": pa.array([], pa.int32()),
+                        "vec_id": pa.array([], pa.int64()),
+                        "embedding": pa.array([], pa.list_(pa.float64())),
+                    }
+                )
             ids = t["vec_id"].to_numpy()
             m = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
             norm = m / (np.linalg.norm(m, axis=1, keepdims=True) + 1e-300)
@@ -225,6 +233,13 @@ def ann_index_query(sf_dir: str, out_dir: str) -> pd.DataFrame:
                 )
             ids = g["vec_id"].to_numpy()
             norm = np.stack(g["embedding"].to_pandas().to_numpy())
+            # a crashed compaction (rename-in-before-delete window) can
+            # leave the same vec_id in two runs of this list; dedup BEFORE
+            # the per-list top-k so duplicates can't occupy multiple of
+            # the k slots and evict a distinct true neighbor
+            uniq, first = np.unique(ids, return_index=True)
+            if len(uniq) < len(ids):
+                ids, norm = ids[first], norm[first]
             cos = norm @ self.qmat[qidx].T
             k = min(TOP_K, len(ids))
             part = np.argpartition(-cos, k - 1, axis=0)[:k]

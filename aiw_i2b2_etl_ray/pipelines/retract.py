@@ -100,8 +100,23 @@ def retract_source(
     path_files = sorted(glob.glob(os.path.join(out_dir, "path_dim", "*.parquet")))
     retr_root = os.path.join(out_dir, "archive", "retractions")
     if run_id is None:
-        run_id = f"r{len(glob.glob(os.path.join(retr_root, '*'))) + 1:03d}"
+        # max existing number + 1, NOT count-of-dirs + 1: after a deleted
+        # or renamed retraction dir the count can alias an id that still
+        # exists, and the deterministic per-partition archive filenames
+        # would silently overwrite that run's retracted-fact history
+        taken = [
+            int(os.path.basename(d)[1:])
+            for d in glob.glob(os.path.join(retr_root, "r[0-9]*"))
+            if os.path.basename(d)[1:].isdigit()
+        ]
+        run_id = f"r{max(taken, default=0) + 1:03d}"
     archive_dir = os.path.join(retr_root, run_id)
+    if glob.glob(os.path.join(archive_dir, "*.parquet")):
+        raise ValueError(
+            f"retraction run_id {run_id!r} already has archived facts in "
+            f"{archive_dir}; pick a fresh run_id (reuse would overwrite "
+            "that run's retracted-fact history)"
+        )
     os.makedirs(archive_dir, exist_ok=True)
     dimpart = os.path.join(out_dir, "_dimpart")
 

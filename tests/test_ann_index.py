@@ -68,3 +68,24 @@ def test_ann_compaction_preserves_query_results(tmp_path):
     assert ann_index_compact(out)["runs_folded"] == 2
     after = ann_index_query(SF_DIR, out).reset_index(drop=True)
     assert before.equals(after)
+
+
+def test_duplicated_run_window_cannot_evict_true_neighbors(tmp_path):
+    """Crashed-compaction window: the compacted run is renamed in before
+    the source runs are deleted, so the same vec_id can transiently exist
+    in two runs of a list.  Per-list vec_id dedup runs BEFORE the top-k
+    partition, so queries in that window must equal the clean result
+    (duplicates may not occupy multiple k slots and evict a distinct
+    neighbor)."""
+    import glob
+    import os
+    import shutil
+
+    out = str(tmp_path / "wh")
+    ann_index_update(SF_DIR, out, run_id="r1")
+    clean = ann_index_query(SF_DIR, out).reset_index(drop=True)
+
+    run = sorted(glob.glob(os.path.join(out, "ann_index", "lists", "run-*")))[0]
+    shutil.copytree(run, run.replace("run-", "run-zdup-"))
+    dup = ann_index_query(SF_DIR, out).reset_index(drop=True)
+    assert dup.equals(clean), "duplicated vectors perturbed the top-k"
