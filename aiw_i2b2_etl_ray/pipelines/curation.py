@@ -8,12 +8,13 @@ kernels are shared polars expression builders from textops, so the fused
 gate is definitionally identical to chaining text_quality + text_langid
 but reads and decodes the ``text`` column once instead of twice and
 needs no doc_id join shuffle at all.  The duplicate drop-set (non-
-canonical members of near-dup clusters) stays a Dataset end-to-end and
-is removed with a bucketed ANTI-join on doc_id: on a duplicate-heavy
-corpus the drop-set is output-sized (billions of ids at 100 TB), so it
-must never land on the driver or broadcast — only id+signal rows
-(~24 B each) move through the one co-partitioning shuffle, and the gate
-runs BEFORE the join so already-rejected docs never shuffle at all.
+canonical members of near-dup clusters) is removed adaptively: its size
+is COUNTED first, a bounded set (<= DROP_GATHER_LIMIT id rows) takes a
+broadcast vectorized filter, and anything larger — the duplicate-heavy
+100 TB corpus where the drop-set is output-sized — stays a Dataset and
+is removed with a bucketed ANTI-join on doc_id, so an unbounded set
+never lands on the driver; either way the gate runs BEFORE the dedup
+step so already-rejected docs never shuffle at all.
 """
 
 from __future__ import annotations
@@ -27,6 +28,11 @@ from ..util import worker_runtime_env
 
 MIN_ALPHA_RATIO = 0.82
 MIN_STOPWORD_SCORE = 0.02
+#: Bounded driver hop for the duplicate drop-set: id rows only (8 B each).
+#: Below this the drop ids broadcast into a vectorized filter (no shuffle
+#: of the gated side); above it the drop-set stays a Dataset and the
+#: survivors anti-join it distributed.
+DROP_GATHER_LIMIT = 2_000_000
 
 
 from dataclasses import dataclass
@@ -72,17 +78,48 @@ def corpus_filter(sf_dir: str, spec: CurationSpec = CurationSpec()) -> rd.Datase
     if not spec.drop_duplicates:
         return gated
 
-    # non-canonical members of duplicate clusters, kept distributed: the
-    # drop-set is output-sized on a duplicate-heavy corpus, so it is
-    # removed with a bucketed anti-join (right side = key Dataset), never
-    # collected to the driver or ray.put-broadcast
+    # non-canonical members of duplicate clusters, kept as a Dataset; the
+    # drop-set is output-sized on a duplicate-heavy corpus, so the plan is
+    # adaptive (the verify_candidate_pairs discipline, dedup.py): a COUNTED,
+    # bounded id set takes the broadcast-filter fast path (ids only, capped
+    # at DROP_GATHER_LIMIT rows ~16 MB — no shuffle of the gated side);
+    # anything larger anti-joins distributed and never lands on the driver
     drop_ids = dedup_clusters(sf_dir).map_batches(
         lambda t: t.filter(pc.not_equal(t["doc_id"], t["cluster_id"])).select(
             ["doc_id"]
         ),
         batch_format="pyarrow",
         **worker_runtime_env(),
-    )
+    ).materialize()
+    n_drop = drop_ids.count()
+    if n_drop == 0:
+        return gated
+    if n_drop <= DROP_GATHER_LIMIT:
+        import numpy as np
+        import ray
+
+        arr = np.sort(
+            np.concatenate(
+                [
+                    t["doc_id"].to_numpy()
+                    for t in ray.get(drop_ids.to_arrow_refs())
+                    if len(t)
+                ]
+            )
+        )
+        drop_ref = ray.put(arr)
+
+        class Drop:
+            def __init__(self):
+                self.drop = ray.get(drop_ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                keep = ~np.isin(t["doc_id"].to_numpy(), self.drop)
+                return t.filter(pa.array(keep))
+
+        return gated.map_batches(
+            Drop, batch_format="pyarrow", concurrency=(1, 4), **worker_runtime_env()
+        )
     return bucketed_join(gated, drop_ids, on=["doc_id"], how="anti", num_buckets=8)
 
 

@@ -202,13 +202,22 @@ def mini_scaling_pair(n_events: int) -> dict:
             capture_output=True,
             text=True,
             check=True,
+            timeout=900,
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    # a failed or hung leg must degrade to a reported error, never take the
+    # headline bench down with it (the driver still needs the JSON line)
     runs: dict[int, list] = {2: [], 8: []}
+    errors: list[str] = []
     for _ in range(2):
         for ncpu in (8, 2):
-            runs[ncpu].append(run(ncpu))
+            try:
+                runs[ncpu].append(run(ncpu))
+            except Exception as ex:  # noqa: BLE001 - any leg failure is data
+                errors.append(f"ncpu={ncpu}: {type(ex).__name__}: {str(ex)[:200]}")
+    if not runs[2] or not runs[8]:
+        return {"error": "scaling legs failed", "detail": errors}
     r2 = min(runs[2], key=lambda r: r["value"])
     r8 = min(runs[8], key=lambda r: r["value"])
     return {

@@ -262,33 +262,38 @@ def test_verify_pairs_distributed_branch_matches_small_branch():
     pd.testing.assert_frame_equal(big, small)
 
 
-def test_curation_chain_has_no_driver_collection():
+def test_curation_dropset_distributed_branch(monkeypatch):
     """The duplicate drop-set is output-sized on a duplicate-heavy corpus:
-    the curation chain downstream of the (memoized) pair set must never
-    collect a Dataset onto the driver or ray.put a broadcast of it.  Warm
-    the pair memo first (its bounded small-branch hop is legitimate), then
-    ban Dataset collection for the rest of the chain; the broadcast ban is
-    a source-level check (Ray Data internals use ray.put legitimately)."""
-    import inspect
-
+    above DROP_GATHER_LIMIT the curation chain must keep it a Dataset —
+    no driver collection, no broadcast — and the anti-join plan must
+    produce the identical survivor set as the bounded broadcast plan.
+    Warm the pair memo first (its bounded small-branch hop is
+    legitimate), then force the distributed branch and ban Dataset
+    collection plus ray.put broadcasting for the rest of the chain."""
+    import numpy as np
     import ray.data as rd
 
     from aiw_i2b2_etl_ray.pipelines import curation
     from aiw_i2b2_etl_ray.pipelines import dedup as dd
     from aiw_i2b2_etl_ray.pipelines.curation import corpus_filter
 
-    assert "ray.put(" not in inspect.getsource(curation)  # call sites only
-
     sf = "/root/testdata/sf0.001"
     dd.minhash_pairs_cached(sf)  # warm the shared pair memo
+    baseline = (
+        corpus_filter(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+    monkeypatch.setattr(curation, "DROP_GATHER_LIMIT", 0)
 
     def banned(*a, **k):
         raise AssertionError("driver-side collection inside the curation chain")
 
-    saved = (rd.Dataset.to_pandas, rd.Dataset.take_all)
-    rd.Dataset.to_pandas, rd.Dataset.take_all = banned, banned
+    saved = (rd.Dataset.to_pandas, rd.Dataset.take_all, rd.Dataset.to_arrow_refs)
+    rd.Dataset.to_pandas = rd.Dataset.take_all = rd.Dataset.to_arrow_refs = banned
     try:
         out = corpus_filter(sf).materialize()
     finally:
-        rd.Dataset.to_pandas, rd.Dataset.take_all = saved
-    assert out.count() > 0
+        rd.Dataset.to_pandas, rd.Dataset.take_all, rd.Dataset.to_arrow_refs = saved
+    got = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert got.equals(baseline), "anti-join plan diverged from broadcast plan"
+    assert np.array_equal(got["doc_id"].to_numpy(), baseline["doc_id"].to_numpy())
