@@ -297,3 +297,31 @@ def test_curation_dropset_distributed_branch(monkeypatch):
     got = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert got.equals(baseline), "anti-join plan diverged from broadcast plan"
     assert np.array_equal(got["doc_id"].to_numpy(), baseline["doc_id"].to_numpy())
+
+
+def test_verify_pairs_join_fallback_matches_broadcast():
+    """Within the bounded-pair branch there are two text-attach plans:
+    broadcast searchsorted lookup (candidate texts fit
+    TEXT_BROADCAST_LIMIT) vs two bucketed hash joins.  Force the join
+    fallback and assert the verified pair set is identical."""
+    import pandas as pd
+
+    from aiw_i2b2_etl_ray.pipelines import dedup as dd
+
+    sf = "/root/testdata/sf0.001"
+
+    def pairs_df(ds):
+        return (
+            ds.to_pandas()
+            .sort_values(["doc_a", "doc_b"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+
+    broadcast = pairs_df(dd.dedup_minhash_pairs(sf))
+    orig = dd.TEXT_BROADCAST_LIMIT
+    dd.TEXT_BROADCAST_LIMIT = 0
+    try:
+        joined = pairs_df(dd.dedup_minhash_pairs(sf))
+    finally:
+        dd.TEXT_BROADCAST_LIMIT = orig
+    pd.testing.assert_frame_equal(joined, broadcast)
