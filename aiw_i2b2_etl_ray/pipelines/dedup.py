@@ -224,10 +224,15 @@ def verify_candidate_pairs(cands: rd.Dataset, docs: rd.Dataset) -> rd.Dataset:
      - small candidate set (the common case): dedup the ID pairs
        driver-side (16 B/row, bounded by PAIR_GATHER_LIMIT — texts never
        come to the driver), broadcast the needed doc-id set, and prune
-       the corpus with it BEFORE the text-fetch joins;
-     - large candidate set: distributed pair dedup, full docs side.
-    Either way the texts attach via two bucketed hash joins and the
-    verify stage runs distributed; its Dataset is the return value."""
+       the corpus with it; if the PRUNED texts fit TEXT_BROADCAST_LIMIT
+       they broadcast zero-copy and each verify task attaches them by
+       searchsorted lookup (no join shuffles), else they attach via two
+       bucketed hash joins;
+     - large candidate set: distributed pair dedup, full docs side,
+       bucketed joins.
+    The verify stage always runs distributed; its Dataset is the return
+    value.  All three plans are pytest-asserted identical
+    (tests/test_scale_behaviors.py)."""
     from ..stages.join import bucketed_join
 
     n_pairs = cands.count()
