@@ -69,21 +69,40 @@ MODIFIER_SPECS = (
 from functools import lru_cache
 
 
+def _stamp(sf_dir: str) -> tuple:
+    """Memo key including the input file's (mtime, size): an in-process
+    rewrite of events.parquet must never serve a stale materialization
+    (same keying as dedup.minhash_pairs_cached; single-session cache —
+    the blocks die with the Ray session)."""
+    import os
+
+    st = os.stat(f"{sf_dir}/events.parquet")
+    return (sf_dir, st.st_mtime_ns, st.st_size)
+
+
 @lru_cache(maxsize=4)
-def _fact_cached(sf_dir: str) -> rd.Dataset:
+def _fact_cached_key(key: tuple) -> rd.Dataset:
     return replay_table(
-        changes_from_events(sf_dir), emit="fact", num_partitions=_NP
+        changes_from_events(key[0]), emit="fact", num_partitions=_NP
     ).materialize()
 
 
+def _fact_cached(sf_dir: str) -> rd.Dataset:
+    return _fact_cached_key(_stamp(sf_dir))
+
+
 @lru_cache(maxsize=4)
-def _fact_mod_cached(sf_dir: str) -> rd.Dataset:
+def _fact_mod_cached_key(key: tuple) -> rd.Dataset:
     return replay_table(
-        changes_from_events(sf_dir),
+        changes_from_events(key[0]),
         emit="fact",
         num_partitions=_NP,
         modifier_specs=MODIFIER_SPECS,
     ).materialize()
+
+
+def _fact_mod_cached(sf_dir: str) -> rd.Dataset:
+    return _fact_mod_cached_key(_stamp(sf_dir))
 
 
 def _reduce_to_path_dim(facts: rd.Dataset) -> rd.Dataset:
@@ -112,10 +131,15 @@ def _reduce_to_path_dim(facts: rd.Dataset) -> rd.Dataset:
     return facts.groupby("repo").map_groups(to_pdim, batch_format="pyarrow")
 
 
-@lru_cache(maxsize=4)  # the materialization memo — keyed on sf_dir, NOT on
-def _path_dim_cached(sf_dir: str) -> rd.Dataset:  # the (unhashable-identity)
-    # Dataset, so every path_dim-derived query shares one executed reduce
-    return _reduce_to_path_dim(_fact_cached(sf_dir)).materialize()
+@lru_cache(maxsize=4)  # the materialization memo — keyed on the input
+def _path_dim_cached_key(key: tuple) -> rd.Dataset:  # stamp, NOT on the
+    # (unhashable-identity) Dataset, so every path_dim-derived query
+    # shares one executed reduce
+    return _reduce_to_path_dim(_fact_cached(key[0])).materialize()
+
+
+def _path_dim_cached(sf_dir: str) -> rd.Dataset:
+    return _path_dim_cached_key(_stamp(sf_dir))
 
 
 def cdc_path_dim(sf_dir: str) -> rd.Dataset:
