@@ -175,6 +175,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "dedup_embedding_ivf": dd.dedup_embedding_ivf,
                 "dedup_clusters": gc.dedup_clusters,
                 "corpus_filter": cu.corpus_filter,
+                # benchmark n-gram-overlap contamination screen (added r4,
+                # rotates into the driver window in r5 — see COVERAGE.md)
+                "decontaminate": cu.decontaminate,
                 "model_score": inf.model_score,  # batched inference actor pool
                 "ann_topk": sim.ann_topk,
                 "ann_lsh": sim.ann_lsh_topk,
@@ -466,6 +469,7 @@ def oracle_sql() -> dict[str, str]:
                 "dedup_embedding": dd.SQL_DEDUP_EMBEDDING,
                 "dedup_clusters": gc.SQL_DEDUP_CLUSTERS,
                 "corpus_filter": cu.SQL_CORPUS_FILTER,
+                "decontaminate": cu.SQL_DECONTAMINATE,
                 "model_score": inf.SQL_MODEL_SCORE,
                 # recall deterministically 1.0 at multi-assign=4 on these
                 # inputs (see IVF_DEDUP_ASSIGN note) -> exact-pairs oracle

@@ -144,6 +144,113 @@ WHERE q.alpha_ratio >= {MIN_ALPHA_RATIO}
 SQL_CORPUS_FILTER = _sql()
 
 
+#: Benchmark membership rule for the decontamination screen: doc_id %
+#: BENCH_MOD == 0 plays the held-out eval set (deterministic ~1% of the
+#: corpus at test scale; in production this is the benchmark suite).
+BENCH_MOD = 101
+#: distinct shared 3-gram shingles at or above which a doc is flagged
+DECON_MIN_HITS = 3
+
+
+def decontaminate(sf_dir: str) -> rd.Dataset:
+    """Benchmark decontamination screen: flag training docs sharing >=
+    DECON_MIN_HITS distinct word-3-gram shingles with the benchmark set —
+    the eval-contamination filter a pre-training pipeline runs before
+    mixing (the n-gram-overlap method of the public train-test-overlap
+    literature).
+
+    Physical plan (broadcast-small-side, one streaming corpus pass, NO
+    shuffle): the benchmark's shingle-hash set is built with per-block
+    unique partials and gathered bounded (the benchmark suite is
+    config-sized, not corpus-sized), broadcast sorted via ``ray.put``;
+    each corpus batch then counts per-doc distinct membership with a
+    searchsorted probe.  Hashed (xxhash64) shingles stand in for string
+    shingles exactly as in the dedup family's oracles — collision
+    probability at 64 bits is negligible at any candidate scale.
+
+    Returns (doc_id, n_hits) for flagged non-benchmark docs."""
+    import numpy as np
+    import ray
+
+    from ..functions.sketch import _batch_shingle_hashes
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def bench_partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        b = t.filter(pa.array(ids % BENCH_MOD == 0))
+        if len(b) == 0:
+            return pa.table({"h": pa.array([], pa.uint64())})
+        hashes, _ = _batch_shingle_hashes(b["text"].combine_chunks(), 3)
+        return pa.table({"h": np.unique(hashes)})
+
+    mat = docs.map_batches(
+        bench_partial, batch_format="pyarrow", **worker_runtime_env()
+    ).materialize()
+    parts = [t["h"].to_numpy() for t in ray.get(mat.to_arrow_refs()) if len(t)]
+    bench = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
+    bench_ref = ray.put(bench)  # sorted by construction (np.unique)
+
+    class Score:
+        def __init__(self):
+            self.bench = ray.get(bench_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy()
+            t = t.filter(pa.array(ids % BENCH_MOD != 0))
+            if len(t) == 0 or self.bench.size == 0:
+                return pa.table(
+                    {"doc_id": pa.array([], pa.int64()), "n_hits": pa.array([], pa.int64())}
+                )
+            hashes, offsets = _batch_shingle_hashes(t["text"].combine_chunks(), 3)
+            ids = t["doc_id"].to_numpy()
+            out_id, out_n = [], []
+            for i in range(len(t)):
+                uh = np.unique(hashes[offsets[i] : offsets[i + 1]])
+                if uh.size == 0:
+                    continue
+                pos = np.searchsorted(self.bench, uh)
+                pos[pos == self.bench.size] = 0
+                n = int((self.bench[pos] == uh).sum())
+                if n >= DECON_MIN_HITS:
+                    out_id.append(int(ids[i]))
+                    out_n.append(n)
+            return pa.table(
+                {
+                    "doc_id": pa.array(out_id, pa.int64()),
+                    "n_hits": pa.array(out_n, pa.int64()),
+                }
+            )
+
+    return docs.map_batches(
+        Score, batch_format="pyarrow", concurrency=(1, 8), **worker_runtime_env()
+    )
+
+
+SQL_DECONTAMINATE = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(tk)=0 OR (len(tk)=1 AND tk[1]='') THEN []
+         WHEN len(tk) < 3 THEN [array_to_string(tk,' ')]
+         ELSE list_transform(range(1, len(tk)-1),
+                             i -> tk[i]||' '||tk[i+1]||' '||tk[i+2])
+    END AS shingles
+  FROM toks
+),
+u AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+bench AS (SELECT DISTINCT s FROM u WHERE doc_id % {BENCH_MOD} = 0)
+SELECT u.doc_id, CAST(COUNT(DISTINCT u.s) AS BIGINT) AS n_hits
+FROM u JOIN bench b ON b.s = u.s
+WHERE u.doc_id % {BENCH_MOD} <> 0
+GROUP BY u.doc_id
+HAVING COUNT(DISTINCT u.s) >= {DECON_MIN_HITS}
+"""
+
+
 def corpus_build(
     sf_dir: str, out_dir: str, *, spec: CurationSpec = CurationSpec(), capacity: int | None = None
 ) -> dict:

@@ -304,6 +304,7 @@ def scaling() -> None:
             capture_output=True,
             text=True,
             check=True,
+            timeout=3000,
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
@@ -323,7 +324,19 @@ def scaling() -> None:
     for i in range(2):
         for ncpu in (32, 8, 2):
             if i < reps[ncpu]:
-                runs[ncpu].append(run(ncpu))
+                try:
+                    runs[ncpu].append(run(ncpu))
+                except Exception as ex:  # noqa: BLE001 - report, don't die
+                    print(
+                        json.dumps(
+                            {"scaling_leg_error": f"ncpu={ncpu}", "detail": str(ex)[:200]}
+                        ),
+                        file=sys.stderr,
+                    )
+    if not (runs[2] and runs[8] and runs[32]):
+        print(json.dumps({"metric": "scaling_efficiency", "value": None,
+                          "unit": "ratio", "error": "one or more legs failed"}))
+        return
     r2, r8, r32 = (
         min(runs[n], key=lambda r: r["value"]) for n in (2, 8, 32)
     )
