@@ -188,6 +188,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "text_quality": tx.text_quality,
                 "text_langid": tx.text_langid,
                 "text_fingerprint": tx.text_fingerprint,
+                # intra-doc duplicate-ngram quality rule (added r4,
+                # rotates into the driver window in r5)
+                "text_repetition": tx.text_repetition,
                 "text_scrub": tx.text_scrub,
                 "vocab_topk": tx.vocab_topk,
                 # exact heavy hitters without a full-domain shuffle
@@ -484,6 +487,7 @@ def oracle_sql() -> dict[str, str]:
                 "text_quality": tx.SQL_TEXT_QUALITY,
                 "text_langid": tx.SQL_TEXT_LANGID,
                 "text_fingerprint": tx.SQL_TEXT_FINGERPRINT,
+                "text_repetition": tx.SQL_TEXT_REPETITION,
                 "text_scrub": tx.SQL_TEXT_SCRUB,
                 "vocab_topk": tx.SQL_VOCAB_TOPK,
                 "heavy_hitter_tokens": tx.SQL_HEAVY_HITTERS,

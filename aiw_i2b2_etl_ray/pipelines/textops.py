@@ -213,6 +213,65 @@ FROM documents d LEFT JOIN best USING (doc_id)
 SQL_TEXT_LANGID = _langid_sql()
 
 
+def text_repetition(sf_dir: str) -> rd.Dataset:
+    """Intra-document repetition ratio — the duplicate-n-gram quality
+    rule of the public pretraining-corpus filters (C4/Gopher style): per
+    doc, 1 - distinct_3grams/total_3grams.  High values mean boilerplate
+    or degenerate repetition and get dropped before training.
+
+    Fully vectorized per batch: one flat hashed-shingle pass (shared
+    sketch kernel), then a single lexsort over (doc, hash) and a
+    boundary bincount yields every doc's distinct count — no per-doc
+    np.unique loop.  Hashed shingles stand in for string shingles as in
+    the dedup-family oracles (64-bit collision odds negligible)."""
+    from ..functions.sketch import _batch_shingle_hashes
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def rep(t: pa.Table) -> pa.Table:
+        hashes, offsets = _batch_shingle_hashes(t["text"].combine_chunks(), 3)
+        counts = np.diff(offsets)
+        di = np.repeat(np.arange(len(t)), counts)
+        order = np.lexsort((hashes, di))
+        h_s, d_s = hashes[order], di[order]
+        new = np.ones(len(h_s), dtype=bool)
+        new[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+        distinct = np.bincount(d_s[new], minlength=len(t))
+        keep = counts > 0
+        ratio = 1.0 - distinct[keep] / counts[keep]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].to_numpy()[keep],
+                "n_ngrams": pa.array(counts[keep].astype(np.int64)),
+                "dup_ratio": pa.array(round_half_away(ratio, 4)),
+            }
+        )
+
+    return ds.map_batches(rep, batch_format="pyarrow", **worker_runtime_env())
+
+
+SQL_TEXT_REPETITION = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(tk)=0 OR (len(tk)=1 AND tk[1]='') THEN []
+         WHEN len(tk) < 3 THEN [array_to_string(tk,' ')]
+         ELSE list_transform(range(1, len(tk)-1),
+                             i -> tk[i]||' '||tk[i+1]||' '||tk[i+2])
+    END AS shingles
+  FROM toks
+)
+SELECT doc_id,
+       CAST(len(shingles) AS BIGINT) AS n_ngrams,
+       ROUND(1.0 - CAST(len(list_distinct(shingles)) AS DOUBLE)/len(shingles), 4)
+         AS dup_ratio
+FROM sh WHERE len(shingles) > 0
+"""
+
+
 def text_fingerprint(sf_dir: str) -> rd.Dataset:
     """Document fingerprint: md5 of alnum-normalized text (content identity
     modulo formatting/case) — SQL-comparable."""
