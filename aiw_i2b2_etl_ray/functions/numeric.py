@@ -8,6 +8,7 @@ against a SQL oracle must round the DuckDB way, via these helpers.
 from __future__ import annotations
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.compute as pc
 
 
@@ -24,8 +25,21 @@ def round_half_away(x, nd: int = 4):
 
 
 def round_half_away_pc(col, nd: int = 4):
-    """Same, for Arrow arrays (vectorized pyarrow.compute)."""
-    return pc.round(col, ndigits=nd, round_mode="half_towards_infinity")
+    """Same, for Arrow arrays (vectorized pyarrow.compute).
+
+    NOT ``pc.round``: Arrow's round passes a value that sits one ULP
+    above an exactly-representable-at-nd-decimals double through
+    UNCHANGED (e.g. round(127084565.24000001, 2) -> 127084565.24000001),
+    while DuckDB's scale-then-true-divide returns the canonical nearest
+    double (127084565.24).  Sums of floats land on such neighbors
+    depending on block combination order, so the pc.round path made
+    every ROUND(SUM(..)) oracle hash FLAKY.  floor(|x|*f + 0.5)/f with a
+    true IEEE division is canonical: the correctly-rounded quotient IS
+    the nearest double to the decimal value, bit-identical to DuckDB."""
+    f = 10.0**nd
+    x = pc.cast(col, pa.float64())
+    mag = pc.divide(pc.floor(pc.add(pc.multiply(pc.abs(x), f), 0.5)), f)
+    return pc.multiply(pc.cast(pc.sign(x), pa.float64()), mag)
 
 
 def round_half_away_pl(expr, nd: int = 4):

@@ -130,3 +130,27 @@ def test_round_half_away():
     assert round_half_away_pc(pa.array([4.28125]), 4).to_pylist()[0] == pytest.approx(
         4.2813
     )
+
+
+def test_round_half_away_pc_is_canonical():
+    """pc.round passes a value one ULP above an exactly-2-decimal double
+    through unchanged, which made every ROUND(SUM(..)) oracle hash flaky
+    (sums land on ULP neighbors depending on block combination order).
+    The engine kernel must return the canonical nearest double, matching
+    DuckDB's scale-then-true-divide, for BOTH neighbors of the decimal."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    from aiw_i2b2_etl_ray.functions.numeric import round_half_away_pc
+
+    canonical = 127084565.24
+    up = np.nextafter(canonical, np.inf)
+    vals = [canonical, up, 190043171.82500002, 0.82505, -2.345, 0.0]
+    got = round_half_away_pc(pa.array(vals), 2).to_pylist()
+    want = [
+        duckdb.sql(f"SELECT ROUND({v!r}::DOUBLE, 2)").fetchone()[0] for v in vals
+    ]
+    assert got == want, (got, want)
+    # bit-identical, not just ==: the driver compare hashes str() forms
+    assert [repr(g) for g in got] == [repr(w) for w in want]
