@@ -208,13 +208,14 @@ def mini_scaling_pair(n_events: int) -> dict:
 
     # a failed or hung leg must degrade to a reported error, never take the
     # headline bench down with it (the driver still needs the JSON line).
-    # The 8-CPU leg gets a third rep: ambient load hits the wider leg
-    # disproportionately (more slots contending), and one loaded window
-    # on it is what drags the measured ratio below the true efficiency.
-    reps = {8: 3, 2: 2}
+    # The 8-CPU leg gets two reps (ambient load hits the wider leg
+    # disproportionately — more slots contending); the slow 2-CPU leg gets
+    # one to bound the bench's total wall time, and ALL raw leg times are
+    # reported so a loaded window is visible in the record.
+    reps = {8: 2, 2: 1}
     runs: dict[int, list] = {2: [], 8: []}
     errors: list[str] = []
-    for i in range(3):
+    for i in range(2):
         for ncpu in (8, 2):
             if i >= reps[ncpu]:
                 continue
@@ -234,6 +235,7 @@ def mini_scaling_pair(n_events: int) -> dict:
         "sec_hi": r8["value"],
         "events_per_sec_lo": r2["events_per_sec"],
         "events_per_sec_hi": r8["events_per_sec"],
+        "legs_sec": {str(n): [r["value"] for r in runs[n]] for n in (2, 8)},
     }
 
 
