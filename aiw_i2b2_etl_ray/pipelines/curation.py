@@ -202,23 +202,27 @@ def decontaminate(sf_dir: str) -> rd.Dataset:
                 return pa.table(
                     {"doc_id": pa.array([], pa.int64()), "n_hits": pa.array([], pa.int64())}
                 )
+            # fully vectorized per batch: membership probe over the flat
+            # shingle stream, then per-doc DISTINCT hit counts via one
+            # lexsort + boundary bincount (no per-doc unique loop — the
+            # same segment trick as textops.text_repetition)
             hashes, offsets = _batch_shingle_hashes(t["text"].combine_chunks(), 3)
             ids = t["doc_id"].to_numpy()
-            out_id, out_n = [], []
-            for i in range(len(t)):
-                uh = np.unique(hashes[offsets[i] : offsets[i + 1]])
-                if uh.size == 0:
-                    continue
-                pos = np.searchsorted(self.bench, uh)
-                pos[pos == self.bench.size] = 0
-                n = int((self.bench[pos] == uh).sum())
-                if n >= DECON_MIN_HITS:
-                    out_id.append(int(ids[i]))
-                    out_n.append(n)
+            di = np.repeat(np.arange(len(t)), np.diff(offsets))
+            pos = np.searchsorted(self.bench, hashes)
+            pos[pos == self.bench.size] = 0
+            hit = self.bench[pos] == hashes
+            dh, hh = di[hit], hashes[hit]
+            order = np.lexsort((hh, dh))
+            d_s, h_s = dh[order], hh[order]
+            new = np.ones(len(d_s), dtype=bool)
+            new[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+            n_hits = np.bincount(d_s[new], minlength=len(t))
+            keep = n_hits >= DECON_MIN_HITS
             return pa.table(
                 {
-                    "doc_id": pa.array(out_id, pa.int64()),
-                    "n_hits": pa.array(out_n, pa.int64()),
+                    "doc_id": pa.array(ids[keep], pa.int64()),
+                    "n_hits": pa.array(n_hits[keep].astype(np.int64)),
                 }
             )
 
