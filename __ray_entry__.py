@@ -174,6 +174,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "dedup_embedding": dd.dedup_embedding,
                 "dedup_embedding_ivf": dd.dedup_embedding_ivf,
                 "dedup_clusters": gc.dedup_clusters,
+                # cross-source near-dup matrix (added r4, rotates into the
+                # driver window in r5)
+                "source_overlap": gc.source_overlap,
                 "corpus_filter": cu.corpus_filter,
                 # benchmark n-gram-overlap contamination screen (added r4,
                 # rotates into the driver window in r5 — see COVERAGE.md)
@@ -471,6 +474,7 @@ def oracle_sql() -> dict[str, str]:
                 "dedup_exact": dd.SQL_DEDUP_EXACT,
                 "dedup_embedding": dd.SQL_DEDUP_EMBEDDING,
                 "dedup_clusters": gc.SQL_DEDUP_CLUSTERS,
+                "source_overlap": gc.SQL_SOURCE_OVERLAP,
                 "corpus_filter": cu.SQL_CORPUS_FILTER,
                 "decontaminate": cu.SQL_DECONTAMINATE,
                 "model_score": inf.SQL_MODEL_SCORE,

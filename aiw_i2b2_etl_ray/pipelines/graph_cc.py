@@ -141,10 +141,79 @@ def dedup_clusters(sf_dir: str) -> rd.Dataset:
     return connected_components(edges)
 
 
+def source_overlap(sf_dir: str) -> rd.Dataset:
+    """Cross-source near-duplication matrix: for every (source_a,
+    source_b) pair, how many verified near-dup pairs connect a doc of
+    one to a doc of the other — the dataset-analysis report that tells
+    a corpus builder which feeds duplicate each other (and themselves)
+    before choosing mixing weights.
+
+    Physical plan: the (memoized) verified pair set stays a Dataset; the
+    doc->source attribute attaches via TWO bucketed hash joins (the
+    corpus-sized side is never broadcast — at 100 TB doc->source is
+    billions of rows), then a per-batch combiner + tiny keyed rollup.
+    Sources are emitted unordered-pair-normalized (a <= b) so the matrix
+    is triangular and join order cannot split a cell."""
+    import polars as pl
+    from ray.data.aggregate import Sum
+
+    from ..stages.join import bucketed_join
+    from .dedup import minhash_pairs_cached
+
+    pairs = minhash_pairs_cached(sf_dir).select_columns(["doc_a", "doc_b"])
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    src_a = docs.map_batches(
+        lambda t: pa.table({"doc_a": t["doc_id"], "source_a": t["source"]}),
+        batch_format="pyarrow",
+        **worker_runtime_env(),
+    )
+    src_b = docs.map_batches(
+        lambda t: pa.table({"doc_b": t["doc_id"], "source_b": t["source"]}),
+        batch_format="pyarrow",
+        **worker_runtime_env(),
+    )
+    both = bucketed_join(
+        bucketed_join(pairs, src_a, on=["doc_a"], num_buckets=8),
+        src_b,
+        on=["doc_b"],
+        num_buckets=8,
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .select(
+                pl.min_horizontal("source_a", "source_b").alias("source_lo"),
+                pl.max_horizontal("source_a", "source_b").alias("source_hi"),
+            )
+            .group_by(["source_lo", "source_hi"])
+            .agg(pl.len().cast(pl.Int64).alias("pn"))
+            .to_arrow()
+        )
+
+    return (
+        both.map_batches(partial, batch_format="pyarrow", **worker_runtime_env())
+        .groupby(["source_lo", "source_hi"])
+        .aggregate(Sum("pn", alias_name="n_pairs"))
+    )
+
+
 def _pairs_cte() -> str:
     from .dedup import SQL_DEDUP_MINHASH
 
     return SQL_DEDUP_MINHASH
+
+
+SQL_SOURCE_OVERLAP = f"""
+WITH pairs AS ({_pairs_cte()})
+SELECT least(da.source, db.source)    AS source_lo,
+       greatest(da.source, db.source) AS source_hi,
+       CAST(COUNT(*) AS BIGINT)       AS n_pairs
+FROM pairs p
+JOIN documents da ON da.doc_id = p.doc_a
+JOIN documents db ON db.doc_id = p.doc_b
+GROUP BY 1, 2
+"""
 
 
 SQL_DEDUP_CLUSTERS = f"""
