@@ -100,6 +100,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "tpch_q5": tq.tpch_q5,  # 6-table local-supplier volume
             "tpch_q17": tq.tpch_q17,  # correlated scalar subquery (broadcast)
             "tpch_q18": tq.tpch_q18,  # HAVING semi-join report
+            # r4 additions (rotate into the driver window in r5):
+            "tpch_q6": tq.tpch_q6,  # predicate-box scan + conditional sum
+            "tpch_q12": tq.tpch_q12,  # join + conditional counts
+            "tpch_q14": tq.tpch_q14,  # promo revenue share (broadcast dim)
             "cheapest_supplier": tq.cheapest_supplier_per_part,  # group-wise argmin
             "asof_join": tj.asof_join_events_orders,  # as-of (latest-prior) join
             "range_join": tj.range_join_orders_shipments,  # interval join, no equi-key
@@ -409,6 +413,9 @@ def oracle_sql() -> dict[str, str]:
             "tpch_q5": tq.SQL_TPCH_Q5,
             "tpch_q17": tq.SQL_TPCH_Q17,
             "tpch_q18": tq.SQL_TPCH_Q18,
+            "tpch_q6": tq.SQL_TPCH_Q6,
+            "tpch_q12": tq.SQL_TPCH_Q12,
+            "tpch_q14": tq.SQL_TPCH_Q14,
             "cheapest_supplier": tq.SQL_CHEAPEST_SUPPLIER,
             "asof_join": tj.SQL_ASOF_JOIN,
             "range_join": tj.SQL_RANGE_JOIN,

@@ -433,3 +433,201 @@ SELECT l_partkey, l_suppkey, ROUND(avg_price, 2) AS avg_price FROM (
   FROM lineitem GROUP BY l_partkey, l_suppkey
 ) WHERE rn = 1
 """
+
+
+# --- Q6 / Q12 / Q14 shapes: conditional aggregation ------------------------
+
+Q6_DATE_LO, Q6_DATE_HI = "1996-01-01", "1997-01-01"
+Q6_DISC_LO, Q6_DISC_HI = 0.03, 0.07
+Q6_QTY = 24.0
+
+
+def tpch_q6(sf_dir: str) -> rd.Dataset:
+    """Q6 shape (forecast revenue change): SUM(extendedprice * discount)
+    over a predicate box — the purest scan-dominated query.  Every
+    predicate pushes into the parquet scan (row groups outside the
+    shipdate/discount/quantity box never leave storage) and only the two
+    needed columns are read; the sum folds combiner-first."""
+    import datetime
+
+    import pyarrow.dataset as pads
+
+    lo = datetime.datetime.fromisoformat(Q6_DATE_LO)
+    hi = datetime.datetime.fromisoformat(Q6_DATE_HI)
+    flt = (
+        (pads.field("l_shipdate") >= lo)
+        & (pads.field("l_shipdate") < hi)
+        & (pads.field("l_discount") >= Q6_DISC_LO)
+        & (pads.field("l_discount") <= Q6_DISC_HI)
+        & (pads.field("l_quantity") < Q6_QTY)
+    )
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount"],
+        filter=flt,
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = pa.compute.sum(
+            pa.compute.multiply(t["l_extendedprice"], t["l_discount"])
+        ).as_py()
+        return pa.table({"pr": pa.array([rev or 0.0], pa.float64())})
+
+    folded = line.map_batches(
+        partial, batch_format="pyarrow", **worker_runtime_env()
+    ).aggregate(Sum("pr", alias_name="revenue"))
+    import pandas as pd
+
+    rev = round_half_away_pc(pa.array([folded["revenue"] or 0.0]), 2)[0].as_py()
+    return pd.DataFrame({"revenue": [rev]})
+
+
+SQL_TPCH_Q6 = f"""
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{Q6_DATE_LO}'
+  AND l_shipdate <  TIMESTAMP '{Q6_DATE_HI}'
+  AND l_discount BETWEEN {Q6_DISC_LO} AND {Q6_DISC_HI}
+  AND l_quantity < {Q6_QTY}
+"""
+
+
+Q12_DATE_LO, Q12_DATE_HI = "1996-01-01", "1997-01-01"
+Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+
+def tpch_q12(sf_dir: str) -> rd.Dataset:
+    """Q12 shape (shipping-priority audit): per return flag, how many
+    joined lineitems belong to high- vs low-priority orders inside a
+    shipdate window.  One bucketed co-shuffle on orderkey (both sides
+    large), then a conditional-count combiner and a tiny keyed fold."""
+    import datetime
+
+    import pyarrow.dataset as pads
+
+    lo = datetime.datetime.fromisoformat(Q12_DATE_LO)
+    hi = datetime.datetime.fromisoformat(Q12_DATE_HI)
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag"],
+        filter=(pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi),
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    ).map_batches(
+        lambda t: pa.table(
+            {"l_orderkey": t["o_orderkey"], "o_orderpriority": t["o_orderpriority"]}
+        ),
+        batch_format="pyarrow",
+    )
+    joined = bucketed_join(line, orders, on=["l_orderkey"], num_buckets=16)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .group_by("l_returnflag")
+            .agg(
+                pl.col("o_orderpriority")
+                .is_in(list(Q12_HIGH))
+                .sum()
+                .cast(pl.Int64)
+                .alias("ph"),
+                (~pl.col("o_orderpriority").is_in(list(Q12_HIGH)))
+                .sum()
+                .cast(pl.Int64)
+                .alias("pl"),
+            )
+            .to_arrow()
+        )
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow", **worker_runtime_env())
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("ph", alias_name="high_line_count"),
+            Sum("pl", alias_name="low_line_count"),
+        )
+    )
+
+
+SQL_TPCH_Q12 = f"""
+SELECT l.l_returnflag,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN {Q12_HIGH} THEN 1 ELSE 0 END) AS BIGINT)
+         AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN {Q12_HIGH} THEN 1 ELSE 0 END) AS BIGINT)
+         AS low_line_count
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '{Q12_DATE_LO}'
+  AND l.l_shipdate <  TIMESTAMP '{Q12_DATE_HI}'
+GROUP BY l.l_returnflag
+"""
+
+
+Q14_DATE_LO, Q14_DATE_HI = "1996-01-01", "1996-04-01"
+Q14_PROMO_TYPE = "PROMO"
+
+
+def tpch_q14(sf_dir: str) -> rd.Dataset:
+    """Q14 shape (promotion effect): percent of windowed revenue from
+    promo-type parts.  The part table is dimension-small -> its
+    partkey->is_promo map broadcasts once; the corpus-side pass emits two
+    floats per batch (promo and total revenue partials) and the ratio is
+    a driver-side scalar."""
+    import datetime
+
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    part = pl.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+    promo = set(
+        part.filter(pl.col("p_type") == Q14_PROMO_TYPE)["p_partkey"].to_list()
+    )
+    promo_ref = ray.put(np.sort(np.array(sorted(promo), dtype=np.int64)))
+
+    lo = datetime.datetime.fromisoformat(Q14_DATE_LO)
+    hi = datetime.datetime.fromisoformat(Q14_DATE_HI)
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+        filter=(pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi),
+    )
+
+    class Partial:
+        def __init__(self):
+            self.promo = ray.get(promo_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            rev = (
+                t["l_extendedprice"].to_numpy() * (1.0 - t["l_discount"].to_numpy())
+            )
+            is_promo = np.isin(t["l_partkey"].to_numpy(), self.promo)
+            return pa.table(
+                {
+                    "pp": pa.array([float(rev[is_promo].sum())], pa.float64()),
+                    "pt": pa.array([float(rev.sum())], pa.float64()),
+                }
+            )
+
+    folded = (
+        line.map_batches(Partial, batch_format="pyarrow", concurrency=(1, 4), **worker_runtime_env())
+        .aggregate(Sum("pp", alias_name="promo"), Sum("pt", alias_name="total"))
+    )
+    import pandas as pd
+
+    from ..functions.numeric import round_half_away
+
+    pct = 100.0 * folded["promo"] / folded["total"] if folded["total"] else 0.0
+    return pd.DataFrame({"promo_pct": [float(round_half_away(np.array([pct]), 4)[0])]})
+
+
+SQL_TPCH_Q14 = f"""
+SELECT ROUND(
+  100.0 * SUM(CASE WHEN p.p_type = '{Q14_PROMO_TYPE}'
+                   THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+        / SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '{Q14_DATE_LO}'
+  AND l.l_shipdate <  TIMESTAMP '{Q14_DATE_HI}'
+"""
