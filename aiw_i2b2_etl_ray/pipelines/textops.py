@@ -588,14 +588,23 @@ def heavy_hitter_tokens(sf_dir: str) -> rd.Dataset:
         .groupby("tok")
         .aggregate(Sum("pn", alias_name="est"))
         .map_batches(
-            lambda t: t.filter(pc.greater_equal(t["est"], cand_thr)),
+            # Ray's sort-based groupby can emit a SCHEMA-LESS empty block
+            # when a reduce partition receives no rows (layout-dependent:
+            # seen only at num_cpus=32 in CORRECTNESS_r04) — guard before
+            # indexing columns, like every other driver fold in the repo.
+            lambda t: t.filter(pc.greater_equal(t["est"], cand_thr))
+            if len(t) and "est" in t.schema.names
+            else pa.table(
+                {"tok": pa.array([], pa.string()), "est": pa.array([], pa.int64())}
+            ),
             batch_format="pyarrow",
         )
     )
     # bounded by 1/(PHI - 1/CAP) rows — safe driver fold + broadcast
     cand_tokens = set()
     for t in ray.get(cand.materialize().to_arrow_refs()):
-        cand_tokens.update(t["tok"].to_pylist())
+        if len(t) and "tok" in t.schema.names:
+            cand_tokens.update(t["tok"].to_pylist())
     cand_ref = ray.put(cand_tokens)
 
     class ExactCounter:
@@ -633,9 +642,14 @@ def heavy_hitter_tokens(sf_dir: str) -> rd.Dataset:
         exact_partials.groupby("tok")
         .aggregate(Sum("pn", alias_name="n"))
         .map_batches(
+            # same schema-less-empty-reduce-block guard as the candidate fold
             lambda t: pa.table(
                 {"token": t["tok"], "n": t["n"].cast(pa.int64())}
-            ).filter(pc.greater_equal(t["n"].cast(pa.float64()), exact_thr)),
+            ).filter(pc.greater_equal(t["n"].cast(pa.float64()), exact_thr))
+            if len(t) and "tok" in t.schema.names
+            else pa.table(
+                {"token": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            ),
             batch_format="pyarrow",
         )
     )

@@ -175,3 +175,37 @@ def test_heavy_hitters_exact_with_adversarial_spread(tmp_path):
     want = {tok: c for tok, c in counts.items() if c >= HH_PHI * n_total}
     assert got == want
     assert "spreadtok" in got and got["spreadtok"] == 2000
+
+
+def test_heavy_hitters_tolerates_empty_reduce_blocks(tmp_path):
+    """CORRECTNESS_r04 regression: Ray's sort-based groupby emits
+    SCHEMA-LESS empty blocks when a reduce partition receives no rows
+    (layout-dependent — surfaced only at the driver's num_cpus=32 run).
+    A tiny token domain spread over many input blocks forces most reduce
+    partitions empty; the candidate fold and final filter must skip
+    blocks without the expected columns instead of KeyError-ing."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aiw_i2b2_etl_ray.pipelines.textops import heavy_hitter_tokens
+
+    # 2 distinct tokens, 1000 docs, many row groups => many shuffle
+    # partitions with only 2 non-empty reduce outputs.
+    docs = ["alpha beta"] * 1000
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+            "lang": pa.array(["en"] * len(docs)),
+            "source": pa.array(["synth"] * len(docs)),
+            "n_chars": pa.array([len(d) for d in docs], pa.int64()),
+        }
+    )
+    d = str(tmp_path / "hh_empty")
+    os.makedirs(d)
+    pq.write_table(t, os.path.join(d, "documents.parquet"), row_group_size=25)
+
+    got = heavy_hitter_tokens(d).to_pandas().set_index("token")["n"].to_dict()
+    assert got == {"alpha": 1000, "beta": 1000}
