@@ -213,24 +213,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
     except ImportError:
         pass
     # Driver-window ordering: the correctness gate checks only the FIRST 50
-    # entries in dict order.  Rounds 1-3 left 43 catalog queries (the entire
-    # LLM-training-data family plus the r03-displaced window functions) with
-    # no driver row because the flagship-first ordering kept them past slot
-    # 50.  Slots 1-50 now carry: two CDC sentinels, every never-driver-green
-    # query, and the ontology queries whose schema widened this round; all
-    # rotated-out queries remain in the dict (and stay green in the local
-    # oracle harness, tests/test_queries_vs_duckdb.py — same compare).
+    # entries in dict order.  Round-5 rotation (VERDICT r04 item #2): the six
+    # queries that have never had a driver row (tpch_q6/q12/q14,
+    # source_overlap, decontaminate, text_repetition) swap in for six
+    # window-function stalwarts that went driver-green in r04; the CDC
+    # sentinels and heavy_hitter_tokens (r04's one red row, fixed this
+    # round) keep their slots.  All rotated-out queries remain in the dict
+    # (and stay green in the local oracle harness,
+    # tests/test_queries_vs_duckdb.py — same compare).
     window = [
         # CDC sentinels (flagship must keep a driver row)
         "cdc_path_dim",
         "cdc_change_fact",
-        # never driver-green: r03-displaced + never-windowed window funcs
-        "users_per_type",
-        "value_quantiles",
-        "pivot_event_counts",
-        "unpivot_lineitem",
-        "event_gaps",
-        "json_extract_props",
+        # never driver-verified (r4-late additions) — rotate in per VERDICT
+        "tpch_q6",
+        "tpch_q12",
+        "tpch_q14",
+        "source_overlap",
+        "decontaminate",
+        "text_repetition",
+        # r04-green window funcs retained for a second row
         "global_rank",
         "funnel_conversion",
         "retention_cohorts",

@@ -150,6 +150,13 @@ SQL_CORPUS_FILTER = _sql()
 BENCH_MOD = 101
 #: distinct shared 3-gram shingles at or above which a doc is flagged
 DECON_MIN_HITS = 3
+#: Bounded driver hop for the benchmark shingle-hash set (8 B rows).  The
+#: benchmark is usually config-sized, but the membership RULE here makes
+#: it corpus-proportional (~1%), so the gather is counted first — at or
+#: below this many per-block-unique partial rows the set broadcasts into
+#: the searchsorted probe; above it the screen switches to a distributed
+#: semi-join + groupby plan and nothing lands on the driver.
+BENCH_GATHER_LIMIT = 2_000_000
 
 
 def decontaminate(sf_dir: str) -> rd.Dataset:
@@ -159,12 +166,18 @@ def decontaminate(sf_dir: str) -> rd.Dataset:
     mixing (the n-gram-overlap method of the public train-test-overlap
     literature).
 
-    Physical plan (broadcast-small-side, one streaming corpus pass, NO
-    shuffle): the benchmark's shingle-hash set is built with per-block
-    unique partials and gathered bounded (the benchmark suite is
-    config-sized, not corpus-sized), broadcast sorted via ``ray.put``;
-    each corpus batch then counts per-doc distinct membership with a
-    searchsorted probe.  Hashed (xxhash64) shingles stand in for string
+    Physical plan — adaptive, the corpus_filter drop-set discipline: the
+    benchmark's shingle-hash set is built with per-block unique partials
+    and its row count CHECKED first.  At or below ``BENCH_GATHER_LIMIT``
+    (a config-sized benchmark — the common case) the set gathers bounded,
+    broadcasts sorted via ``ray.put``, and each corpus batch counts
+    per-doc distinct membership with a searchsorted probe: one streaming
+    pass, NO shuffle.  Above the cap (a corpus-proportional "benchmark",
+    as the doc_id % BENCH_MOD rule here makes it at extreme scale) the
+    per-doc distinct (doc_id, shingle-hash) pairs SEMI-join the partials
+    distributed (``bucketed_join(how="semi")`` dedups right keys
+    in-bucket) and a groupby counts hits — nothing corpus-sized ever
+    lands on the driver.  Hashed (xxhash64) shingles stand in for string
     shingles exactly as in the dedup family's oracles — collision
     probability at 64 bits is negligible at any candidate scale.
 
@@ -187,6 +200,10 @@ def decontaminate(sf_dir: str) -> rd.Dataset:
     mat = docs.map_batches(
         bench_partial, batch_format="pyarrow", **worker_runtime_env()
     ).materialize()
+    # partial-row count bounds the global unique count from above, so the
+    # gather decision never needs its own dedup shuffle
+    if mat.count() > BENCH_GATHER_LIMIT:
+        return _decontaminate_distributed(docs, mat)
     parts = [t["h"].to_numpy() for t in ray.get(mat.to_arrow_refs()) if len(t)]
     bench = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
     bench_ref = ray.put(bench)  # sorted by construction (np.unique)
@@ -228,6 +245,72 @@ def decontaminate(sf_dir: str) -> rd.Dataset:
 
     return docs.map_batches(
         Score, batch_format="pyarrow", concurrency=(1, 8), **worker_runtime_env()
+    )
+
+
+def _decontaminate_distributed(docs: rd.Dataset, bench_partials: rd.Dataset) -> rd.Dataset:
+    """Scale arm of :func:`decontaminate` — the benchmark shingle set is
+    too large to broadcast, so it stays a Dataset: per-doc distinct
+    (doc_id, shingle-hash) pairs SEMI-join it (right keys dedup in-bucket)
+    and per-batch partial counts Sum per doc.  Each (doc_id, h) pair is
+    globally unique (docs never split across batches, pairs dedup
+    in-batch), so the summed partials ARE the distinct hit counts."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.sketch import _batch_shingle_hashes
+    from ..stages.join import bucketed_join
+
+    empty_pairs = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "h": pa.array([], pa.uint64())}
+    )
+
+    def pair_emit(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        t = t.filter(pa.array(ids % BENCH_MOD != 0))
+        if len(t) == 0:
+            return empty_pairs
+        hashes, offsets = _batch_shingle_hashes(t["text"].combine_chunks(), 3)
+        ids = t["doc_id"].to_numpy()
+        di = np.repeat(np.arange(len(t)), np.diff(offsets))
+        order = np.lexsort((hashes, di))
+        d_s, h_s = di[order], hashes[order]
+        new = np.ones(len(d_s), dtype=bool)
+        new[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[d_s[new]], pa.int64()),
+                "h": pa.array(h_s[new], pa.uint64()),
+            }
+        )
+
+    pairs = docs.map_batches(pair_emit, batch_format="pyarrow", **worker_runtime_env())
+    hits = bucketed_join(pairs, bench_partials, on=["h"], how="semi", num_buckets=32)
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t.select(["doc_id"]))
+            .group_by("doc_id")
+            .agg(pl.len().cast(pl.Int64).alias("pn"))
+            .to_arrow()
+        )
+
+    return (
+        hits.map_batches(count_partial, batch_format="pyarrow", **worker_runtime_env())
+        .groupby("doc_id")
+        .aggregate(Sum("pn", alias_name="n_hits"))
+        .map_batches(
+            # guard: sort-based groupby can emit schema-less empty blocks
+            lambda t: pa.table(
+                {"doc_id": t["doc_id"], "n_hits": t["n_hits"].cast(pa.int64())}
+            ).filter(pc.greater_equal(t["n_hits"], DECON_MIN_HITS))
+            if len(t) and "doc_id" in t.schema.names
+            else pa.table(
+                {"doc_id": pa.array([], pa.int64()), "n_hits": pa.array([], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
     )
 
 

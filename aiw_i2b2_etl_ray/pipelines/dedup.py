@@ -85,25 +85,38 @@ def _spread(ds: rd.Dataset, min_rows_per_block: int = 64) -> rd.Dataset:
     return ds.repartition(target) if target > 1 and n < 1_000_000 else ds
 
 
-def band_rows(t: pa.Table) -> pa.Table:
+def band_rows(t: pa.Table, *, with_digest: bool = False) -> pa.Table:
     """MinHash-sign one batch of ``(doc_id, text)`` and explode to
     ``(band_id, band_key, doc_id)`` rows — the 24 B/row unit that enters
     every LSH band shuffle AND the persistent dedup index
     (pipelines/dedup_index.py).  Empty-shingle docs are excluded (their
-    signature is the sentinel; matching "nothing" is meaningless)."""
+    signature is the sentinel; matching "nothing" is meaningless).
+
+    ``with_digest`` adds a ``dig`` column (vectorized xxhash64 of the raw
+    text) so degenerate band buckets can collapse exact duplicates before
+    pair expansion (see ``BAND_BUCKET_CAP``) — 8 B/row on top of the 24."""
     sigs = sketch.minhash_signatures(t["text"], num_perm=MINHASH_PERMS)
     nonempty = sigs[:, 0] != sketch._MAXH
     sigs = sigs[nonempty]
     ids = t["doc_id"].to_numpy()[nonempty]
     bands = sketch.lsh_bands(sigs, bands=MINHASH_BANDS)  # (n, B)
     n, B = bands.shape
-    return pa.table(
-        {
-            "band_id": pa.array(np.repeat(np.arange(B, dtype=np.int32), n)),
-            "band_key": pa.array(bands.T.reshape(-1).astype(np.int64)),
-            "doc_id": pa.array(np.tile(ids, B)),
-        }
-    )
+    cols = {
+        "band_id": pa.array(np.repeat(np.arange(B, dtype=np.int32), n)),
+        "band_key": pa.array(bands.T.reshape(-1).astype(np.int64)),
+        "doc_id": pa.array(np.tile(ids, B)),
+    }
+    if with_digest:
+        import polars as pl
+
+        dig = (
+            pl.from_arrow(t.select(["text"]))
+            .select(pl.col("text").hash(seed=7).alias("d"))["d"]
+            .to_numpy()
+            .astype(np.uint64)[nonempty]
+        )
+        cols["dig"] = pa.array(np.tile(dig, B))
+    return pa.table(cols)
 
 
 def _verify_pairs_fn(t: pa.Table) -> pa.Table:
@@ -173,22 +186,73 @@ def dedup_minhash_pairs(sf_dir: str) -> rd.Dataset:
         rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     )
 
-    def bucket_pairs(g: pa.Table) -> pa.Table:
-        ids = np.unique(g["doc_id"].to_numpy())
-        if ids.size < 2:
-            return pa.table({c: pa.array([], t) for c, t in _PAIR_COLS.items()})
+    cap = BAND_BUCKET_CAP  # bind on the driver: workers unpickle the
+    #                        closure by value, so a configured/monkeypatched
+    #                        cap propagates (module globals would not)
+    cands = (
+        docs.map_batches(
+            lambda t: band_rows(t, with_digest=True),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby(["band_id", "band_key"])
+        .map_groups(lambda g: bucket_pairs(g, cap=cap), batch_format="pyarrow")
+        .materialize()
+    )
+    return verify_candidate_pairs(cands, docs)
+
+
+#: Band-bucket size at or below which all-pairs expansion runs unchanged.
+#: A degenerate bucket (mass-duplicated boilerplate — common in web
+#: corpora) would otherwise emit O(n^2) candidate pairs into the
+#: exchange; above the cap, exact duplicates collapse by text digest and
+#: the bucket emits a CC-EQUIVALENT sparsification instead (see
+#: ``bucket_pairs``).  Never triggers at driver test scale (band buckets
+#: are far smaller than NGRAM's (lang, len) blocks), so the exact SQL
+#: oracle holds there.
+BAND_BUCKET_CAP = 1024
+
+
+def bucket_pairs(g: pa.Table, *, cap: int | None = None) -> pa.Table:
+    """Candidate id pairs for one LSH band bucket.
+
+    Buckets at or below ``BAND_BUCKET_CAP`` docs emit the full all-pairs
+    upper triangle (the textbook LSH candidate set).  Larger buckets
+    collapse exact duplicates first — one representative (min doc id) per
+    text digest — and emit: (a) a STAR inside each digest group (member ->
+    representative; true jaccard exactly 1.0, so every star pair survives
+    verify), plus (b) all-pairs across the g representatives.  The union
+    has the same transitive closure as the full clique — duplicate
+    clustering (``dedup_clusters``) and the curation drop-set consume
+    connected components, which are invariant under this sparsification —
+    while the candidate count drops from O(n^2) to O(n + g^2)."""
+    if cap is None:
+        cap = BAND_BUCKET_CAP
+    ids = g["doc_id"].to_numpy()
+    if np.unique(ids).size < 2:
+        return pa.table({c: pa.array([], t) for c, t in _PAIR_COLS.items()})
+    if ids.size <= cap or "dig" not in g.schema.names:
+        ids = np.unique(ids)
         iu = np.triu_indices(ids.size, k=1)
         return pa.table(
             {"doc_a": pa.array(ids[iu[0]]), "doc_b": pa.array(ids[iu[1]])}
         )
-
-    cands = (
-        docs.map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["band_id", "band_key"])
-        .map_groups(bucket_pairs, batch_format="pyarrow")
-        .materialize()
+    digs = g["dig"].to_numpy()
+    order = np.lexsort((ids, digs))
+    ids_s, digs_s = ids[order], digs[order]
+    first = np.ones(ids_s.size, dtype=bool)
+    first[1:] = digs_s[1:] != digs_s[:-1]
+    grp = np.cumsum(first) - 1
+    reps = ids_s[first]  # min doc id per digest (ids sorted within digest)
+    rep_of_row = reps[grp]
+    member = ids_s != rep_of_row  # rep < member, so (rep, member) is ordered
+    iu = np.triu_indices(reps.size, k=1)
+    return pa.table(
+        {
+            "doc_a": pa.array(np.concatenate([rep_of_row[member], reps[iu[0]]])),
+            "doc_b": pa.array(np.concatenate([ids_s[member], reps[iu[1]]])),
+        }
     )
-    return verify_candidate_pairs(cands, docs)
 
 
 _PAIRS_MEMO: dict[tuple, rd.Dataset] = {}
@@ -285,8 +349,33 @@ def verify_candidate_pairs(cands: rd.Dataset, docs: rd.Dataset) -> rd.Dataset:
                     self.ids, self.texts = ray.get(texts_ref)
 
                 def __call__(self, t: pa.Table) -> pa.Table:
-                    ia = np.searchsorted(self.ids, t["doc_a"].to_numpy())
-                    ib = np.searchsorted(self.ids, t["doc_b"].to_numpy())
+                    if self.ids.size == 0:  # no candidate text resolved
+                        return _verify_pairs_fn(
+                            pa.table(
+                                {
+                                    "doc_a": pa.array([], pa.int64()),
+                                    "doc_b": pa.array([], pa.int64()),
+                                    "text_a": pa.array([], pa.string()),
+                                    "text_b": pa.array([], pa.string()),
+                                }
+                            )
+                        )
+                    da = t["doc_a"].to_numpy()
+                    db = t["doc_b"].to_numpy()
+                    ia = np.minimum(
+                        np.searchsorted(self.ids, da), self.ids.size - 1
+                    )
+                    ib = np.minimum(
+                        np.searchsorted(self.ids, db), self.ids.size - 1
+                    )
+                    # an id absent from the pruned texts (cannot happen for
+                    # LSH candidates, which derive from docs — defensive)
+                    # must DROP the pair, matching the bucketed-join plan's
+                    # inner semantics, not attach a neighbor's text
+                    found = (self.ids[ia] == da) & (self.ids[ib] == db)
+                    if not found.all():
+                        t = t.filter(pa.array(found))
+                        ia, ib = ia[found], ib[found]
                     t2 = pa.table(
                         {
                             "doc_a": t["doc_a"],

@@ -468,6 +468,8 @@ def tpch_q6(sf_dir: str) -> rd.Dataset:
     )
 
     def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:  # keep SUM-over-zero-rows NULL semantics (SQL parity)
+            return pa.table({"pr": pa.array([], pa.float64())})
         rev = pa.compute.sum(
             pa.compute.multiply(t["l_extendedprice"], t["l_discount"])
         ).as_py()
@@ -478,8 +480,12 @@ def tpch_q6(sf_dir: str) -> rd.Dataset:
     ).aggregate(Sum("pr", alias_name="revenue"))
     import pandas as pd
 
-    rev = round_half_away_pc(pa.array([folded["revenue"] or 0.0]), 2)[0].as_py()
-    return pd.DataFrame({"revenue": [rev]})
+    # empty predicate window: SQL SUM yields NULL, not 0.0 — emit NULL/NaN
+    raw = (folded or {}).get("revenue")
+    rev = (
+        None if raw is None else round_half_away_pc(pa.array([raw]), 2)[0].as_py()
+    )
+    return pd.DataFrame({"revenue": pd.array([rev], dtype="float64")})
 
 
 SQL_TPCH_Q6 = f"""
@@ -618,8 +624,15 @@ def tpch_q14(sf_dir: str) -> rd.Dataset:
 
     from ..functions.numeric import round_half_away
 
-    pct = 100.0 * folded["promo"] / folded["total"] if folded["total"] else 0.0
-    return pd.DataFrame({"promo_pct": [float(round_half_away(np.array([pct]), 4)[0])]})
+    # empty predicate window / zero total: SQL yields NULL (NULL/NULL or
+    # SUM-over-zero-rows), not 0.0 — emit NULL/NaN for parity
+    total = (folded or {}).get("total")
+    pct = (
+        float(round_half_away(np.array([100.0 * folded["promo"] / total]), 4)[0])
+        if total
+        else None
+    )
+    return pd.DataFrame({"promo_pct": pd.array([pct], dtype="float64")})
 
 
 SQL_TPCH_Q14 = f"""

@@ -299,6 +299,93 @@ def test_curation_dropset_distributed_branch(monkeypatch):
     assert np.array_equal(got["doc_id"].to_numpy(), baseline["doc_id"].to_numpy())
 
 
+def test_minhash_degenerate_bucket_bounded(monkeypatch, tmp_path):
+    """A mass-duplicated corpus (one boilerplate text copied thousands of
+    times) lands every copy in the SAME LSH band bucket; uncapped, that
+    bucket emits O(n^2) candidate pairs into the exchange.  Above
+    BAND_BUCKET_CAP the bucket must collapse exact dups by text digest
+    and emit the CC-equivalent sparsification: stars inside each digest
+    group plus all-pairs across representatives — O(n + g^2) candidates,
+    with the identical transitive closure."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aiw_i2b2_etl_ray.pipelines import dedup as dd
+
+    # two near-dup boilerplates, mass-duplicated (1500 + 500 copies)
+    a = "the quick brown fox jumps over the lazy dog again and again ok"
+    b = "the quick brown fox jumps over the lazy dog again and again yes"
+    docs = [a] * 1500 + [b] * 500
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+            "lang": pa.array(["en"] * len(docs)),
+            "source": pa.array(["synth"] * len(docs)),
+            "n_chars": pa.array([len(d) for d in docs], pa.int64()),
+        }
+    )
+    d = str(tmp_path / "massdup")
+    os.makedirs(d)
+    pq.write_table(t, os.path.join(d, "documents.parquet"), row_group_size=200)
+
+    monkeypatch.setattr(dd, "BAND_BUCKET_CAP", 64)
+    pairs = dd.dedup_minhash_pairs(d).to_pandas()
+    # sparsified: 1499 + 499 stars + <=1 verified rep pair — not ~2M
+    assert len(pairs) <= 2 * len(docs), f"unbounded expansion: {len(pairs)} pairs"
+    assert (pairs["jaccard"] >= dd.JACCARD_TAU).all()
+    # transitive closure unchanged: every doc connects into one component
+    parent = np.arange(len(docs))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for pa_, pb_ in pairs[["doc_a", "doc_b"]].itertuples(index=False):
+        parent[find(int(pa_))] = find(int(pb_))
+    roots = {find(i) for i in range(len(docs))}
+    assert len(roots) == 1, f"sparsification broke connectivity: {len(roots)} comps"
+
+
+def test_decontaminate_distributed_branch(monkeypatch):
+    """The benchmark shingle set is corpus-proportional under the
+    doc_id % BENCH_MOD membership rule, so its driver gather is counted
+    first: above BENCH_GATHER_LIMIT the screen must switch to the
+    semi-join + groupby plan — no driver collection, no ray.put
+    broadcast of the hash set — and produce the identical flag set."""
+    import ray.data as rd
+
+    from aiw_i2b2_etl_ray.pipelines import curation
+    from aiw_i2b2_etl_ray.pipelines.curation import decontaminate
+
+    sf = "/root/testdata/sf0.001"
+    baseline = (
+        decontaminate(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert len(baseline) > 0, "fixture must produce flagged docs"
+
+    monkeypatch.setattr(curation, "BENCH_GATHER_LIMIT", 0)
+
+    def banned(*a, **k):
+        raise AssertionError("driver-side collection inside decontaminate")
+
+    saved = (rd.Dataset.to_pandas, rd.Dataset.take_all, rd.Dataset.to_arrow_refs)
+    rd.Dataset.to_pandas = rd.Dataset.take_all = rd.Dataset.to_arrow_refs = banned
+    try:
+        out = decontaminate(sf).materialize()
+    finally:
+        rd.Dataset.to_pandas, rd.Dataset.take_all, rd.Dataset.to_arrow_refs = saved
+    got = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, baseline)
+
+
 def test_verify_pairs_join_fallback_matches_broadcast():
     """Within the bounded-pair branch there are two text-attach plans:
     broadcast searchsorted lookup (candidate texts fit

@@ -38,6 +38,14 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--window", type=int, default=50, help="0 = whole catalog")
+    ap.add_argument(
+        "--num-cpus",
+        type=int,
+        default=8,
+        help="Ray session size; run once at 8 AND once at 32 — block-layout-"
+        "dependent bugs (empty reduce partitions) only surface at high "
+        "parallelism (CORRECTNESS_r04 heavy_hitter_tokens)",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -49,7 +57,10 @@ def main() -> int:
     cap_kernel_threads()
     if not ray.is_initialized():
         ray.init(
-            address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR"
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
         )
     from ray.data import DataContext
 
