@@ -112,3 +112,104 @@ def rolling_fingerprint(col: pa.Array | pa.ChunkedArray, *, window: int = 8) -> 
             acc += b[k : k + n] * pw[window - 1 - k]
         out[i] = acc.min()
     return pa.array(out.astype(np.int64).astype(object), type=pa.int64())
+
+
+# --- vectorized single-block MD5 (RFC 1321) -----------------------------------
+#
+# The mixing family's sampling decisions are keyed on md5(str(doc_id)) for
+# DuckDB-oracle portability (DuckDB `md5()`).  A decimal int64 is <= 20
+# characters, i.e. always ONE 64-byte MD5 block, so the whole compression
+# function vectorizes over numpy lanes — no per-row Python loop; every op
+# below is a C-level array op over the batch.
+
+_MD5_S = np.array(
+    [7, 12, 17, 22] * 4 + [5, 9, 14, 20] * 4
+    + [4, 11, 16, 23] * 4 + [6, 10, 15, 21] * 4,
+    dtype=np.uint32,
+)
+_MD5_K = (
+    np.floor(np.abs(np.sin(np.arange(1, 65, dtype=np.float64))) * (2.0**32))
+    .astype(np.uint64)
+    .astype(np.uint32)
+)
+_MD5_INIT = np.array([0x67452301, 0xEFCDAB89, 0x98BADCFE, 0x10325476], np.uint32)
+_HEX_LUT = np.frombuffer(b"0123456789abcdef", np.uint8)
+
+
+def md5_digests_of_ints(ids: np.ndarray) -> np.ndarray:
+    """``hashlib.md5(str(i).encode()).digest()`` for every non-negative int,
+    vectorized: returns an (n, 16) uint8 digest matrix.  Only single-block
+    messages are supported (any decimal int64 fits with room to spare)."""
+    ids = np.asarray(ids, dtype=np.int64)
+    n = ids.size
+    if n == 0:
+        return np.empty((0, 16), np.uint8)
+    # decimal digits, pure numpy (np.char.* is per-element Python): extract
+    # right-aligned then left-shift each row by its leading-zero count
+    digits = np.zeros((n, 20), np.uint8)
+    x = ids.astype(np.uint64)
+    for pos in range(19, -1, -1):
+        digits[:, pos] = x % 10
+        x //= 10
+    lead = np.where((digits != 0).any(axis=1), (digits != 0).argmax(axis=1), 19)
+    lens = 20 - lead
+    cols = np.arange(20)[None, :]
+    src = np.minimum(cols + lead[:, None], 19)
+    shifted = np.take_along_axis(digits, src, axis=1)
+    msg = np.zeros((n, 64), np.uint8)
+    msg[:, :20] = np.where(cols < lens[:, None], shifted + 0x30, 0)
+    msg[np.arange(n), lens] = 0x80
+    msg.view("<u8")[:, 7] = (lens * 8).astype(np.uint64)  # bit length, LE
+
+    m = msg.view("<u4")  # (n, 16) little-endian words
+    a, b, c, d = (np.full(n, _MD5_INIT[j], np.uint32) for j in range(4))
+    for i in range(64):
+        if i < 16:
+            f, g = (b & c) | (~b & d), i
+        elif i < 32:
+            f, g = (d & b) | (~d & c), (5 * i + 1) % 16
+        elif i < 48:
+            f, g = b ^ c ^ d, (3 * i + 5) % 16
+        else:
+            f, g = c ^ (b | ~d), (7 * i) % 16
+        f = (f + a + _MD5_K[i]).astype(np.uint32)
+        if g < 5 or g == 14:  # words 5-13 and 15 are always zero here
+            f = (f + m[:, g]).astype(np.uint32)
+        s = int(_MD5_S[i])
+        a, d, c = d, c, b
+        b = (b + ((f << np.uint32(s)) | (f >> np.uint32(32 - s)))).astype(
+            np.uint32
+        )
+    out = np.empty((n, 4), "<u4")
+    out[:, 0] = a + _MD5_INIT[0]
+    out[:, 1] = b + _MD5_INIT[1]
+    out[:, 2] = c + _MD5_INIT[2]
+    out[:, 3] = d + _MD5_INIT[3]
+    return out.view(np.uint8).reshape(n, 16)
+
+
+def md5_hex_of_ints(ids: np.ndarray) -> np.ndarray:
+    """Lowercase-hex md5(str(i)) per int — == ``hashlib.md5(...).hexdigest()``
+    and DuckDB's ``md5(CAST(i AS VARCHAR))``; returned as a numpy U32 array
+    (hex string order == digest byte order, so it sorts like the oracle)."""
+    dig = md5_digests_of_ints(ids)
+    hx = np.empty((dig.shape[0], 32), np.uint8)
+    hx[:, 0::2] = _HEX_LUT[dig >> 4]
+    hx[:, 1::2] = _HEX_LUT[dig & 0x0F]
+    return hx.view("S32").ravel().astype("U32")
+
+
+def md5_uniform32_of_ints(ids: np.ndarray) -> np.ndarray:
+    """First 8 hex digits of md5(str(i)) as a uniform float64 in [0, 1) —
+    the mixing family's keep-probability draw."""
+    dig = md5_digests_of_ints(ids)
+    u32 = dig[:, :4].copy().view(">u4").ravel()
+    return u32.astype(np.float64) / float(1 << 32)
+
+
+def md5_uniform52_of_ints(ids: np.ndarray) -> np.ndarray:
+    """First 13 hex digits (52 bits — mantissa-exact) of md5(str(i)) as a
+    uniform float64 in [0, 1) — the A-ES weighted-sampling draw."""
+    dig = md5_digests_of_ints(ids)
+    u64 = dig[:, :8].copy().view(">u8").ravel()
+    return (u64 >> np.uint64(12)).astype(np.float64) / float(1 << 52)

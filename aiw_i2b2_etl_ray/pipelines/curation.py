@@ -352,9 +352,6 @@ def corpus_build(
     a partial failure skips completed language partitions (sinks.py
     contract); the whole build is deterministic, so a resumed run
     produces byte-identical output."""
-    import numpy as np
-    import pandas as pd
-
     from ..sinks import write_partitioned
     from ..stages.join import bucketed_join
 
@@ -371,19 +368,12 @@ def corpus_build(
         kept.select_columns(["doc_id", "pred_lang"]), docs, on=["doc_id"], num_buckets=8
     )
 
-    def pack(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id", kind="mergesort")
-        toks = (g["n_chars"].to_numpy() // 4).astype(np.int64)
-        cum = np.cumsum(toks)
-        g = g.reset_index(drop=True)
-        g["n_tokens"] = toks
-        g["chunk_id"] = ((cum - toks) // cap).astype(np.int64)
-        return g[["doc_id", "pred_lang", "n_tokens", "chunk_id"]]
+    # partitioned two-phase prefix sum — never a whole-language single
+    # task (see mixing.pack_assign); materialize once: both the count and
+    # the sink consume the same blocks
+    from .mixing import pack_assign
 
-    # materialize once: both the count and the sink consume the same blocks
-    packed = (
-        enriched.groupby("pred_lang").map_groups(pack, batch_format="pandas").materialize()
-    )
+    packed = pack_assign(enriched, capacity=cap, lang_col="pred_lang").materialize()
     summary = write_partitioned(packed, out_dir, by="pred_lang")
     summary["docs"] = packed.count()
     return summary

@@ -18,23 +18,25 @@ Scale shapes:
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 import polars as pl
 import pyarrow as pa
 import ray.data as rd
 
+from ..functions.hashing import (
+    md5_hex_of_ints,
+    md5_uniform32_of_ints,
+    md5_uniform52_of_ints,
+)
 from ..util import worker_runtime_env
 
 SAMPLE_K = 20  # docs kept per language stratum
 
-
-def _md5_rank(ids) -> list[str]:
-    # md5 of the decimal doc_id: cheap (C-backed, ~1 µs/row), portable to
-    # the DuckDB oracle, and uniform enough for sampling decisions
-    return [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+# sampling decisions are keyed on md5(str(doc_id)) — portable to the
+# DuckDB oracle (`md5(CAST(doc_id AS VARCHAR))`) and uniform enough; the
+# digest itself is the vectorized single-block MD5 kernel
+# (functions/hashing.md5_digests_of_ints), not a per-row hashlib loop.
 
 
 def sample_per_lang(sf_dir: str) -> rd.Dataset:
@@ -48,7 +50,7 @@ def sample_per_lang(sf_dir: str) -> rd.Dataset:
 
     def partial(t: pa.Table) -> pa.Table:
         df = pl.from_arrow(t).with_columns(
-            pl.Series("rk", _md5_rank(t["doc_id"].to_pylist()))
+            pl.Series("rk", md5_hex_of_ints(t["doc_id"].to_numpy()))
         )
         return (
             df.sort(["lang", "rk"])
@@ -94,8 +96,7 @@ def mix_sources(sf_dir: str) -> rd.Dataset:
         df = pl.from_arrow(t)
         srcnum = df["source"].str.slice(3).cast(pl.Int64)
         w = ((srcnum % 4) + 1).cast(pl.Float64) / 4.0
-        hx = _md5_rank(t["doc_id"].to_pylist())
-        u = np.array([int(h[:8], 16) for h in hx], dtype=np.float64) / float(1 << 32)
+        u = md5_uniform32_of_ints(t["doc_id"].to_numpy())
         out = df.with_columns(pl.Series("u", u), w.alias("w")).filter(
             pl.col("u") < pl.col("w")
         )
@@ -117,6 +118,109 @@ SELECT doc_id, source, lang FROM (
 PACK_CAPACITY = 2048  # tokens per packed context window
 
 
+def _block_pack_partial_fn(t: pa.Table, lang_col: str, chars_col: str):
+    """Per-language token sums for ONE sorted block (languages are
+    contiguous after the (lang, doc_id) sort): a handful of (lang, sum)
+    rows per block — the only thing that ever reaches the driver."""
+    if len(t) == 0:
+        return [], []
+    toks = (t[chars_col].to_numpy() // 4).astype(np.int64)
+    langs = t[lang_col].to_numpy(zero_copy_only=False)
+    first = np.ones(len(t), dtype=bool)
+    first[1:] = langs[1:] != langs[:-1]
+    idx = np.flatnonzero(first)
+    return langs[idx].tolist(), np.add.reduceat(toks, idx).tolist()
+
+
+def _block_pack_assign_fn(
+    t: pa.Table,
+    bases: dict,
+    capacity: int,
+    lang_col: str,
+    order_col: str,
+    chars_col: str,
+) -> pa.Table:
+    """Vectorized chunk assignment for one sorted block given its
+    per-language running-token base offsets (phase 3: zero row motion)."""
+    toks = (t[chars_col].to_numpy() // 4).astype(np.int64)
+    langs = t[lang_col].to_numpy(zero_copy_only=False)
+    first = np.ones(len(t), dtype=bool)
+    first[1:] = langs[1:] != langs[:-1]
+    idx = np.flatnonzero(first)
+    seg = np.cumsum(first) - 1
+    before = np.cumsum(toks) - toks  # tokens before each row, block-global
+    in_lang_before = before - before[idx][seg]
+    base = np.asarray([bases[l] for l in langs[idx]], dtype=np.int64)[seg]
+    chunk = (base + in_lang_before) // capacity
+    return pa.table(
+        {
+            order_col: t[order_col],
+            lang_col: t[lang_col],
+            "n_tokens": pa.array(toks),
+            "chunk_id": pa.array(chunk.astype(np.int64)),
+        }
+    )
+
+
+def pack_assign(
+    ds: rd.Dataset,
+    *,
+    capacity: int,
+    lang_col: str = "lang",
+    order_col: str = "doc_id",
+    chars_col: str = "n_chars",
+) -> rd.Dataset:
+    """Distributed sequence packing: assign rows (in deterministic
+    ``order_col`` order per ``lang_col`` stratum) to fixed-capacity
+    context windows by running token count — a partitioned TWO-PHASE
+    PREFIX SUM, never a whole-language single task (the r04-verdict
+    scale-killer: ``groupby(lang).map_groups(pack)`` put the entire
+    English stratum — tens of GB at 10^10 docs — into one worker's
+    sequential cumsum):
+
+    1. one (lang, order) sort — range-partitioned, in-block sorted;
+    2. per-block per-lang token partials (a few (lang, sum) rows per
+       block move to the driver — block-count-sized, like
+       ``stages/keymap.global_index``'s length fold);
+    3. driver prefix-fold of block bases, then a per-block vectorized
+       chunk assignment with zero row motion.
+
+    Deterministic and partitioning-invariant: chunk =
+    floor(running_before / capacity) depends only on the global (lang,
+    order) prefix sums."""
+    import ray
+
+    blocks = ds.sort([lang_col, order_col]).materialize().to_arrow_refs()
+    partial = ray.remote(num_cpus=0.5)(_block_pack_partial_fn)
+    summaries = ray.get(
+        [partial.remote(b, lang_col, chars_col) for b in blocks]
+    )
+    running: dict = {}
+    tagged = []
+    assign = ray.remote(num_cpus=0.5)(_block_pack_assign_fn)
+    for b, (langs, sums) in zip(blocks, summaries):
+        if not langs:  # empty (possibly schema-less) sort output block
+            continue
+        bases = {l: running.get(l, 0) for l in langs}
+        tagged.append(
+            assign.remote(b, bases, capacity, lang_col, order_col, chars_col)
+        )
+        for l, s in zip(langs, sums):
+            running[l] = running.get(l, 0) + s
+    if not tagged:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    order_col: pa.array([], pa.int64()),
+                    lang_col: pa.array([], pa.string()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "chunk_id": pa.array([], pa.int64()),
+                }
+            )
+        )
+    return rd.from_arrow_refs(tagged)
+
+
 def pack_sequences(sf_dir: str) -> rd.Dataset:
     """Sequence packing: assign docs (in deterministic doc_id order, per
     language) to fixed-capacity context windows by running token count —
@@ -125,24 +229,10 @@ def pack_sequences(sf_dir: str) -> rd.Dataset:
     of a sequential best-fit loop.  Token count is the engine's cheap
     deterministic proxy (chars/4, matching text_tokens' scale contract).
 
-    One keyed shuffle (lang), vectorized cumsum in-group."""
+    Physical plan: see :func:`pack_assign` (partitioned two-phase prefix
+    sum — one sort, block-count-sized driver fold, zero row motion)."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"])
-
-    def pack(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id", kind="mergesort")
-        toks = (g["n_chars"].to_numpy() // 4).astype(np.int64)
-        cum = np.cumsum(toks)
-        chunk = (cum - toks) // PACK_CAPACITY
-        return pd.DataFrame(
-            {
-                "doc_id": g["doc_id"].to_numpy(),
-                "lang": g["lang"].to_numpy(),
-                "n_tokens": toks,
-                "chunk_id": chunk.astype(np.int64),
-            }
-        )
-
-    return ds.groupby("lang").map_groups(pack, batch_format="pandas")
+    return pack_assign(ds, capacity=PACK_CAPACITY)
 
 
 SQL_PACK_SEQUENCES = f"""
@@ -174,10 +264,8 @@ def weighted_sample(sf_dir: str) -> rd.Dataset:
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
 
     def key_batch(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_pylist()
-        u = np.array(
-            [int(h[:13], 16) for h in _md5_rank(ids)], dtype=np.float64
-        ) / float(1 << 52)  # 52-bit mantissa-exact uniform in [0,1)
+        # 52-bit mantissa-exact uniform in [0,1)
+        u = md5_uniform52_of_ints(t["doc_id"].to_numpy())
         w = t["n_chars"].to_numpy().astype(np.float64)
         key = np.log(np.maximum(u, 1e-300)) / np.maximum(w, 1.0)
         df = pl.from_arrow(t).with_columns(pl.Series("es_key", key))

@@ -154,3 +154,31 @@ def test_round_half_away_pc_is_canonical():
     assert got == want, (got, want)
     # bit-identical, not just ==: the driver compare hashes str() forms
     assert [repr(g) for g in got] == [repr(w) for w in want]
+
+
+def test_vectorized_md5_matches_hashlib():
+    """The mixing family's sampling draws key on md5(str(doc_id));
+    the vectorized single-block kernel must be bit-identical to hashlib
+    (and therefore to DuckDB's md5()) across digit-count boundaries and
+    the int64 extremes."""
+    import hashlib
+
+    import numpy as np
+
+    from aiw_i2b2_etl_ray.functions.hashing import (
+        md5_hex_of_ints,
+        md5_uniform32_of_ints,
+        md5_uniform52_of_ints,
+    )
+
+    edge = [0, 1, 9, 10, 99, 100, 123456789, 2**31, 2**62, 2**63 - 1]
+    rng = np.random.default_rng(11)
+    ids = np.concatenate([np.array(edge, np.int64), rng.integers(0, 2**63 - 1, 2000)])
+    refs = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+    assert list(md5_hex_of_ints(ids)) == refs
+    assert np.allclose(
+        md5_uniform32_of_ints(ids), [int(r[:8], 16) / 2**32 for r in refs]
+    )
+    assert np.allclose(
+        md5_uniform52_of_ints(ids), [int(r[:13], 16) / 2**52 for r in refs]
+    )
