@@ -34,8 +34,14 @@ def round_half_away_pc(col, nd: int = 4):
     double (127084565.24).  Sums of floats land on such neighbors
     depending on block combination order, so the pc.round path made
     every ROUND(SUM(..)) oracle hash FLAKY.  floor(|x|*f + 0.5)/f with a
-    true IEEE division is canonical: the correctly-rounded quotient IS
-    the nearest double to the decimal value, bit-identical to DuckDB."""
+    true IEEE division is canonical for these neighbors: the
+    correctly-rounded quotient IS the nearest double to the decimal
+    value, matching DuckDB on every oracle input to date.  (Not strictly
+    bit-identical in ALL cases: DuckDB computes std::round(x*f)/f, and
+    when |x|*f lands one ULP BELOW a half-integer the +0.5 here can tip
+    floor one integer high where std::round stays low — an adversarial
+    boundary no aggregate output has hit; it also matches the numpy
+    helper above, so both engine paths agree with each other.)"""
     f = 10.0**nd
     x = pc.cast(col, pa.float64())
     mag = pc.divide(pc.floor(pc.add(pc.multiply(pc.abs(x), f), 0.5)), f)

@@ -28,15 +28,25 @@ MODEL_W = (-1.5, 0.8, 0.45, 2.0)
 _WORD = r"[0-9A-Za-z_]+"
 
 
-def model_score(sf_dir: str) -> rd.Dataset:
+def model_score(sf_dir: str, model_path: str | None = None) -> rd.Dataset:
     """Per-document quality-model score in [0, 1]: sigmoid of a linear
-    model over (n_chars, n_tokens, alpha_ratio)."""
+    model over (n_chars, n_tokens, alpha_ratio).
+
+    ``model_path`` is the real-model swap surface: a ``.npy`` weight file
+    loaded ONCE per actor in the model-load slot (each worker reads it
+    locally — no driver shipping), replacing the built-in deterministic
+    weights the oracle pins.  A heavier model (torch/onnx) drops into the
+    same ``__init__``-loads / ``__call__``-scores shape unchanged."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     class Scorer:
-        def __init__(self):
+        def __init__(self, path: str | None = None):
             # the model-load slot: executed once per actor, never per batch
-            self.w = np.array(MODEL_W, dtype=np.float64)
+            self.w = (
+                np.load(path).astype(np.float64)
+                if path
+                else np.array(MODEL_W, dtype=np.float64)
+            )
 
         def __call__(self, t: pa.Table) -> pa.Table:
             import polars as pl
@@ -58,7 +68,12 @@ def model_score(sf_dir: str) -> rd.Dataset:
                 {"doc_id": t["doc_id"], "model_score": pa.array(round_half_away(score, 6))}
             )
 
-    return ds.map_batches(Scorer, batch_format="pyarrow", concurrency=(1, 8))
+    return ds.map_batches(
+        Scorer,
+        fn_constructor_kwargs={"path": model_path},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
 
 
 SQL_MODEL_SCORE = f"""

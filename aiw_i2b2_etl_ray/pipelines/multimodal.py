@@ -41,9 +41,46 @@ class FakeDecoder:
         }
 
 
+class PILDecoder:
+    """REAL image decoder, available when the environment ships Pillow
+    (import-guarded; this container does not, so tests skip it).  Same
+    ``decode(payload) -> dict`` surface as :class:`FakeDecoder` — the swap
+    is one constructor argument, everything else in the pipeline is
+    unchanged."""
+
+    def __init__(self):
+        from PIL import Image  # raises ImportError where unavailable
+
+        self._Image = Image
+
+    def decode(self, payload: bytes) -> dict:
+        import io
+
+        with self._Image.open(io.BytesIO(payload)) as im:
+            return {
+                "width": im.width,
+                "height": im.height,
+                "n_channels": len(im.getbands()),
+            }
+
+
+def real_decoder_available() -> bool:
+    """True when an actual image codec (Pillow) is importable — the
+    pytest skip-if gate for the real-decoder path."""
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 class MultimodalFeatures:
     """Actor-pool stage: decode the binary column + emit typed features.
-    Decoder construction happens ONCE per actor (the model-load slot)."""
+    Decoder construction happens ONCE per actor (the model-load slot).
+    Default decoder is the deterministic FakeDecoder (oracle-checkable in
+    this codec-less container); pass ``decoder_cls=PILDecoder`` where
+    Pillow exists to decode real images through the identical plumbing."""
 
     def __init__(self, decoder_cls=FakeDecoder):
         self.decoder = decoder_cls()
@@ -92,10 +129,14 @@ def _synthesize_binary(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(to_binary, batch_format="pyarrow")
 
 
-def multimodal_features(sf_dir: str) -> rd.Dataset:
-    """End-to-end: binary column -> actor-pool decode/feature stage."""
+def multimodal_features(sf_dir: str, decoder_cls=FakeDecoder) -> rd.Dataset:
+    """End-to-end: binary column -> actor-pool decode/feature stage.
+    ``decoder_cls=PILDecoder`` runs real image decode where Pillow
+    exists; the default FakeDecoder keeps the pipeline deterministic and
+    oracle-checkable in this codec-less container."""
     return _synthesize_binary(sf_dir).map_batches(
         MultimodalFeatures,
+        fn_constructor_kwargs={"decoder_cls": decoder_cls},
         batch_format="pyarrow",
         batch_size=BINARY_BATCH_SIZE,
         concurrency=(1, 4),

@@ -411,26 +411,39 @@ def text_chunks(sf_dir: str) -> rd.Dataset:
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def chunk(t: pa.Table) -> pa.Table:
-        ids, idxs, offs, lens, digests = [], [], [], [], []
-        for did, v in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            s = v or ""
-            n = len(s)
-            starts = range(0, max(n - CHUNK_LEN + CHUNK_STRIDE, 1), CHUNK_STRIDE)
-            for ci, st in enumerate(starts):
-                piece = s[st : st + CHUNK_LEN]
-                if not piece:
-                    break
-                ids.append(did)
-                idxs.append(ci)
-                offs.append(st)
-                lens.append(len(piece))
-                digests.append(hashlib.md5(piece.encode()).hexdigest())
+        # offsets/slices fully vectorized (polars char-based kernels);
+        # only the per-piece md5 remains a loop, and that loop is pure C
+        # (a chunk is up to 400 utf-8 chars — multi-block, so the
+        # single-block numpy MD5 kernel doesn't apply)
+        df = pl.from_arrow(t).with_columns(pl.col("text").fill_null(""))
+        n = pl.col("text").str.len_chars().cast(pl.Int64)
+        span = pl.max_horizontal(n - (CHUNK_LEN - CHUNK_STRIDE), pl.lit(1))
+        nc = (span + (CHUNK_STRIDE - 1)) // CHUNK_STRIDE  # == len(starts)
+        ex = (
+            df.with_columns(nc.alias("_nc"))
+            .with_columns(pl.int_ranges(0, pl.col("_nc")).alias("chunk_idx"))
+            .explode("chunk_idx")
+            .with_columns(
+                (pl.col("chunk_idx").cast(pl.Int64) * CHUNK_STRIDE).alias("offset")
+            )
+            .with_columns(
+                pl.col("text")
+                .str.slice(pl.col("offset"), CHUNK_LEN)
+                .alias("piece")
+            )
+            .with_columns(
+                pl.col("piece").str.len_chars().cast(pl.Int64).alias("chunk_len")
+            )
+            .filter(pl.col("chunk_len") > 0)
+        )
+        md5 = hashlib.md5
+        digests = [md5(p.encode()).hexdigest() for p in ex["piece"].to_list()]
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
-                "chunk_idx": pa.array(idxs, pa.int32()),
-                "offset": pa.array(offs, pa.int64()),
-                "chunk_len": pa.array(lens, pa.int64()),
+                "doc_id": ex["doc_id"].to_arrow().cast(pa.int64()),
+                "chunk_idx": ex["chunk_idx"].to_arrow().cast(pa.int32()),
+                "offset": ex["offset"].to_arrow().cast(pa.int64()),
+                "chunk_len": ex["chunk_len"].to_arrow().cast(pa.int64()),
                 "chunk_md5": pa.array(digests, pa.string()),
             }
         )
