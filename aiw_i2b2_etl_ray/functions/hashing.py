@@ -80,38 +80,74 @@ def bucket_hash(
 
 def rolling_fingerprint(col: pa.Array | pa.ChunkedArray, *, window: int = 8) -> pa.Array:
     """Document fingerprint: min-of-rolling-polynomial-hash over the byte
-    stream (a winnowing-style fingerprint), vectorized with numpy.
+    stream (a winnowing-style fingerprint).
+
+    Fully vectorized ACROSS the batch: the utf-8 bytes come straight from
+    the Arrow string buffers (zero-copy — no per-row ``as_py``/``encode``),
+    ONE flat rolling-hash pass covers every document, windows that cross a
+    document boundary are masked via a difference-array sweep, and the
+    per-document minima fold with ``np.minimum.reduceat``.  Documents
+    shorter than the window accumulate whole-document polynomials in a
+    ``window``-bounded masked loop.  Null/empty rows fingerprint to 0.
 
     Near-identical documents (same bytes) share fingerprints; used by the
     text-analysis query family, not by the CDC core.
     """
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    n_rows = len(col)
+    out = np.zeros(n_rows, dtype=np.uint64)
+    if n_rows == 0:
+        return pa.array(out.view(np.int64))
+    off_dtype = np.int64 if pa.types.is_large_string(col.type) else np.int32
+    bufs = col.buffers()
+    offs = (
+        np.frombuffer(bufs[1], off_dtype)[col.offset : col.offset + n_rows + 1]
+        .astype(np.int64)
+    )
+    flat = (
+        np.frombuffer(bufs[2], np.uint8)
+        if bufs[2] is not None
+        else np.empty(0, np.uint8)
+    )
+    start = offs[0]
+    offs = offs - start
+    data = flat[start : start + offs[-1]]
+    lens = np.diff(offs)
     base = np.uint64(1099511628211)
-    out = np.zeros(len(col), dtype=np.uint64)
-    for i, v in enumerate(col):
-        s = v.as_py()
-        if not s:
-            continue
-        b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-        if len(b) < window:
-            acc = np.uint64(0)
-            for x in b:
-                acc = acc * base + x
-            out[i] = acc
-            continue
-        # rolling polynomial hash of each window via cumulative powers
-        n = len(b) - window + 1
-        pw = np.empty(window, dtype=np.uint64)
-        pw[0] = np.uint64(1)
+    pw = np.empty(window, dtype=np.uint64)
+    pw[0] = np.uint64(1)
+    with np.errstate(over="ignore"):  # modular 2^64 arithmetic by design
         for k in range(1, window):
             pw[k] = pw[k - 1] * base
-        # windows matrix-free: sum b[i+k] * base^(window-1-k)
-        acc = np.zeros(n, dtype=np.uint64)
+
+    long_rows = np.flatnonzero(lens >= window)
+    if long_rows.size:
+        nacc = data.size - window + 1
+        acc = np.zeros(nacc, dtype=np.uint64)
         for k in range(window):
-            acc += b[k : k + n] * pw[window - 1 - k]
-        out[i] = acc.min()
-    return pa.array(out.astype(np.int64).astype(object), type=pa.int64())
+            acc += data[k : k + nacc] * pw[window - 1 - k]
+        # mask windows that start in row i but cross into row i+1 (and
+        # every window starting inside a too-short row): positions in
+        # [max(end_i - window + 1, start_i), end_i) are invalid
+        delta = np.zeros(nacc + 1, dtype=np.int64)
+        inv_lo = np.clip(np.maximum(offs[1:] - (window - 1), offs[:-1]), 0, nacc)
+        inv_hi = np.clip(offs[1:], 0, nacc)
+        np.add.at(delta, inv_lo, 1)
+        np.add.at(delta, inv_hi, -1)
+        acc[np.cumsum(delta[:-1]) > 0] = np.uint64(0xFFFFFFFFFFFFFFFF)
+        out[long_rows] = np.minimum.reduceat(acc, offs[:-1][long_rows])
+
+    short_rows = np.flatnonzero((lens > 0) & (lens < window))
+    if short_rows.size:
+        acc_s = np.zeros(short_rows.size, dtype=np.uint64)
+        starts = offs[:-1][short_rows]
+        slens = lens[short_rows]
+        for k in range(window - 1):
+            m = slens > k
+            acc_s[m] = acc_s[m] * base + data[starts[m] + k]
+        out[short_rows] = acc_s
+    return pa.array(out.view(np.int64))
 
 
 # --- vectorized single-block MD5 (RFC 1321) -----------------------------------

@@ -278,16 +278,23 @@ def text_fingerprint(sf_dir: str) -> rd.Dataset:
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     class FP:
-        def __init__(self):
-            self.norm = re.compile(r"[^a-z0-9]+")
-
         def __call__(self, t: pa.Table) -> pa.Table:
-            texts = t["text"].to_pylist()
+            # normalization stays in the Rust string kernels; only the md5
+            # itself is a loop, and that loop is pure C (multi-block
+            # digests — the single-block numpy kernel doesn't apply)
+            norm = (
+                pl.from_arrow(t.select(["text"]))
+                .select(
+                    pl.col("text")
+                    .str.to_lowercase()
+                    .str.replace_all(r"[^a-z0-9]+", "")
+                    .alias("n")
+                )["n"]
+                .to_list()
+            )
+            md5 = hashlib.md5
             fps = [
-                hashlib.md5(self.norm.sub("", s.lower()).encode()).hexdigest()
-                if s is not None
-                else None
-                for s in texts
+                md5(s.encode()).hexdigest() if s is not None else None for s in norm
             ]
             return pa.table(
                 {"doc_id": t["doc_id"], "md5_fingerprint": pa.array(fps, pa.string())}
