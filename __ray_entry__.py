@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "mix_sources": mx.mix_sources,  # weighted source mixing
             "pack_sequences": mx.pack_sequences,  # context-window packing
             "weighted_sample": mx.weighted_sample,  # A-ES weighted selection
+            "corpus_shuffle": mx.corpus_shuffle,  # deterministic epoch order
         }
     )
     from aiw_i2b2_etl_ray.sources import declarative as dl
@@ -232,12 +233,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_overlap",
         "decontaminate",
         "text_repetition",
+        # new (corpus_shuffle) / physically-changed (text_fingerprint —
+        # polars-native normalization this round) queries take the slots
+        # of two more r04-green stalwarts
+        "corpus_shuffle",
+        "text_fingerprint",
         # r04-green window funcs retained for a second row
-        "global_rank",
         "funnel_conversion",
         "retention_cohorts",
         "value_outliers",
-        "user_journeys",
         # sketches + curation sampling/mixing
         "approx_distinct_users",
         "approx_median_hist",
@@ -452,6 +456,7 @@ def oracle_sql() -> dict[str, str]:
             "mix_sources": mx.SQL_MIX_SOURCES,
             "pack_sequences": mx.SQL_PACK_SEQUENCES,
             "weighted_sample": mx.SQL_WEIGHTED_SAMPLE,
+            "corpus_shuffle": mx.SQL_CORPUS_SHUFFLE,
         }
     )
     from aiw_i2b2_etl_ray.sources import declarative as dl

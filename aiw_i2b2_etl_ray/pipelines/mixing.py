@@ -247,6 +247,41 @@ FROM (
 """
 
 
+def corpus_shuffle(sf_dir: str) -> rd.Dataset:
+    """Deterministic training-order shuffle: every doc gets a dense global
+    ``shuffle_rank`` following md5(doc_id) order — the reproducible
+    'random' epoch ordering a pre-training run needs (stable across
+    cluster sizes and repartitionings, unlike ``random_shuffle``).
+
+    Plan: one vectorized hash-rank pass + the ``stages/keymap.global_index``
+    machinery (one distributed sort, per-block lengths to the driver,
+    per-block offset tagging — rows never leave their block after the
+    sort)."""
+    from ..stages.keymap import global_index
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+
+    def rank(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "rk", pa.array(md5_hex_of_ints(t["doc_id"].to_numpy()))
+        )
+
+    ranked = global_index(
+        ds.map_batches(rank, batch_format="pyarrow", **worker_runtime_env()),
+        ["rk", "doc_id"],
+        id_name="shuffle_rank",
+    )
+    return ranked.select_columns(["doc_id", "lang", "shuffle_rank"])
+
+
+SQL_CORPUS_SHUFFLE = """
+SELECT doc_id, lang,
+       ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+         AS shuffle_rank
+FROM documents
+"""
+
+
 WEIGHTED_K = 25
 
 

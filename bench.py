@@ -166,6 +166,10 @@ def run_queries() -> dict[str, float]:
         "asof_join",
         "range_join",
         "corpus_filter",
+        # r5 additions: the vectorized/redesigned stages of this round
+        "pack_sequences",
+        "text_chunks",
+        "corpus_shuffle",
     ]
     q = e.queries()
     out = {}
