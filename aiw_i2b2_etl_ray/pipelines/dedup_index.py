@@ -141,6 +141,13 @@ def index_update(
     union = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
 
     def bucket_pairs_new(g: pa.Table) -> pa.Table:
+        # NOTE degenerate-bucket exposure differs from the batch path's
+        # BAND_BUCKET_CAP star-sparsification (dedup.bucket_pairs): here
+        # old-old pairs are excluded, so one bucket emits at most
+        # |new in bucket| x |bucket| pairs — bounded by the INCREMENT
+        # size, which an operator controls, not by corpus history.  The
+        # persisted 3-column band-row format therefore stays unchanged
+        # (adding a digest column would break existing run files).
         ids = g["doc_id"].to_numpy()
         newf = g["is_new"].to_numpy(zero_copy_only=False)
         # per-id new flag (a doc re-ingested in a later run counts as new)
