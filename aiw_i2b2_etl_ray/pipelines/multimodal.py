@@ -116,13 +116,17 @@ def _synthesize_binary(sf_dir: str) -> rd.Dataset:
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"])
 
     def to_binary(t: pa.Table) -> pa.Table:
-        payload = pa.array(
-            [s.encode("utf-8") if s else b"" for s in t["text"].to_pylist()],
-            pa.large_binary(),
+        import pyarrow.compute as pc
+
+        # a string column's buffer IS its utf-8 bytes: the payload is a
+        # zero-copy cast, not a per-row encode loop
+        payload = pc.cast(
+            pc.fill_null(t["text"].combine_chunks(), ""), pa.large_binary()
         )
-        mt = pa.array(
-            ["image" if (d % 2 == 0) else "audio" for d in t["doc_id"].to_pylist()],
-            pa.string(),
+        mt = pc.if_else(
+            pc.equal(pc.bit_wise_and(t["doc_id"].combine_chunks(), 1), 0),
+            pa.scalar("image"),
+            pa.scalar("audio"),
         )
         return pa.table({"doc_id": t["doc_id"], "media_type": mt, "payload": payload})
 
