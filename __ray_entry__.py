@@ -179,6 +179,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "dedup_embedding": dd.dedup_embedding,
                 "dedup_embedding_ivf": dd.dedup_embedding_ivf,
                 "dedup_clusters": gc.dedup_clusters,
+                # cross-doc duplicated-span screen (substring-dedup
+                # frequency pass, Lee et al. 2022 shape) — added r5
+                "dup_spans": dd.dup_spans,
                 # cross-source near-dup matrix (added r4, rotates into the
                 # driver window in r5)
                 "source_overlap": gc.source_overlap,
@@ -238,10 +241,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # of two more r04-green stalwarts
         "corpus_shuffle",
         "text_fingerprint",
+        # cross-doc duplicated-span screen (new r5)
+        "dup_spans",
         # r04-green window funcs retained for a second row
         "funnel_conversion",
         "retention_cohorts",
-        "value_outliers",
         # sketches + curation sampling/mixing
         "approx_distinct_users",
         "approx_median_hist",
@@ -488,6 +492,7 @@ def oracle_sql() -> dict[str, str]:
                 "dedup_exact": dd.SQL_DEDUP_EXACT,
                 "dedup_embedding": dd.SQL_DEDUP_EMBEDDING,
                 "dedup_clusters": gc.SQL_DEDUP_CLUSTERS,
+                "dup_spans": dd.SQL_DUP_SPANS,
                 "source_overlap": gc.SQL_SOURCE_OVERLAP,
                 "corpus_filter": cu.SQL_CORPUS_FILTER,
                 "decontaminate": cu.SQL_DECONTAMINATE,

@@ -11,6 +11,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 from ..functions import sketch
@@ -735,3 +736,145 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= {tau}
 """.format(tau=COSINE_TAU)
+
+
+# --- cross-document duplicated spans ------------------------------------------
+
+#: words per span for the duplicated-span screen.  Test-scale setting; the
+#: published substring-dedup screens (Lee et al. 2022, "Deduplicating
+#: Training Data Makes Language Models Better") use ~50-token spans —
+#: the plan below is span-width-agnostic.
+DUP_SPAN_W = 3
+#: distinct documents a span must appear in to count as duplicated
+DUP_SPAN_MIN_DOCS = 2
+
+
+def _span_pairs(t: pa.Table) -> pa.Table:
+    """Per-doc DISTINCT (doc_id, span-hash) pairs for one batch — one flat
+    vectorized shingle pass + the lexsort dedup trick.  Docs never split
+    across batches, so per-batch-distinct pairs are globally distinct."""
+    if len(t) == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "h": pa.array([], pa.int64())}
+        )
+    hashes, offsets = sketch._batch_shingle_hashes(
+        t["text"].combine_chunks(), DUP_SPAN_W
+    )
+    ids = t["doc_id"].to_numpy()
+    di = np.repeat(np.arange(len(t)), np.diff(offsets))
+    order = np.lexsort((hashes, di))
+    d_s, h_s = di[order], hashes[order]
+    new = np.ones(len(d_s), dtype=bool)
+    new[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+    # int64 VIEW of the xxhash64 (wrap bijection): Ray's sort-based
+    # groupby round-trips keys through Python ints and overflows C long on
+    # raw uint64 values — identity is all the key needs
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[d_s[new]], pa.int64()),
+            "h": pa.array(h_s[new].view(np.int64)),
+        }
+    )
+
+
+def dup_spans(sf_dir: str) -> rd.Dataset:
+    """Cross-document duplicated-span screen — the frequency pass of
+    substring-level dedup (Lee et al. 2022): for every document, how many
+    of its DISTINCT word-``DUP_SPAN_W``-gram spans also appear in at least
+    ``DUP_SPAN_MIN_DOCS - 1`` other documents.  The per-doc count is the
+    removal/trimming signal a substring-dedup pipeline thresholds on.
+
+    Physical plan — id-only exchanges, the text never shuffles, nothing
+    lands on the driver:
+      1. one flat shingle-hash pass -> per-doc distinct (doc_id, h) pairs;
+      2. groupby(h) over (h, partial-count) rows -> spans with
+         doc-frequency >= DUP_SPAN_MIN_DOCS (the duplicated-span set,
+         output-sized, kept as a Dataset);
+      3. the pairs (recomputed map-only — cheaper than materializing the
+         corpus-shingle-sized intermediate) SEMI-join the duplicated set
+         (``bucketed_join`` dedups right keys in-bucket) and a
+         groupby(doc_id) of partial counts emits the per-doc totals.
+    Summed per-batch partials ARE distinct counts because each (doc, h)
+    pair is globally unique (step 1).  Hashed spans stand in for string
+    spans exactly as in the dedup/decontaminate oracles (64-bit collision
+    probability negligible)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.join import bucketed_join
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs1 = docs.map_batches(
+        _span_pairs, batch_format="pyarrow", **worker_runtime_env()
+    )
+
+    def count_partial(col: str, out: str):
+        def fn(t: pa.Table) -> pa.Table:
+            import polars as pl
+
+            return (
+                pl.from_arrow(t.select([col]))
+                .group_by(col)
+                .agg(pl.len().cast(pl.Int64).alias(out))
+                .to_arrow()
+            )
+
+        return fn
+
+    dup_h = (
+        pairs1.map_batches(count_partial("h", "pn"), batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Sum("pn", alias_name="n_docs"))
+        .map_batches(
+            lambda t: t.select(["h"]).filter(
+                pc.greater_equal(t["n_docs"], DUP_SPAN_MIN_DOCS)
+            )
+            if len(t) and "h" in t.schema.names
+            else pa.table({"h": pa.array([], pa.int64())}),
+            batch_format="pyarrow",
+        )
+    )
+    pairs2 = docs.map_batches(
+        _span_pairs, batch_format="pyarrow", **worker_runtime_env()
+    )
+    hits = bucketed_join(pairs2, dup_h, on=["h"], how="semi", num_buckets=32)
+    return (
+        hits.map_batches(count_partial("doc_id", "pn"), batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("pn", alias_name="n_dup_spans"))
+        .map_batches(
+            lambda t: pa.table(
+                {"doc_id": t["doc_id"], "n_dup_spans": t["n_dup_spans"].cast(pa.int64())}
+            )
+            if len(t) and "doc_id" in t.schema.names
+            else pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_dup_spans": pa.array([], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+SQL_DUP_SPANS = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(tk)=0 OR (len(tk)=1 AND tk[1]='') THEN []
+         WHEN len(tk) < {DUP_SPAN_W} THEN [array_to_string(tk,' ')]
+         ELSE list_transform(range(1, len(tk)-{DUP_SPAN_W - 2}),
+                             i -> tk[i]||' '||tk[i+1]||' '||tk[i+2])
+    END AS spans
+  FROM toks
+),
+u0 AS (SELECT doc_id, unnest(spans) AS s FROM sh),
+u AS (SELECT DISTINCT doc_id, s FROM u0),
+d AS (SELECT s FROM u GROUP BY s HAVING COUNT(*) >= {DUP_SPAN_MIN_DOCS})
+SELECT u.doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans
+FROM u JOIN d ON d.s = u.s
+GROUP BY u.doc_id
+"""

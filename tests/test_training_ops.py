@@ -257,3 +257,39 @@ def test_model_score_loads_real_weights(tmp_path):
     np.save(p2, np.array([0.0, 1.0, 0.0, 0.0], dtype=np.float64))
     other = model_score(SF_DIR, model_path=p2).to_pandas()
     assert not other["model_score"].equals(base["model_score"])
+
+
+def test_dup_spans_counts_cross_doc_shared_spans(tmp_path):
+    """dup_spans = per-doc count of DISTINCT word-3-gram spans appearing
+    in >= 2 documents (the substring-dedup frequency signal).  Pinned on
+    a corpus with one known shared span and one repeated-within-one-doc
+    span (which must NOT count: distinct doc frequency is 1)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aiw_i2b2_etl_ray.pipelines.dedup import dup_spans
+
+    docs = {
+        1: "alpha beta gamma delta",        # spans: abg, bgd'
+        2: "zzz alpha beta gamma",          # shares 'alpha beta gamma' with 1
+        3: "one two three one two three",   # self-repeated span, no partner
+        4: "totally unrelated words here",
+    }
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(docs), pa.int64()),
+            "text": pa.array(list(docs.values()), pa.string()),
+            "lang": pa.array(["en"] * 4),
+            "source": pa.array(["s"] * 4),
+            "n_chars": pa.array([len(v) for v in docs.values()], pa.int64()),
+        }
+    )
+    d = str(tmp_path / "spans")
+    os.makedirs(d)
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+
+    got = dup_spans(d).to_pandas().set_index("doc_id")["n_dup_spans"].to_dict()
+    # only 'alpha beta gamma' is shared across documents
+    assert got == {1: 1, 2: 1}
