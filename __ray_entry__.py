@@ -139,6 +139,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "pack_sequences": mx.pack_sequences,  # context-window packing
             "weighted_sample": mx.weighted_sample,  # A-ES weighted selection
             "corpus_shuffle": mx.corpus_shuffle,  # deterministic epoch order
+            # deterministic train/val/test split census (new r5)
+            "corpus_split": mx.corpus_split,
+            # alpha=0.5 temperature-scaled source quotas (new r5)
+            "mix_temperature": mx.mix_temperature,
         }
     )
     from aiw_i2b2_etl_ray.sources import declarative as dl
@@ -209,6 +213,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "text_chunks": tx.text_chunks,
                 "text_rolling_fp": tx.text_rolling_fp,
                 "text_bpe_tokens": tx.text_bpe_tokens,
+                # bounded-vocab unigram-LM quality score (new r5)
+                "unigram_score": tx.unigram_score,
                 "multimodal_features": mm.multimodal_features,
                 "multimodal_frames": mm.frame_sample,
                 "multimodal_resize": mm.multimodal_resize,
@@ -243,12 +249,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_fingerprint",
         # cross-doc duplicated-span screen (new r5)
         "dup_spans",
-        # r04-green window funcs retained for a second row
-        "funnel_conversion",
-        "retention_cohorts",
+        # late-r5 additions (never driver-verified) take the slots of three
+        # r04-green stalwarts (funnel_conversion, retention_cohorts,
+        # approx_median_hist — all stay in the dict and local-green)
+        "corpus_split",
+        "mix_temperature",
+        "unigram_score",
         # sketches + curation sampling/mixing
         "approx_distinct_users",
-        "approx_median_hist",
         "sample_per_lang",
         "mix_sources",
         "pack_sequences",
@@ -461,6 +469,8 @@ def oracle_sql() -> dict[str, str]:
             "pack_sequences": mx.SQL_PACK_SEQUENCES,
             "weighted_sample": mx.SQL_WEIGHTED_SAMPLE,
             "corpus_shuffle": mx.SQL_CORPUS_SHUFFLE,
+            "corpus_split": mx.SQL_CORPUS_SPLIT,
+            "mix_temperature": mx.SQL_MIX_TEMPERATURE,
         }
     )
     from aiw_i2b2_etl_ray.sources import declarative as dl
@@ -515,6 +525,7 @@ def oracle_sql() -> dict[str, str]:
                 "vocab_topk": tx.SQL_VOCAB_TOPK,
                 "heavy_hitter_tokens": tx.SQL_HEAVY_HITTERS,
                 "text_chunks": tx.SQL_TEXT_CHUNKS,
+                "unigram_score": tx.SQL_UNIGRAM_SCORE,
             }
         )
         from aiw_i2b2_etl_ray.pipelines import multimodal as mm

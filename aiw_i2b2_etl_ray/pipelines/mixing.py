@@ -336,3 +336,170 @@ SELECT doc_id, n_chars, pick_rank FROM (
   FROM documents
 ) WHERE pick_rank <= {WEIGHTED_K}
 """
+
+
+# --- deterministic train/val/test split -------------------------------------
+
+SPLIT_TRAIN = 0.90  # md5-uniform draw below -> 'train'
+SPLIT_VAL = 0.95  # below -> 'val'; else 'test'
+
+
+def corpus_split(sf_dir: str) -> rd.Dataset:
+    """Deterministic train/val/test split manifest: every doc lands in a
+    split by its md5(doc_id) uniform draw (90/5/5), and the result is the
+    per-(source, split) census a training run checks before consuming the
+    splits.  Hash assignment (not rank) means the split of a given doc
+    NEVER changes when the corpus grows — the property that keeps eval
+    sets stable across crawl refreshes.
+
+    Plan: per-row hash decision + per-batch (source, split) partial
+    counts (combiner) -> a tiny keyed groupby; nothing corpus-sized ever
+    shuffles and nothing lands on the driver."""
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = md5_uniform52_of_ints(t["doc_id"].to_numpy())
+        split = np.where(
+            u < SPLIT_TRAIN, "train", np.where(u < SPLIT_VAL, "val", "test")
+        )
+        return (
+            pl.from_arrow(t)
+            .with_columns(pl.Series("split", split))
+            .group_by(["source", "split"])
+            .agg(
+                pl.len().cast(pl.Int64).alias("pn"),
+                pl.col("n_chars").sum().alias("pc"),
+            )
+            .to_arrow()
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", **worker_runtime_env())
+        .groupby(["source", "split"])
+        .aggregate(Sum("pn", alias_name="n_docs"), Sum("pc", alias_name="sum_chars"))
+    )
+
+
+SQL_CORPUS_SPLIT = f"""
+SELECT source,
+       CASE WHEN u < {SPLIT_TRAIN} THEN 'train'
+            WHEN u < {SPLIT_VAL} THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM (
+  SELECT source, n_chars,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+           / 4503599627370496.0 AS u
+  FROM documents
+)
+GROUP BY 1, 2
+"""
+
+
+# --- temperature-scaled source mixing ----------------------------------------
+
+TEMP_SCALE = 8.0  # quota_s = min(c_s, floor(TEMP_SCALE * sqrt(c_s)))
+
+
+def mix_temperature(sf_dir: str) -> rd.Dataset:
+    """Temperature-scaled source mixing at alpha = 0.5: each source's kept
+    quota is ``floor(TEMP_SCALE * sqrt(count_s))`` (capped at the source
+    size), the exponent-smoothing recipe multilingual/multi-source
+    pre-training uses to up-weight small sources relative to large ones
+    without oversampling.  sqrt is IEEE-correctly-rounded in both numpy
+    and the SQL oracle and TEMP_SCALE is a power of two, so the quota is
+    bit-exactly reproducible.  Selection inside a source is by md5 rank
+    (stable under growth of OTHER sources, reproducible across
+    partitionings).
+
+    Plan: pass 1 is a tiny per-source count fold (combiner partials ->
+    source-count-sized groupby -> driver fold bounded by the number of
+    sources); pass 2 broadcasts the quota dict and keeps a local
+    per-source top-quota inside each batch (combiner) before one keyed
+    final top-quota — at most quota rows per (batch, source) shuffle,
+    corpus-SUBLINEAR (O(sqrt(c_s)) per source) end to end."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .group_by("source")
+            .agg(pl.len().cast(pl.Int64).alias("pn"))
+            .to_arrow()
+        )
+
+    counts = (
+        ds.map_batches(count_partial, batch_format="pyarrow", **worker_runtime_env())
+        .groupby("source")
+        .aggregate(Sum("pn", alias_name="n"))
+    )
+    quotas: dict[str, int] = {}
+    for t in ray.get(counts.materialize().to_arrow_refs()):
+        if len(t) == 0 or "source" not in t.schema.names:
+            continue  # sort-groupby empty reduce partitions are schema-less
+        c = t["n"].to_numpy().astype(np.float64)
+        q = np.minimum(c, np.floor(TEMP_SCALE * np.sqrt(c))).astype(np.int64)
+        quotas.update(zip(t["source"].to_pylist(), q.tolist()))
+    quota_ref = ray.put(quotas)
+
+    class LocalTop:
+        """Combiner: per-source smallest-md5-rank quota rows of ONE batch."""
+
+        def __init__(self):
+            self.quotas = ray.get(quota_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            df = pl.from_arrow(t).with_columns(
+                pl.Series("rk", md5_hex_of_ints(t["doc_id"].to_numpy()))
+            )
+            return (
+                df.with_columns(
+                    pl.col("rk").rank("ordinal").over("source").alias("lrank"),
+                    pl.col("source")
+                    .replace_strict(self.quotas, default=0, return_dtype=pl.Int64)
+                    .alias("quota"),
+                )
+                .filter(pl.col("lrank") <= pl.col("quota"))
+                .select("doc_id", "source", "rk", "quota")
+                .to_arrow()
+            )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("rk", kind="mergesort").head(int(g["quota"].iloc[0]))
+        g = g.reset_index(drop=True)
+        g["pick_rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["source", "doc_id", "pick_rank"]]
+
+    return (
+        ds.map_batches(LocalTop, batch_format="pyarrow", concurrency=(1, 8), **worker_runtime_env())
+        .groupby("source")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+SQL_MIX_TEMPERATURE = f"""
+WITH q AS (
+  SELECT source,
+         LEAST(COUNT(*),
+               CAST(FLOOR({TEMP_SCALE} * sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT)
+         ) AS quota
+  FROM documents GROUP BY source
+), r AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR))
+         ) AS pick_rank
+  FROM documents
+)
+SELECT r.source, r.doc_id, r.pick_rank
+FROM r JOIN q USING (source)
+WHERE r.pick_rank <= q.quota
+"""

@@ -513,9 +513,16 @@ def vocab_topk(sf_dir: str) -> rd.Dataset:
         .aggregate(Sum("pn", alias_name="n"))
     )
 
+    # Ray's sort-groupby re-encodes large_string keys to string, so the
+    # guard's empty block matches that type (it feeds the type-strict sort)
+    _empty = pa.table({"token": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
     return (
         counts.map_batches(
-            lambda t: pa.table({"token": t["tok"], "n": t["n"].cast(pa.int64())}),
+            # sort-based groupby can emit a SCHEMA-LESS empty block when a
+            # reduce partition receives no rows — guard before indexing
+            lambda t: pa.table({"token": t["tok"], "n": t["n"].cast(pa.int64())})
+            if len(t) and "tok" in t.schema.names
+            else _empty,
             batch_format="pyarrow",
         )
         .sort([("n"), ("token")], descending=[True, False])
@@ -684,4 +691,143 @@ counts AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY tok)
 SELECT counts.tok AS token, counts.c AS n
 FROM counts, tot
 WHERE CAST(counts.c AS DOUBLE) >= {HH_PHI} * tot.n
+"""
+
+
+# --- bounded-vocab unigram quality score -------------------------------------
+
+UNI_V = 4096  # scoring vocabulary size (config-bounded broadcast)
+
+
+def unigram_score(sf_dir: str) -> rd.Dataset:
+    """Unigram-frequency quality score — the unigram-LM filter shape
+    (CCNet-style: score docs by how typical their tokens are of the
+    corpus) with EXACT oracle parity: per doc, the mean corpus-frequency
+    of its tokens over the bounded top-``UNI_V`` vocabulary, out-of-vocab
+    tokens counting 0.  All sums are int64 and the score is ONE final
+    IEEE int/int division, so engine and SQL agree bit-for-bit (the
+    log-surprisal variant differs only by a monotone transform and would
+    reintroduce libm-ULP flakiness; see functions/numeric.py).
+
+    Plan: pass 1 builds the vocabulary exactly like ``vocab_topk`` (the
+    shuffle carries (token, partial-count) pairs, never text; the
+    sort-limit runs on the distinct-vocab table, corpus-sublinear —
+    ``heavy_hitter_tokens`` is the bounded-memory alternative when even
+    that table is too wide); the top-V rows (config-sized) broadcast via
+    the object store; pass 2 is one streaming scoring pass, a polars
+    hash-join per batch against the broadcast vocab — no further
+    shuffle."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .select(pl.col("text").str.extract_all(_WORD).alias("tok"))
+            .explode("tok")
+            .drop_nulls()
+            .group_by("tok")
+            .agg(pl.len().cast(pl.Int64).alias("pn"))
+            .to_arrow()
+        )
+
+    vocab = (
+        ds.map_batches(partial, batch_format="pyarrow", **worker_runtime_env())
+        .groupby("tok")
+        .aggregate(Sum("pn", alias_name="n"))
+        .map_batches(
+            # guard: sort-groupby emits schema-less blocks for empty
+            # reduce partitions
+            lambda t: t
+            if len(t) and "tok" in t.schema.names
+            else pa.table(
+                {"tok": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        .sort([("n"), ("tok")], descending=[True, False])
+        .limit(UNI_V)
+    )
+    # UNI_V rows by construction — a config-bounded driver fold, like the
+    # heavy-hitter candidate set
+    parts = [
+        t
+        for t in ray.get(vocab.materialize().to_arrow_refs())
+        if len(t) and "tok" in t.schema.names
+    ]
+    vt = (
+        pa.concat_tables(parts)
+        if parts
+        else pa.table({"tok": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+    )
+    vocab_ref = ray.put(vt)
+
+    class Score:
+        """Pass 2: streaming per-doc mean vocab frequency (vocab fetched
+        once per actor from plasma, joined in the Rust kernel)."""
+
+        def __init__(self):
+            t = ray.get(vocab_ref)
+            self.vocab = pl.from_arrow(t).rename({"tok": "v_tok"})
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            df = pl.from_arrow(t)
+            base = df.with_row_index("ri").select(
+                "ri",
+                "doc_id",
+                pl.col("text").str.extract_all(_WORD).alias("toks"),
+            )
+            base = base.with_columns(
+                pl.col("toks").list.len().cast(pl.Int64).alias("n_tokens")
+            )
+            freq = (
+                base.select("ri", "toks")
+                .explode("toks")
+                .drop_nulls("toks")
+                .join(self.vocab, left_on="toks", right_on="v_tok", how="left")
+                .group_by("ri")
+                .agg(pl.col("n").fill_null(0).sum().alias("freq_sum"))
+            )
+            out = (
+                base.select("ri", "doc_id", "n_tokens")
+                .join(freq, on="ri", how="left")
+                .with_columns(pl.col("freq_sum").fill_null(0).cast(pl.Int64))
+                .with_columns(
+                    pl.when(pl.col("n_tokens") > 0)
+                    .then(pl.col("freq_sum") / pl.col("n_tokens"))
+                    .otherwise(None)
+                    .alias("uni_score")
+                )
+                .sort("ri")
+                .select("doc_id", "n_tokens", "freq_sum", "uni_score")
+            )
+            return out.to_arrow()
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(
+        Score, batch_format="pyarrow", concurrency=(1, 8), **worker_runtime_env()
+    )
+
+
+SQL_UNIGRAM_SCORE = f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST(regexp_extract_all(text, '{_WORD}')) AS tok FROM documents
+), vocab AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM tok
+  GROUP BY tok ORDER BY COUNT(*) DESC, tok LIMIT {UNI_V}
+), per_doc AS (
+  SELECT t.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(COALESCE(v.n, 0)) AS BIGINT) AS freq_sum
+  FROM tok t LEFT JOIN vocab v USING (tok)
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_tokens, 0) AS n_tokens,
+       COALESCE(p.freq_sum, 0) AS freq_sum,
+       COALESCE(p.freq_sum, 0) / NULLIF(COALESCE(p.n_tokens, 0), 0) AS uni_score
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
