@@ -419,14 +419,41 @@ def mix_temperature(sf_dir: str) -> rd.Dataset:
 
     Plan: pass 1 is a tiny per-source count fold (combiner partials ->
     source-count-sized groupby -> driver fold bounded by the number of
-    sources); pass 2 broadcasts the quota dict and keeps a local
-    per-source top-quota inside each batch (combiner) before one keyed
-    final top-quota — at most quota rows per (batch, source) shuffle,
-    corpus-SUBLINEAR (O(sqrt(c_s)) per source) end to end."""
+    sources); pass 2 is a deterministic hash-THRESHOLD pre-filter: keep a
+    doc iff its 52-bit md5 prefix draw <= SAFETY * quota_s / c_s.  The
+    prefix draw orders consistently with the full hex rank, so the
+    survivor set is a guaranteed superset of the top-quota whenever it
+    counts >= quota (counted per source on the driver, source-count-sized;
+    shortfall — Chernoff-tail rare — escalates the threshold x4 and
+    refilters).  Only the ~SAFETY*quota = O(sqrt(c_s)) survivors per
+    source ever shuffle into the exact rank stage, so no task receives a
+    whole source (a per-batch local top-quota combiner could NOT
+    guarantee this: at scale quota >> rows-per-source-per-batch and the
+    combiner never filters)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    counts = _source_counts(ds)
+    quotas = {
+        s: int(min(c, np.floor(TEMP_SCALE * np.sqrt(float(c))))) for s, c in counts.items()
+    }
+    survivors = _mix_survivors(ds, quotas, counts)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("rk", kind="mergesort").head(int(g["quota"].iloc[0]))
+        g = g.reset_index(drop=True)
+        g["pick_rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["source", "doc_id", "pick_rank"]]
+
+    return survivors.groupby("source").map_groups(final, batch_format="pandas")
+
+
+MIX_SAFETY = 2.0  # threshold head-room: expected survivors = SAFETY * quota
+
+
+def _source_counts(ds: rd.Dataset) -> dict[str, int]:
+    """Per-source row counts: combiner partials -> source-keyed groupby ->
+    driver fold bounded by the number of sources."""
     import ray
     from ray.data.aggregate import Sum
-
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
 
     def count_partial(t: pa.Table) -> pa.Table:
         return (
@@ -436,53 +463,75 @@ def mix_temperature(sf_dir: str) -> rd.Dataset:
             .to_arrow()
         )
 
-    counts = (
+    agg = (
         ds.map_batches(count_partial, batch_format="pyarrow", **worker_runtime_env())
         .groupby("source")
         .aggregate(Sum("pn", alias_name="n"))
     )
-    quotas: dict[str, int] = {}
-    for t in ray.get(counts.materialize().to_arrow_refs()):
+    counts: dict[str, int] = {}
+    for t in ray.get(agg.materialize().to_arrow_refs()):
         if len(t) == 0 or "source" not in t.schema.names:
             continue  # sort-groupby empty reduce partitions are schema-less
-        c = t["n"].to_numpy().astype(np.float64)
-        q = np.minimum(c, np.floor(TEMP_SCALE * np.sqrt(c))).astype(np.int64)
-        quotas.update(zip(t["source"].to_pylist(), q.tolist()))
-    quota_ref = ray.put(quotas)
+        counts.update(zip(t["source"].to_pylist(), t["n"].to_pylist()))
+    return counts
 
-    class LocalTop:
-        """Combiner: per-source smallest-md5-rank quota rows of ONE batch."""
 
-        def __init__(self):
-            self.quotas = ray.get(quota_ref)
+def _mix_survivors(
+    ds: rd.Dataset, quotas: dict[str, int], counts: dict[str, int]
+) -> rd.Dataset:
+    """Materialized superset of each source's top-quota docs by md5 rank,
+    O(sqrt(c_s)) rows per source: threshold filter on the 52-bit md5
+    prefix, escalated x4 on the (rare) per-source shortfall.  Correctness
+    of the superset: the 52-bit draw is a PREFIX of the hex rank, so
+    u52(a) < u52(b) implies rk(a) < rk(b); if >= quota docs pass the
+    threshold, the quota-th doc by rank must itself pass it."""
+    import ray
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            df = pl.from_arrow(t).with_columns(
-                pl.Series("rk", md5_hex_of_ints(t["doc_id"].to_numpy()))
-            )
-            return (
-                df.with_columns(
-                    pl.col("rk").rank("ordinal").over("source").alias("lrank"),
-                    pl.col("source")
-                    .replace_strict(self.quotas, default=0, return_dtype=pl.Int64)
-                    .alias("quota"),
+    thr = {
+        s: min(1.0, MIX_SAFETY * q / max(counts[s], 1)) for s, q in quotas.items()
+    }
+    while True:
+        thr_ref = ray.put((thr, quotas))
+
+        class Keep:
+            def __init__(self):
+                self.thr, self.quotas = ray.get(thr_ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                ids = t["doc_id"].to_numpy()
+                df = pl.from_arrow(t).with_columns(
+                    pl.Series("u", md5_uniform52_of_ints(ids)),
+                    pl.Series("rk", md5_hex_of_ints(ids)),
                 )
-                .filter(pl.col("lrank") <= pl.col("quota"))
-                .select("doc_id", "source", "rk", "quota")
-                .to_arrow()
-            )
+                return (
+                    df.with_columns(
+                        pl.col("source")
+                        .replace_strict(self.thr, default=1.0, return_dtype=pl.Float64)
+                        .alias("thr"),
+                        pl.col("source")
+                        .replace_strict(self.quotas, default=0, return_dtype=pl.Int64)
+                        .alias("quota"),
+                    )
+                    .filter(pl.col("u") <= pl.col("thr"))
+                    .select("doc_id", "source", "rk", "quota")
+                    .to_arrow()
+                )
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("rk", kind="mergesort").head(int(g["quota"].iloc[0]))
-        g = g.reset_index(drop=True)
-        g["pick_rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["source", "doc_id", "pick_rank"]]
-
-    return (
-        ds.map_batches(LocalTop, batch_format="pyarrow", concurrency=(1, 8), **worker_runtime_env())
-        .groupby("source")
-        .map_groups(final, batch_format="pandas")
-    )
+        survivors = ds.map_batches(
+            Keep, batch_format="pyarrow", concurrency=(1, 8), **worker_runtime_env()
+        ).materialize()
+        # survivor CENSUS only (source-count-sized), never the rows
+        got: dict[str, int] = {s: 0 for s in quotas}
+        for t in ray.get(survivors.to_arrow_refs()):
+            if len(t) == 0 or "source" not in t.schema.names:
+                continue
+            for s, n in zip(*np.unique(t["source"].to_numpy(zero_copy_only=False), return_counts=True)):
+                got[str(s)] = got.get(str(s), 0) + int(n)
+        short = [s for s, q in quotas.items() if got.get(s, 0) < q and thr[s] < 1.0]
+        if not short:
+            return survivors
+        for s in short:
+            thr[s] = min(1.0, thr[s] * 4.0)
 
 
 SQL_MIX_TEMPERATURE = f"""

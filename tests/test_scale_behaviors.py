@@ -474,3 +474,59 @@ def test_verify_pairs_join_fallback_matches_broadcast():
     finally:
         dd.TEXT_BROADCAST_LIMIT = orig
     pd.testing.assert_frame_equal(joined, broadcast)
+
+
+def test_mix_temperature_rank_stage_never_sees_a_whole_source(tmp_path):
+    """The scale contract of mix_temperature: the exact-rank stage only
+    receives the hash-threshold SURVIVORS — O(sqrt(c)) per source — never
+    the whole source (a per-batch top-quota combiner cannot guarantee
+    this because at scale quota >> rows-per-batch-per-source).  Also pins
+    the superset property: the selected set equals the brute-force
+    ROW_NUMBER-by-md5-rank answer."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from aiw_i2b2_etl_ray.pipelines import mixing as mx
+
+    n = 20_000
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "source": pa.array(["s0"] * n),
+        }
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "text": pa.array(["x"] * n),
+                "lang": pa.array(["en"] * n),
+                "source": t["source"],
+                "n_chars": pa.array(np.ones(n, dtype=np.int64)),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    ds = rd.read_parquet(str(tmp_path / "documents.parquet"), columns=["doc_id", "source"])
+    counts = mx._source_counts(ds)
+    assert counts == {"s0": n}
+    quota = int(min(n, np.floor(mx.TEMP_SCALE * np.sqrt(float(n)))))
+    survivors = mx._mix_survivors(ds, {"s0": quota}, counts)
+    n_surv = survivors.count()
+    # superset (>= quota) but sublinear (threshold keeps ~2*quota of 20k)
+    assert quota <= n_surv < n // 4, (quota, n_surv, n)
+
+    got = mx.mix_temperature(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    exp = con.sql(
+        mx.SQL_MIX_TEMPERATURE.replace(
+            "FROM documents", f"FROM read_parquet('{tmp_path}/documents.parquet')"
+        )
+    ).df()
+    got = got.sort_values("pick_rank").reset_index(drop=True)
+    exp = exp.sort_values("pick_rank").reset_index(drop=True)
+    assert len(got) == quota == len(exp)
+    assert (got["doc_id"].to_numpy() == exp["doc_id"].to_numpy()).all()
