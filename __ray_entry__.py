@@ -169,6 +169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from aiw_i2b2_etl_ray.pipelines import graph_cc as gc
         from aiw_i2b2_etl_ray.pipelines import ann_index as anx
         from aiw_i2b2_etl_ray.pipelines import similarity as sim
+        from aiw_i2b2_etl_ray.pipelines import clustering as clu
         from aiw_i2b2_etl_ray.pipelines import textops as tx
         from aiw_i2b2_etl_ray.pipelines import multimodal as mm
 
@@ -194,6 +195,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 # rotates into the driver window in r5 — see COVERAGE.md)
                 "decontaminate": cu.decontaminate,
                 "model_score": inf.model_score,  # batched inference actor pool
+                # spherical k-means: broadcast-centroid assignment (the
+                # SemDeDup / cluster-based-selection partitioning step) and
+                # the iterative Lloyd refinement (K x dim mergeable partials)
+                "cluster_assign": clu.cluster_assign,
+                "kmeans_refine": clu.kmeans_refine,
                 "ann_topk": sim.ann_topk,
                 "ann_lsh": sim.ann_lsh_topk,
                 "ann_ivf": sim.ann_ivf_topk,
@@ -261,12 +267,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mix_sources",
         "pack_sequences",
         "weighted_sample",
-        # declarative/extraction family (local-only through r03)
+        # declarative/extraction family
         "declarative_read_phenotype",
         "ontology_with_totals",
         "value_precedence",
-        "date_resolution",
-        "visit_default",
+        # spherical k-means (new r5, never driver-verified) takes the slots
+        # of date_resolution/visit_default (both r04 driver-green; they stay
+        # in the dict and local-oracle-green)
+        "cluster_assign",
+        "kmeans_refine",
         # dedup family (dedup_exact: driver-green r01+r02, rotated out)
         "dedup_minhash",
         "dedup_incremental",
@@ -495,6 +504,7 @@ def oracle_sql() -> dict[str, str]:
         from aiw_i2b2_etl_ray.pipelines import dedup as dd
         from aiw_i2b2_etl_ray.pipelines import graph_cc as gc
         from aiw_i2b2_etl_ray.pipelines import similarity as sim
+        from aiw_i2b2_etl_ray.pipelines import clustering as clu
         from aiw_i2b2_etl_ray.pipelines import textops as tx
 
         sql.update(
@@ -516,6 +526,8 @@ def oracle_sql() -> dict[str, str]:
                 "dedup_incremental": dd.SQL_DEDUP_MINHASH,  # convergence contract
                 "dedup_ngram_jaccard": dd.SQL_DEDUP_NGRAM_JACCARD,
                 "ann_topk": sim.SQL_ANN_TOPK,
+                "cluster_assign": clu.SQL_CLUSTER_ASSIGN,
+                "kmeans_refine": clu.SQL_KMEANS_REFINE,
                 "text_tokens": tx.SQL_TEXT_TOKENS,
                 "text_quality": tx.SQL_TEXT_QUALITY,
                 "text_langid": tx.SQL_TEXT_LANGID,
