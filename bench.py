@@ -170,6 +170,7 @@ def run_queries() -> dict[str, float]:
         "pack_sequences",
         "text_chunks",
         "corpus_shuffle",
+        "kmeans_refine",
     ]
     q = e.queries()
     out = {}
