@@ -465,3 +465,35 @@ def test_kmeans_refine_moves_centroids():
     # set and the census summing to the corpus
     assert out["n_vecs"].sum() == 100
     assert (out["n_vecs"] > 0).all()
+
+
+def test_kmeans_census_tolerates_empty_reduce_blocks(tmp_path):
+    """Same sort-groupby schema-less-empty-block regression class as
+    heavy_hitter_tokens: a K-sized cluster domain spread over many row
+    groups forces most census reduce partitions empty; the final fold
+    must skip blocks without the expected columns."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aiw_i2b2_etl_ray.pipelines import clustering as cl
+
+    rng = np.random.default_rng(3)
+    n, dim = 1000, 8
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32())),
+            "label": pa.array(np.zeros(n, dtype=np.int32)),
+        }
+    )
+    d = str(tmp_path / "km_empty")
+    os.makedirs(d)
+    pq.write_table(t, os.path.join(d, "embeddings.parquet"), row_group_size=25)
+
+    out = cl.kmeans_refine(d).to_pandas()
+    assert out["n_vecs"].sum() == n
+    assert len(out) <= cl.CLUSTER_K
