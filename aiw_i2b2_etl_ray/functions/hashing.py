@@ -114,6 +114,18 @@ def rolling_fingerprint(col: pa.Array | pa.ChunkedArray, *, window: int = 8) -> 
     offs = offs - start
     data = flat[start : start + offs[-1]]
     lens = np.diff(offs)
+    # honor the validity bitmap: Arrow permits null slots with NON-zero
+    # offset extents (validity-masked pre-filled buffers, some compute/IPC
+    # paths) — such a slot must fingerprint to 0, and its garbage bytes
+    # must not leak into a neighboring row's reduceat segment
+    null_rows = np.empty(0, np.int64)
+    if bufs[0] is not None:
+        bits = np.frombuffer(bufs[0], np.uint8)
+        idx = np.arange(col.offset, col.offset + n_rows)
+        valid = ((bits[idx >> 3] >> (idx & 7)) & 1).astype(bool)
+        null_rows = np.flatnonzero(~valid)
+        lens = lens.copy()
+        lens[null_rows] = 0
     base = np.uint64(1099511628211)
     pw = np.empty(window, dtype=np.uint64)
     pw[0] = np.uint64(1)
@@ -135,6 +147,10 @@ def rolling_fingerprint(col: pa.Array | pa.ChunkedArray, *, window: int = 8) -> 
         inv_hi = np.clip(offs[1:], 0, nacc)
         np.add.at(delta, inv_lo, 1)
         np.add.at(delta, inv_hi, -1)
+        if null_rows.size:
+            # mask the WHOLE extent of null slots, not just their tails
+            np.add.at(delta, np.clip(offs[:-1][null_rows], 0, nacc), 1)
+            np.add.at(delta, np.clip(offs[1:][null_rows], 0, nacc), -1)
         acc[np.cumsum(delta[:-1]) > 0] = np.uint64(0xFFFFFFFFFFFFFFFF)
         out[long_rows] = np.minimum.reduceat(acc, offs[:-1][long_rows])
 
@@ -180,6 +196,11 @@ def md5_digests_of_ints(ids: np.ndarray) -> np.ndarray:
     n = ids.size
     if n == 0:
         return np.empty((0, 16), np.uint8)
+    if ids.min() < 0:
+        # a negative id would wrap to a signless 20-digit decimal (wrong
+        # vs DuckDB md5(CAST(id AS VARCHAR)) AND outside the word-0..4
+        # nonzero assumption below) — fail loudly instead
+        raise ValueError("md5_digests_of_ints requires non-negative ids")
     # decimal digits, pure numpy (np.char.* is per-element Python): extract
     # right-aligned then left-shift each row by its leading-zero count
     digits = np.zeros((n, 20), np.uint8)
@@ -224,15 +245,27 @@ def md5_digests_of_ints(ids: np.ndarray) -> np.ndarray:
     return out.view(np.uint8).reshape(n, 16)
 
 
-def md5_hex_of_ints(ids: np.ndarray) -> np.ndarray:
-    """Lowercase-hex md5(str(i)) per int — == ``hashlib.md5(...).hexdigest()``
-    and DuckDB's ``md5(CAST(i AS VARCHAR))``; returned as a numpy U32 array
+def md5_hex_from_digests(dig: np.ndarray) -> np.ndarray:
+    """Lowercase-hex of an (n, 16) digest matrix as a numpy U32 array
     (hex string order == digest byte order, so it sorts like the oracle)."""
-    dig = md5_digests_of_ints(ids)
     hx = np.empty((dig.shape[0], 32), np.uint8)
     hx[:, 0::2] = _HEX_LUT[dig >> 4]
     hx[:, 1::2] = _HEX_LUT[dig & 0x0F]
     return hx.view("S32").ravel().astype("U32")
+
+
+def md5_uniform52_from_digests(dig: np.ndarray) -> np.ndarray:
+    """First 52 bits of an (n, 16) digest matrix as uniform float64 in
+    [0, 1) — shares one compression pass with the hex rank (the uniform
+    is a PREFIX of the hex order)."""
+    u64 = dig[:, :8].copy().view(">u8").ravel()
+    return (u64 >> np.uint64(12)).astype(np.float64) / float(1 << 52)
+
+
+def md5_hex_of_ints(ids: np.ndarray) -> np.ndarray:
+    """Lowercase-hex md5(str(i)) per int — == ``hashlib.md5(...).hexdigest()``
+    and DuckDB's ``md5(CAST(i AS VARCHAR))``."""
+    return md5_hex_from_digests(md5_digests_of_ints(ids))
 
 
 def md5_uniform32_of_ints(ids: np.ndarray) -> np.ndarray:
@@ -246,6 +279,4 @@ def md5_uniform32_of_ints(ids: np.ndarray) -> np.ndarray:
 def md5_uniform52_of_ints(ids: np.ndarray) -> np.ndarray:
     """First 13 hex digits (52 bits — mantissa-exact) of md5(str(i)) as a
     uniform float64 in [0, 1) — the A-ES weighted-sampling draw."""
-    dig = md5_digests_of_ints(ids)
-    u64 = dig[:, :8].copy().view(">u8").ravel()
-    return (u64 >> np.uint64(12)).astype(np.float64) / float(1 << 52)
+    return md5_uniform52_from_digests(md5_digests_of_ints(ids))

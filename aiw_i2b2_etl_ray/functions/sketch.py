@@ -24,6 +24,37 @@ def _shingle_strings(text: str, n: int) -> list[str]:
     return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
 
 
+def distinct_doc_shingle_pairs(
+    ids: np.ndarray, texts: pa.Array, n: int, *, as_int64: bool = False
+) -> pa.Table:
+    """Per-doc DISTINCT (doc_id, shingle-hash) pairs for one batch — one
+    flat vectorized shingle pass + the lexsort dedup trick.  Docs never
+    split across map_batches batches (a row is atomic), so per-batch
+    distinct pairs are globally distinct; summed per-batch partial counts
+    downstream ARE distinct counts.  ``as_int64`` re-views the uint64
+    xxhash as int64 (wrap bijection) for Ray's sort-based groupby, which
+    round-trips keys through Python ints and overflows C long on raw
+    uint64.  Shared by dedup.dup_spans and curation.decontaminate's
+    distributed arm."""
+    out_type = np.int64 if as_int64 else np.uint64
+    if len(ids) == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "h": pa.array([], pa.from_numpy_dtype(out_type))}
+        )
+    hashes, offsets = _batch_shingle_hashes(texts, n)
+    di = np.repeat(np.arange(len(ids)), np.diff(offsets))
+    order = np.lexsort((hashes, di))
+    d_s, h_s = di[order], hashes[order]
+    new = np.ones(len(d_s), dtype=bool)
+    new[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[d_s[new]], pa.int64()),
+            "h": pa.array(h_s[new].view(out_type)),
+        }
+    )
+
+
 def _batch_shingle_hashes(
     texts: pa.Array, n: int
 ) -> tuple[np.ndarray, np.ndarray]:

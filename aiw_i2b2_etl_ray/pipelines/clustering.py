@@ -270,11 +270,15 @@ def _sql_one_iter(prev_cent_cte: str, out_name: str) -> str:
 )"""
 
 
+_SQL_ITER_CHAIN = ",".join(
+    _sql_one_iter(f"cent{i}", f"cent{i + 1}") for i in range(KMEANS_ITERS)
+)
+
 SQL_KMEANS_REFINE = f"""
 WITH cent0 AS (
   SELECT vec_id AS cluster_id, CAST(embedding AS DOUBLE[]) AS ce
   FROM embeddings WHERE vec_id < {CLUSTER_K}
-),{_sql_one_iter("cent0", "cent1")},{_sql_one_iter("cent1", "cent2")},
+),{_SQL_ITER_CHAIN},
 final_assign AS (
   SELECT vec_id, cluster_id FROM (
     SELECT e.vec_id, c.cluster_id,
@@ -284,7 +288,7 @@ final_assign AS (
                         DESC,
                       c.cluster_id ASC
            ) AS rn
-    FROM embeddings e CROSS JOIN cent2 c
+    FROM embeddings e CROSS JOIN cent{KMEANS_ITERS} c
   ) WHERE rn = 1
 )
 SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_vecs

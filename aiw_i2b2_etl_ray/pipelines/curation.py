@@ -259,7 +259,7 @@ def _decontaminate_distributed(docs: rd.Dataset, bench_partials: rd.Dataset) -> 
 
     from ray.data.aggregate import Sum
 
-    from ..functions.sketch import _batch_shingle_hashes
+    from ..functions.sketch import distinct_doc_shingle_pairs
     from ..stages.join import bucketed_join
 
     empty_pairs = pa.table(
@@ -271,18 +271,9 @@ def _decontaminate_distributed(docs: rd.Dataset, bench_partials: rd.Dataset) -> 
         t = t.filter(pa.array(ids % BENCH_MOD != 0))
         if len(t) == 0:
             return empty_pairs
-        hashes, offsets = _batch_shingle_hashes(t["text"].combine_chunks(), 3)
-        ids = t["doc_id"].to_numpy()
-        di = np.repeat(np.arange(len(t)), np.diff(offsets))
-        order = np.lexsort((hashes, di))
-        d_s, h_s = di[order], hashes[order]
-        new = np.ones(len(d_s), dtype=bool)
-        new[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
-        return pa.table(
-            {
-                "doc_id": pa.array(ids[d_s[new]], pa.int64()),
-                "h": pa.array(h_s[new], pa.uint64()),
-            }
+        # shared flat-shingle + lexsort-dedup kernel (functions/sketch)
+        return distinct_doc_shingle_pairs(
+            t["doc_id"].to_numpy(), t["text"].combine_chunks(), 3
         )
 
     pairs = docs.map_batches(pair_emit, batch_format="pyarrow", **worker_runtime_env())

@@ -248,10 +248,15 @@ def bucket_pairs(g: pa.Table, *, cap: int | None = None) -> pa.Table:
     rep_of_row = reps[grp]
     member = ids_s != rep_of_row  # rep < member, so (rep, member) is ordered
     iu = np.triu_indices(reps.size, k=1)
+    # reps is ordered by DIGEST value, not doc id — orient every rep-rep
+    # pair (min, max) so it dedups against the same pair emitted as
+    # all-pairs by an uncapped bucket of another band (the pair dedup in
+    # verify_candidate_pairs is orientation-sensitive)
+    ra, rb = reps[iu[0]], reps[iu[1]]
     return pa.table(
         {
-            "doc_a": pa.array(np.concatenate([rep_of_row[member], reps[iu[0]]])),
-            "doc_b": pa.array(np.concatenate([ids_s[member], reps[iu[1]]])),
+            "doc_a": pa.array(np.concatenate([rep_of_row[member], np.minimum(ra, rb)])),
+            "doc_b": pa.array(np.concatenate([ids_s[member], np.maximum(ra, rb)])),
         }
     )
 
@@ -750,30 +755,14 @@ DUP_SPAN_MIN_DOCS = 2
 
 
 def _span_pairs(t: pa.Table) -> pa.Table:
-    """Per-doc DISTINCT (doc_id, span-hash) pairs for one batch — one flat
-    vectorized shingle pass + the lexsort dedup trick.  Docs never split
-    across batches, so per-batch-distinct pairs are globally distinct."""
-    if len(t) == 0:
-        return pa.table(
-            {"doc_id": pa.array([], pa.int64()), "h": pa.array([], pa.int64())}
-        )
-    hashes, offsets = sketch._batch_shingle_hashes(
-        t["text"].combine_chunks(), DUP_SPAN_W
-    )
-    ids = t["doc_id"].to_numpy()
-    di = np.repeat(np.arange(len(t)), np.diff(offsets))
-    order = np.lexsort((hashes, di))
-    d_s, h_s = di[order], hashes[order]
-    new = np.ones(len(d_s), dtype=bool)
-    new[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
-    # int64 VIEW of the xxhash64 (wrap bijection): Ray's sort-based
-    # groupby round-trips keys through Python ints and overflows C long on
-    # raw uint64 values — identity is all the key needs
-    return pa.table(
-        {
-            "doc_id": pa.array(ids[d_s[new]], pa.int64()),
-            "h": pa.array(h_s[new].view(np.int64)),
-        }
+    """Per-doc DISTINCT (doc_id, span-hash) pairs for one batch — the
+    shared flat-shingle + lexsort-dedup kernel (functions/sketch), with
+    the hash re-viewed int64 for Ray's sort-based groupby."""
+    return sketch.distinct_doc_shingle_pairs(
+        t["doc_id"].to_numpy() if len(t) else np.empty(0, np.int64),
+        t["text"].combine_chunks(),
+        DUP_SPAN_W,
+        as_int64=True,
     )
 
 

@@ -498,13 +498,21 @@ def _mix_survivors(
                 self.thr, self.quotas = ray.get(thr_ref)
 
             def __call__(self, t: pa.Table) -> pa.Table:
-                ids = t["doc_id"].to_numpy()
-                df = pl.from_arrow(t).with_columns(
-                    pl.Series("u", md5_uniform52_of_ints(ids)),
-                    pl.Series("rk", md5_hex_of_ints(ids)),
+                from ..functions.hashing import (
+                    md5_digests_of_ints,
+                    md5_hex_from_digests,
+                    md5_uniform52_from_digests,
                 )
-                return (
-                    df.with_columns(
+
+                ids = t["doc_id"].to_numpy()
+                # ONE compression pass: the u52 draw and the hex rank come
+                # from the same digest matrix (u52 is a prefix of the hex
+                # order), and the hex expansion runs only on survivors
+                dig = md5_digests_of_ints(ids)
+                df = (
+                    pl.from_arrow(t)
+                    .with_columns(
+                        pl.Series("u", md5_uniform52_from_digests(dig)),
                         pl.col("source")
                         .replace_strict(self.thr, default=1.0, return_dtype=pl.Float64)
                         .alias("thr"),
@@ -512,7 +520,14 @@ def _mix_survivors(
                         .replace_strict(self.quotas, default=0, return_dtype=pl.Int64)
                         .alias("quota"),
                     )
+                    .with_row_index("_ri")
                     .filter(pl.col("u") <= pl.col("thr"))
+                )
+                keep = df["_ri"].to_numpy()
+                return (
+                    df.with_columns(
+                        pl.Series("rk", md5_hex_from_digests(dig[keep]))
+                    )
                     .select("doc_id", "source", "rk", "quota")
                     .to_arrow()
                 )

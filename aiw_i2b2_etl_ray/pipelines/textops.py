@@ -781,7 +781,9 @@ def unigram_score(sf_dir: str) -> rd.Dataset:
                 pl.col("text").str.extract_all(_WORD).alias("toks"),
             )
             base = base.with_columns(
-                pl.col("toks").list.len().cast(pl.Int64).alias("n_tokens")
+                # null text -> null token list; the oracle COALESCEs
+                # n_tokens to 0 (left join misses), so fill here too
+                pl.col("toks").list.len().cast(pl.Int64).fill_null(0).alias("n_tokens")
             )
             freq = (
                 base.select("ri", "toks")

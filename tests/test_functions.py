@@ -182,3 +182,42 @@ def test_vectorized_md5_matches_hashlib():
     assert np.allclose(
         md5_uniform52_of_ints(ids), [int(r[:13], 16) / 2**52 for r in refs]
     )
+
+
+def test_md5_of_ints_rejects_negative_ids():
+    """A negative id would wrap to a signless 20-digit decimal (wrong vs
+    DuckDB md5(CAST(id AS VARCHAR)) and outside the kernel's word-0..4
+    nonzero assumption) — the kernel must fail loudly, not hash wrong."""
+    import numpy as np
+    import pytest
+
+    from aiw_i2b2_etl_ray.functions.hashing import md5_digests_of_ints
+
+    with pytest.raises(ValueError):
+        md5_digests_of_ints(np.array([3, -1], dtype=np.int64))
+
+
+def test_rolling_fingerprint_masked_validity_extents():
+    """Arrow permits null slots with NON-zero offset extents (validity
+    mask over pre-filled buffers); such slots must fingerprint to 0 and
+    their garbage bytes must not leak into neighbors' minima."""
+    import numpy as np
+    import pyarrow as pa
+
+    from aiw_i2b2_etl_ray.functions.hashing import rolling_fingerprint
+
+    base = pa.array(
+        ["hello world over the window", "GARBAGEBYTES" * 3, "quick brown fox jumps"]
+    )
+    bufs = base.buffers()
+    validity = np.array([0b101], np.uint8)  # row 1 null, extent kept
+    masked = pa.Array.from_buffers(
+        pa.string(), len(base), [pa.py_buffer(validity.tobytes()), bufs[1], bufs[2]]
+    )
+    ref = pa.array([base[0].as_py(), None, base[2].as_py()])
+    assert rolling_fingerprint(masked).to_pylist() == rolling_fingerprint(ref).to_pylist()
+    # sliced view of the masked array keeps the bitmap offset math right
+    assert (
+        rolling_fingerprint(masked.slice(1, 2)).to_pylist()
+        == rolling_fingerprint(ref.slice(1, 2)).to_pylist()
+    )

@@ -414,6 +414,27 @@ def test_minhash_degenerate_bucket_bounded(monkeypatch, tmp_path):
     assert len(roots) == 1, f"sparsification broke connectivity: {len(roots)} comps"
 
 
+def test_bucket_pairs_capped_orientation():
+    """Regression: the capped path's rep-rep pairs were ordered by text
+    DIGEST value, not doc id — a reversed (doc_a > doc_b) pair escapes
+    the orientation-sensitive drop_duplicates in verify_candidate_pairs
+    and the same logical pair from an uncapped bucket of another band
+    double-emits.  All emitted pairs must satisfy doc_a < doc_b."""
+    import numpy as np
+    import pyarrow as pa
+
+    from aiw_i2b2_etl_ray.pipelines.dedup import bucket_pairs
+
+    # two digest groups where the LOWER digest holds the HIGHER doc ids
+    ids = np.array([10, 11, 12, 0, 1, 2], dtype=np.int64)
+    digs = np.array([5, 5, 5, 9, 9, 9], dtype=np.int64)
+    g = pa.table({"doc_id": pa.array(ids), "dig": pa.array(digs)})
+    out = bucket_pairs(g, cap=3).to_pandas()
+    assert (out["doc_a"] < out["doc_b"]).all(), out
+    # stars: 11->10, 12->10, 1->0, 2->0; rep pair oriented (0, 10)
+    assert {(0, 10)} <= set(map(tuple, out[["doc_a", "doc_b"]].to_numpy()))
+
+
 def test_decontaminate_distributed_branch(monkeypatch):
     """The benchmark shingle set is corpus-proportional under the
     doc_id % BENCH_MOD membership rule, so its driver gather is counted

@@ -497,3 +497,33 @@ def test_kmeans_census_tolerates_empty_reduce_blocks(tmp_path):
     out = cl.kmeans_refine(d).to_pandas()
     assert out["n_vecs"].sum() == n
     assert len(out) <= cl.CLUSTER_K
+
+
+def test_unigram_score_null_text_matches_oracle(tmp_path):
+    """Null text -> n_tokens 0 (not NULL): the oracle's left join
+    COALESCEs missing docs to 0, so the engine must fill the null token
+    list's length too (uni_score stays NULL via the n_tokens > 0 guard,
+    matching NULLIF)."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aiw_i2b2_etl_ray.pipelines.textops import unigram_score
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["alpha beta", None, "alpha"], pa.string()),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(["s"] * 3),
+            "n_chars": pa.array([10, 0, 5], pa.int64()),
+        }
+    )
+    d = str(tmp_path / "nulltext")
+    os.makedirs(d)
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+    got = unigram_score(d).to_pandas().set_index("doc_id")
+    assert got.loc[2, "n_tokens"] == 0 and got.loc[2, "freq_sum"] == 0
+    assert pd.isna(got.loc[2, "uni_score"])
