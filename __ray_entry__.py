@@ -36,6 +36,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_key_map": cq.cdc_key_map,  # surrogate-id mapping table
         "cdc_repo_map": cq.cdc_repo_map,  # repo-level mapping (PATIENT_MAPPING)
         "cdc_state_asof": cq.cdc_state_asof,  # time-travel state read
+        # incremental snapshot diff between two sequence cuts (added late
+        # r5; only touched keys shuffle — the delta-sync read)
+        "cdc_state_diff": cq.cdc_state_diff,
         "cdc_change_fact_mod": cq.cdc_change_fact_mod,  # modifier fan-out
         "cdc_modifier_dim": cq.cdc_modifier_dim,  # modifier_dimension analog
         "cdc_author_dim": cq.cdc_author_dim,  # provider_dimension analog
@@ -270,7 +273,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # declarative/extraction family
         "declarative_read_phenotype",
         "ontology_with_totals",
-        "value_precedence",
+        # incremental snapshot diff (new late r5, never driver-verified)
+        # takes value_precedence's slot (r04 driver-green; stays in the
+        # dict and local-oracle-green)
+        "cdc_state_diff",
         # spherical k-means (new r5, never driver-verified) takes the slots
         # of date_resolution/visit_default (both r04 driver-green; they stay
         # in the dict and local-oracle-green)
@@ -328,6 +334,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_key_map": cq.SQL_KEY_MAP,
         "cdc_repo_map": cq.SQL_REPO_MAP,
         "cdc_state_asof": cq.SQL_STATE_ASOF,
+        "cdc_state_diff": cq.SQL_STATE_DIFF,
         "cdc_change_fact_mod": cq.SQL_CHANGE_FACT_MOD,
         "cdc_modifier_dim": cq.SQL_MODIFIER_DIM,
         "cdc_author_dim": cq.SQL_AUTHOR_DIM,
