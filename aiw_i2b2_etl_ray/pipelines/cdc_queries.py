@@ -512,7 +512,13 @@ def cdc_state_diff(sf_dir: str) -> rd.Dataset:
 
     win = facts.map_batches(in_window, batch_format="pyarrow")
     prior = facts.map_batches(upto_a, batch_format="pyarrow")
-    touched = win.select_columns(["repo", "path"])
+    # map-side dedup of the touched-key set: a key changed N times in the
+    # window must ship ONE key row into the semi-join exchange, not N
+    # (bucketed_join dedups right keys only after the all-to-all)
+    touched = win.select_columns(["repo", "path"]).map_batches(
+        lambda t: t.group_by(["repo", "path"]).aggregate([]),
+        batch_format="pyarrow",
+    )
     prior_t = bucketed_join(prior, touched, on=["repo", "path"], how="semi", num_buckets=32)
     hist = prior_t.union(win)
 

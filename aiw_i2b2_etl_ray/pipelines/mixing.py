@@ -25,8 +25,11 @@ import pyarrow as pa
 import ray.data as rd
 
 from ..functions.hashing import (
+    md5_digests_of_ints,
+    md5_hex_from_digests,
     md5_hex_of_ints,
     md5_uniform32_of_ints,
+    md5_uniform52_from_digests,
     md5_uniform52_of_ints,
 )
 from ..util import worker_runtime_env
@@ -498,12 +501,6 @@ def _mix_survivors(
                 self.thr, self.quotas = ray.get(thr_ref)
 
             def __call__(self, t: pa.Table) -> pa.Table:
-                from ..functions.hashing import (
-                    md5_digests_of_ints,
-                    md5_hex_from_digests,
-                    md5_uniform52_from_digests,
-                )
-
                 ids = t["doc_id"].to_numpy()
                 # ONE compression pass: the u52 draw and the hex rank come
                 # from the same digest matrix (u52 is a prefix of the hex
