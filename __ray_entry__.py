@@ -39,6 +39,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # incremental snapshot diff between two sequence cuts (added late
         # r5; only touched keys shuffle — the delta-sync read)
         "cdc_state_diff": cq.cdc_state_diff,
+        # SCD2 validity-interval history (new r5 session 2): the
+        # lake-upsert engine's full-history product, bucket-hash keyed
+        "cdc_scd2": cq.cdc_scd2,
+        # watermark-integrity audit: anomalous commit-seq holes per repo
+        "cdc_seq_audit": cq.cdc_seq_audit,
         "cdc_change_fact_mod": cq.cdc_change_fact_mod,  # modifier fan-out
         "cdc_modifier_dim": cq.cdc_modifier_dim,  # modifier_dimension analog
         "cdc_author_dim": cq.cdc_author_dim,  # provider_dimension analog
@@ -107,6 +112,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "tpch_q6": tq.tpch_q6,  # predicate-box scan + conditional sum
             "tpch_q12": tq.tpch_q12,  # join + conditional counts
             "tpch_q14": tq.tpch_q14,  # promo revenue share (broadcast dim)
+            "tpch_q16": tq.tpch_q16,  # distinct-count across join + NOT IN
+            "tpch_q22": tq.tpch_q22,  # scalar-subquery avg + anti-join
             "cheapest_supplier": tq.cheapest_supplier_per_part,  # group-wise argmin
             "asof_join": tj.asof_join_events_orders,  # as-of (latest-prior) join
             "range_join": tj.range_join_orders_shipments,  # interval join, no equi-key
@@ -305,14 +312,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_chunks",
         "text_rolling_fp",
         "text_bpe_tokens",
-        # multimodal plumbing
-        "multimodal_features",
+        # multimodal plumbing: all three got driver rows in r04
+        # (rows-only — no oracle by nature); one stays as the family
+        # sentinel, two slots go to the new hash-compared Q16/Q22 shapes
         "multimodal_frames",
-        "multimodal_resize",
-        # ontology: schema widened round 4 -> needs driver re-verification;
-        # concept_ancestors is new this round (LevelReader parent direction)
-        "ontology_table",
-        "ontology_persisted",
+        "tpch_q16",
+        "tpch_q22",
+        # SCD2 history + watermark audit (new r5 session 2, never
+        # driver-verified) take the slots of ontology_table /
+        # ontology_persisted (both r04 driver-green; they stay in the
+        # dict and local-oracle-green)
+        "cdc_scd2",
+        "cdc_seq_audit",
+        # concept_ancestors was new in r4's window and went green there;
+        # kept one more round (the widened-schema family's sentinel)
         "concept_ancestors",
     ]
     ordered: dict[str, Callable[[str], Any]] = {
@@ -335,6 +348,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_repo_map": cq.SQL_REPO_MAP,
         "cdc_state_asof": cq.SQL_STATE_ASOF,
         "cdc_state_diff": cq.SQL_STATE_DIFF,
+        "cdc_scd2": cq.SQL_SCD2,
+        "cdc_seq_audit": cq.SQL_SEQ_AUDIT,
         "cdc_change_fact_mod": cq.SQL_CHANGE_FACT_MOD,
         "cdc_modifier_dim": cq.SQL_MODIFIER_DIM,
         "cdc_author_dim": cq.SQL_AUTHOR_DIM,
@@ -450,6 +465,8 @@ def oracle_sql() -> dict[str, str]:
             "tpch_q6": tq.SQL_TPCH_Q6,
             "tpch_q12": tq.SQL_TPCH_Q12,
             "tpch_q14": tq.SQL_TPCH_Q14,
+            "tpch_q16": tq.SQL_TPCH_Q16,
+            "tpch_q22": tq.SQL_TPCH_Q22,
             "cheapest_supplier": tq.SQL_CHEAPEST_SUPPLIER,
             "asof_join": tj.SQL_ASOF_JOIN,
             "range_join": tj.SQL_RANGE_JOIN,

@@ -601,6 +601,286 @@ WHERE (live_a AND live_b AND sha_before <> sha_after)
 """
 
 
+_SCD2_BUCKETS = 32
+
+
+def cdc_scd2(sf_dir: str) -> rd.Dataset:
+    """Type-2 (SCD2) history read: one validity interval per content
+    VERSION of each (repo, path) — ``valid_from_seq`` is the version's
+    commit_seq, ``valid_to_seq`` the NEXT change's seq (a later version
+    or a tombstone; null while current), ``is_current`` = 1 iff the
+    version is still live.  This is the lake-upsert engine's full-history
+    product (Hudi/Delta-style SCD2) — the reference keeps the same
+    history implicitly via UPDATE_DATE/DOWNLOAD_DATE audit columns on
+    observation_fact (sql/i2b2_data_tables_1_7_h2.sql observation_fact
+    DDL); here it is materialized as explicit intervals.
+
+    Scale plan: an interval chain needs only ITS OWN key's rows
+    co-located, so the shuffle key is ``bucket_hash(repo, path)`` — NOT
+    ``repo`` (a mega-repo would pin one task; the bucket hash spreads its
+    paths over all buckets with no skew).  Inside a bucket the whole
+    chain computation is one vectorized polars sort + ``shift(-1) over
+    (repo, path)`` — no per-key Python loop.  One keyed exchange total,
+    carrying only the 5 projected columns."""
+    return scd2_table(_fact_cached(sf_dir))
+
+
+def scd2_table(facts: rd.Dataset) -> rd.Dataset:
+    """Core of ``cdc_scd2`` over any deduped fact Dataset (see there)."""
+    import polars as pl
+
+    from ..functions.hashing import bucket_hash
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.select(["repo", "path", "commit_seq", "op", "content_sha256"])
+        return t.append_column(
+            "_b", bucket_hash(t, ["repo", "path"], _SCD2_BUCKETS)
+        )
+
+    def intervals(g: pa.Table) -> pa.Table:
+        df = pl.from_arrow(
+            g.select(["repo", "path", "commit_seq", "op", "content_sha256"])
+        )
+        return (
+            df.sort(["repo", "path", "commit_seq"], maintain_order=True)
+            .with_columns(
+                pl.col("commit_seq")
+                .shift(-1)
+                .over(["repo", "path"])
+                .cast(pl.Float64)  # float64 + null: both engines surface
+                .alias("valid_to_seq")  # open intervals as NaN in pandas
+            )
+            .filter(pl.col("op") != "D")
+            .select(
+                "repo",
+                "path",
+                "content_sha256",
+                pl.col("commit_seq").alias("valid_from_seq"),
+                "valid_to_seq",
+                pl.col("valid_to_seq").is_null().cast(pl.Int64).alias("is_current"),
+            )
+            .to_arrow()
+        )
+
+    return (
+        facts.map_batches(prep, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(intervals, batch_format="pyarrow")
+    )
+
+
+SQL_SCD2 = f"""
+WITH {CHANGES_FROM_EVENTS_SQL}, {_VALID},
+v AS (
+  SELECT repo, path, op, sha256(content) AS content_sha256, commit_seq,
+         LEAD(commit_seq) OVER (
+           PARTITION BY repo, path ORDER BY commit_seq
+         ) AS valid_to_seq
+  FROM dedup
+)
+SELECT repo, path, content_sha256,
+       commit_seq                           AS valid_from_seq,
+       CAST(valid_to_seq AS DOUBLE)         AS valid_to_seq,
+       CAST(valid_to_seq IS NULL AS BIGINT) AS is_current
+FROM v
+WHERE op <> 'D'
+"""
+
+
+GAP_FACTOR = 4.0  # a gap is anomalous when > GAP_FACTOR x the repo's mean
+
+
+def cdc_seq_audit(sf_dir: str) -> rd.Dataset:
+    """Watermark-integrity audit: per repo, find anomalous HOLES in the
+    commit-sequence tail — adjacent distinct commit_seqs whose delta
+    exceeds ``GAP_FACTOR`` x that repo's mean delta.  A CDC consumer runs
+    exactly this to detect a dropped binlog segment / compacted-away
+    range before trusting a resume point (the engine's checkpoint
+    manifest records per-partition watermarks; this query is the
+    read-side verification of those watermarks over the landed stream).
+
+    Scale plan — no single-repo task ever sees a whole repo:
+    1. ONE distributed ``sort(repo, commit_seq)`` (the engine's only
+       total-order primitive; range-partitioned, streaming).
+    2. Per sorted block, vectorized ``np.diff`` emits within-block gap
+       rows; each block also emits exactly its FIRST and LAST (repo,
+       seq) pair.  Cross-block gaps fold on the driver from those
+       2-rows-per-block summaries (block-count-sized, like the keymap
+       prefix-sum), then union in as one tiny extra block.
+    3. The per-repo mean needs NO second scan: adjacent-distinct deltas
+       telescope, so ``AVG(gap) = (max-min)/(n_distinct-1)`` — every
+       partial sum is integer-exact in float64, making the engine's mean
+       bit-identical to DuckDB's AVG regardless of fold order.  Repo
+       means (one row per repo) gather bounded and broadcast into the
+       final threshold filter."""
+    return seq_audit_table(_fact_cached(sf_dir))
+
+
+def seq_audit_table(facts: rd.Dataset) -> rd.Dataset:
+    """Core of ``cdc_seq_audit`` over any deduped fact Dataset (see
+    there); split out so tests can drive it with forced block layouts."""
+    import numpy as np
+    import ray
+
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.numeric import round_half_away
+
+    srt = facts.select_columns(["repo", "commit_seq"]).sort(["repo", "commit_seq"])
+
+    def block_gaps(t: pa.Table) -> pa.Table:
+        """Within-block adjacent-distinct deltas (dup seqs from the
+        at-least-once tail collapse map-side), plus the block's FIRST and
+        LAST distinct rows flagged with an ``_edge`` bitmask (1 = block
+        first, 2 = block last, 3 = both — a single-distinct-row block)
+        for the driver's cross-block fold."""
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "repo": pa.array([], pa.string()),
+                    "commit_seq": pa.array([], pa.int64()),
+                    "gap": pa.array([], pa.int64()),
+                    "_edge": pa.array([], pa.int32()),
+                }
+            )
+        repos = t["repo"].to_numpy(zero_copy_only=False)
+        seqs = t["commit_seq"].to_numpy()
+        same = np.zeros(len(t), dtype=bool)
+        same[1:] = (repos[1:] == repos[:-1]) & (seqs[1:] == seqs[:-1])
+        repos, seqs = repos[~same], seqs[~same]
+        gap = np.empty(len(seqs), dtype=np.int64)
+        gap[0] = 0
+        gap[1:] = np.where(repos[1:] == repos[:-1], np.diff(seqs), 0)
+        keep = gap > 0
+        keep[0] = keep[-1] = True  # edges always travel to the fold
+        edge = np.zeros(len(seqs), dtype=np.int32)
+        edge[0] |= 1
+        edge[-1] |= 2
+        return pa.table(
+            {
+                "repo": pa.array(repos[keep]),
+                "commit_seq": pa.array(seqs[keep]),
+                "gap": pa.array(gap[keep]),
+                "_edge": pa.array(edge[keep]),
+            }
+        )
+
+    gaps_all = srt.map_batches(block_gaps, batch_format="pyarrow").materialize()
+
+    # driver fold: <=2 rows/block -> the gaps the block boundaries hide.
+    # Sorting the edge rows by (repo, seq) reconstructs block order
+    # (blocks are contiguous ranges of the sorted key space), so a
+    # cross-block adjacent pair is exactly a LAST-flagged row followed by
+    # a FIRST-flagged row; a same-block (first, last) adjacency pairs
+    # 1-then-2 and is skipped — its span is already covered by the
+    # block's own in-block diffs.
+    edges = (
+        gaps_all.map_batches(
+            lambda t: t.filter(pc.greater(t["_edge"], 0)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values(["repo", "commit_seq"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    xr = edges["repo"].to_numpy()
+    xs = edges["commit_seq"].to_numpy()
+    xe = edges["_edge"].to_numpy()
+    brepo, bseq, bgap = [], [], []
+    for i in range(1, len(xs)):
+        if (
+            (xe[i - 1] & 2)  # prev row closes a block
+            and (xe[i] & 1)  # this row opens the next one
+            and xr[i] == xr[i - 1]
+            and xs[i] != xs[i - 1]  # equal = cross-block duplicate, no gap
+        ):
+            brepo.append(xr[i])
+            bseq.append(int(xs[i]))
+            bgap.append(int(xs[i] - xs[i - 1]))
+    cross = pa.table(
+        {
+            "repo": pa.array(brepo, pa.string()),
+            "commit_seq": pa.array(bseq, pa.int64()),
+            "gap": pa.array(bgap, pa.int64()),
+        }
+    )
+
+    intra = gaps_all.map_batches(
+        lambda t: t.filter(pc.greater(t["gap"], 0)).select(
+            ["repo", "commit_seq", "gap"]
+        ),
+        batch_format="pyarrow",
+    )
+    all_gaps = intra.union(rd.from_arrow(cross)) if len(cross) else intra
+
+    stats = (
+        all_gaps.groupby("repo")
+        .aggregate(Sum("gap", alias_name="span"), Count(alias_name="n"))
+        .to_pandas()  # one row per repo — bounded by the repo universe
+    )
+    means = {
+        r: s / n for r, s, n in zip(stats["repo"], stats["span"], stats["n"])
+    }
+    means_ref = ray.put(means)
+
+    class Flag:
+        def __init__(self):
+            self.means = ray.get(means_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return pa.table(
+                    {
+                        "repo": pa.array([], pa.string()),
+                        "commit_seq": pa.array([], pa.int64()),
+                        "gap": pa.array([], pa.int64()),
+                        "gap_ratio": pa.array([], pa.float64()),
+                    }
+                )
+            import pandas as pd
+
+            avg = (
+                pd.Series(t["repo"].to_numpy(zero_copy_only=False))
+                .map(self.means)  # vectorized dict probe, no row loop
+                .to_numpy(dtype=np.float64)
+            )
+            gap = t["gap"].to_numpy().astype(np.float64)
+            keep = gap > GAP_FACTOR * avg
+            t = t.filter(pa.array(keep))
+            ratio = round_half_away(gap[keep] / avg[keep], 4)
+            return pa.table(
+                {
+                    "repo": t["repo"],
+                    "commit_seq": t["commit_seq"],
+                    "gap": t["gap"],
+                    "gap_ratio": pa.array(ratio),
+                }
+            )
+
+    return all_gaps.map_batches(Flag, concurrency=(1, 4), batch_format="pyarrow")
+
+
+SQL_SEQ_AUDIT = f"""
+WITH {CHANGES_FROM_EVENTS_SQL}, {_VALID},
+d AS (SELECT DISTINCT repo, commit_seq FROM dedup),
+g AS (
+  SELECT repo, commit_seq,
+         commit_seq - LAG(commit_seq) OVER (
+           PARTITION BY repo ORDER BY commit_seq
+         ) AS gap
+  FROM d
+),
+s AS (
+  SELECT repo, AVG(CAST(gap AS DOUBLE)) AS avg_gap
+  FROM g WHERE gap IS NOT NULL GROUP BY repo
+)
+SELECT g.repo, g.commit_seq, g.gap,
+       ROUND(CAST(g.gap AS DOUBLE) / s.avg_gap, 4) AS gap_ratio
+FROM g JOIN s USING (repo)
+WHERE CAST(g.gap AS DOUBLE) > {GAP_FACTOR} * s.avg_gap
+"""
+
+
 def cdc_repo_map(sf_dir: str) -> rd.Dataset:
     """Repo-level surrogate mapping — the PATIENT_MAPPING analog
     (sql/i2b2_data_tables_1_7_h2.sql:122-134; EK_INSERT_PID_MAP_FROMTEMP

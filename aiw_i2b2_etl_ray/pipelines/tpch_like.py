@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import polars as pl
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 from ray.data.aggregate import Sum
@@ -643,4 +644,221 @@ SELECT ROUND(
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 WHERE l.l_shipdate >= TIMESTAMP '{Q14_DATE_LO}'
   AND l.l_shipdate <  TIMESTAMP '{Q14_DATE_HI}'
+"""
+
+
+# --- Q16 shape: distinct-count across a join + NOT-IN blacklist -------------
+Q16_BRAND = "Brand#13"
+Q16_TYPE_PREFIX = "PROMO"
+Q16_SIZES = (3, 9, 14, 19, 23, 36, 45, 49)
+Q16_BLACKLIST_MOD = 10  # suppliers with suppkey % 10 == 0 are excluded
+
+
+def tpch_q16(sf_dir: str) -> rd.Dataset:
+    """Q16 shape (parts/supplier relationship): COUNT(DISTINCT supplier)
+    per surviving (brand, type, size) — a distinct-count ACROSS a join
+    with a NOT-IN supplier blacklist.  The driver's table set has no
+    partsupp, so lineitem is the part<->supplier relation (same shape,
+    strictly bigger — the harder version).
+
+    Physical plan: the part predicate prunes AT THE BROADCAST (the
+    filtered part map ships once via ``ray.put``, read per actor); the
+    supplier blacklist is a modulus test applied vectorized (at scale: a
+    broadcast keyset exactly like the part map).  Each lineitem batch
+    collapses to its UNIQUE (partkey, suppkey) pairs map-side BEFORE the
+    exchange, so the first groupby's input is bounded by the distinct
+    pair count, not the fact count.  Global pair dedup is ONE keyed
+    groupby on the attrs+suppkey 4-tuple; per-batch count partials and a
+    second (tiny: one row per surviving 3-tuple) keyed Sum finish it —
+    the DISTINCT never rides a full-fact shuffle.
+
+    Reference parity: the reference pushes exactly this COUNT(DISTINCT)
+    rollup into source SQL (dsb/I2B2DataSourceBackend.java:256-290)."""
+    part = pl.read_parquet(f"{sf_dir}/part.parquet").filter(
+        (pl.col("p_brand") != Q16_BRAND)
+        & ~pl.col("p_type").str.starts_with(Q16_TYPE_PREFIX)
+        & pl.col("p_size").is_in(list(Q16_SIZES))
+    )
+    pmap_ref = ray.put(
+        part.select(["p_partkey", "p_brand", "p_type", "p_size"]).to_arrow()
+    )
+
+    class PairPartial:
+        """Per-batch unique (part-attrs, suppkey) pairs; part attrs attach
+        from the broadcast map (fetched once per actor)."""
+
+        def __init__(self):
+            self.pmap = pl.from_arrow(ray.get(pmap_ref))
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            df = pl.from_arrow(t.select(["l_partkey", "l_suppkey"]))
+            return (
+                df.filter(pl.col("l_suppkey") % Q16_BLACKLIST_MOD != 0)
+                .unique()
+                .join(self.pmap, left_on="l_partkey", right_on="p_partkey", how="inner")
+                .select(["p_brand", "p_type", "p_size", "l_suppkey"])
+                .unique()
+                .to_arrow()
+            )
+
+    from ray.data.aggregate import Count
+
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"])
+    distinct4 = (
+        line.map_batches(
+            PairPartial, batch_format="pyarrow", concurrency=(1, 8), **worker_runtime_env()
+        )
+        .groupby(["p_brand", "p_type", "p_size", "l_suppkey"])
+        .aggregate(Count(alias_name="_c"))  # global dedup of the 4-tuple
+    )
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t.select(["p_brand", "p_type", "p_size"]))
+            .group_by(["p_brand", "p_type", "p_size"])
+            .agg(pl.len().cast(pl.Int64).alias("pc"))
+            .to_arrow()
+        )
+
+    return (
+        distinct4.map_batches(count_partial, batch_format="pyarrow")
+        .groupby(["p_brand", "p_type", "p_size"])
+        .aggregate(Sum("pc", alias_name="supplier_cnt"))
+    )
+
+
+SQL_TPCH_Q16 = f"""
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> '{Q16_BRAND}'
+  AND p_type NOT LIKE '{Q16_TYPE_PREFIX}%'
+  AND p_size IN {Q16_SIZES}
+  AND l_suppkey % {Q16_BLACKLIST_MOD} <> 0
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+# --- Q22 shape: scalar-subquery threshold + anti-join + rollup --------------
+Q22_CODES = (0, 1, 2, 4, 5)
+Q22_CODE_MOD = 7  # country-code analog: c_nationkey % 7 (no c_phone column)
+Q22_ORDER_THRESHOLD = 400000.0  # "dormant": no order above this price
+#  (every driver customer has SOME order, so the literal NOT EXISTS of
+#   TPC-H Q22 would be vacuously empty; the thresholded variant keeps the
+#   anti-join shape and a non-degenerate answer)
+
+
+def tpch_q22(sf_dir: str) -> rd.Dataset:
+    """Q22 shape (global sales opportunity): customers in a code set with
+    above-average positive balance and NO big order, rolled up per code.
+    Exercises the scalar-subquery broadcast (ONE global AVG computed
+    distributed, shipped as a plain float into the filter) composed with
+    a large-large ANTI join and a final small rollup.
+
+    Physical plan: the AVG folds from per-batch (sum, count) partials —
+    one tiny driver fold, no shuffle; candidates filter vectorized at the
+    read; the NOT-EXISTS runs as the distributed bucketed ANTI join
+    against the orders keyset (NOT a broadcast — the customer universe at
+    scale outgrows one heap); the rollup is a keyed Sum over per-batch
+    partials with one row per country code."""
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey", "c_acctbal"]
+    )
+
+    def code_col(t: pa.Table) -> pa.Table:
+        code = (
+            pl.from_arrow(t.select(["c_nationkey"]))
+            .select((pl.col("c_nationkey") % Q22_CODE_MOD).alias("c"))["c"]
+            .to_arrow()
+        )
+        return t.append_column("cntrycode", code)
+
+    coded = cust.map_batches(code_col, batch_format="pyarrow").map_batches(
+        lambda t: t.filter(pc.is_in(t["cntrycode"], value_set=pa.array(Q22_CODES, pa.int64()))),
+        batch_format="pyarrow",
+    )
+    coded = coded.materialize()  # two consumers: the AVG fold + the filter
+
+    def avg_partial(t: pa.Table) -> pa.Table:
+        pos = t.filter(pc.greater(t["c_acctbal"], 0.0))
+        return pa.table(
+            {
+                "s": pa.array([pc.sum(pos["c_acctbal"]).as_py() or 0.0], pa.float64()),
+                "n": pa.array([len(pos)], pa.int64()),
+            }
+        )
+
+    parts = coded.map_batches(avg_partial, batch_format="pyarrow")
+    tot_s, tot_n = float(parts.sum("s") or 0.0), int(parts.sum("n") or 0)
+    if tot_n == 0:
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "cntrycode": pd.array([], dtype="int64"),
+                "numcust": pd.array([], dtype="int64"),
+                "totacctbal": pd.array([], dtype="float64"),
+            }
+        )
+    avg_bal = tot_s / tot_n
+
+    rich = coded.map_batches(
+        lambda t: t.filter(pc.greater(t["c_acctbal"], avg_bal)).select(
+            ["c_custkey", "cntrycode", "c_acctbal"]
+        ),
+        batch_format="pyarrow",
+    )
+    import pyarrow.dataset as pads
+
+    orders_keys = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey"],
+        filter=(pads.field("o_totalprice") > Q22_ORDER_THRESHOLD),
+    ).map_batches(
+        lambda t: pl.from_arrow(t).unique().rename({"o_custkey": "c_custkey"}).to_arrow(),
+        batch_format="pyarrow",
+    )
+    no_orders = bucketed_join(rich, orders_keys, on=["c_custkey"], how="anti", num_buckets=16)
+
+    def roll_partial(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t.select(["cntrycode", "c_acctbal"]))
+            .group_by("cntrycode")
+            .agg(
+                pl.len().cast(pl.Int64).alias("pn"),
+                pl.col("c_acctbal").sum().alias("ps"),
+            )
+            .to_arrow()
+        )
+
+    return (
+        no_orders.map_batches(roll_partial, batch_format="pyarrow")
+        .groupby("cntrycode")
+        .aggregate(Sum("pn", alias_name="numcust"), Sum("ps", alias_name="pss"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "cntrycode": t["cntrycode"],
+                    "numcust": t["numcust"],
+                    "totacctbal": round_half_away_pc(t["pss"], 2),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+SQL_TPCH_Q22 = f"""
+WITH coded AS (
+  SELECT c_custkey, c_acctbal, c_nationkey % {Q22_CODE_MOD} AS cntrycode
+  FROM customer WHERE c_nationkey % {Q22_CODE_MOD} IN {Q22_CODES}
+),
+thr AS (SELECT AVG(c_acctbal) AS a FROM coded WHERE c_acctbal > 0)
+SELECT cntrycode, COUNT(*) AS numcust, ROUND(SUM(c_acctbal), 2) AS totacctbal
+FROM coded, thr
+WHERE c_acctbal > thr.a
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_totalprice > {Q22_ORDER_THRESHOLD}
+  )
+GROUP BY cntrycode
 """
