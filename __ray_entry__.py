@@ -44,6 +44,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_scd2": cq.cdc_scd2,
         # watermark-integrity audit: anomalous commit-seq holes per repo
         "cdc_seq_audit": cq.cdc_seq_audit,
+        # churn hot-list (feeds bucketed_join/merge hot_keys) + GC plan
+        "cdc_hot_keys": cq.cdc_hot_keys,
+        "cdc_tombstone_gc": cq.cdc_tombstone_gc,
         "cdc_change_fact_mod": cq.cdc_change_fact_mod,  # modifier fan-out
         "cdc_modifier_dim": cq.cdc_modifier_dim,  # modifier_dimension analog
         "cdc_author_dim": cq.cdc_author_dim,  # provider_dimension analog
@@ -271,8 +274,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_split",
         "mix_temperature",
         "unigram_score",
-        # sketches + curation sampling/mixing
-        "approx_distinct_users",
+        # churn hot-list + tombstone GC plan (new r5 session 2, hash-
+        # compared) take the slots of approx_distinct_users (rows-only,
+        # r04 driver row exists) and concept_ancestors (r04 green)
+        "cdc_hot_keys",
+        "cdc_tombstone_gc",
         "sample_per_lang",
         "mix_sources",
         "pack_sequences",
@@ -324,9 +330,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dict and local-oracle-green)
         "cdc_scd2",
         "cdc_seq_audit",
-        # concept_ancestors was new in r4's window and went green there;
-        # kept one more round (the widened-schema family's sentinel)
-        "concept_ancestors",
     ]
     ordered: dict[str, Callable[[str], Any]] = {
         k: cat[k] for k in window if k in cat
@@ -350,6 +353,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_state_diff": cq.SQL_STATE_DIFF,
         "cdc_scd2": cq.SQL_SCD2,
         "cdc_seq_audit": cq.SQL_SEQ_AUDIT,
+        "cdc_hot_keys": cq.SQL_HOT_KEYS,
+        "cdc_tombstone_gc": cq.SQL_TOMBSTONE_GC,
         "cdc_change_fact_mod": cq.SQL_CHANGE_FACT_MOD,
         "cdc_modifier_dim": cq.SQL_MODIFIER_DIM,
         "cdc_author_dim": cq.SQL_AUTHOR_DIM,

@@ -959,3 +959,82 @@ SELECT *, 'null_key' AS reason FROM changes
 WHERE repo IS NULL OR repo = '' OR path IS NULL OR path = ''
    OR "commit" IS NULL OR "commit" = ''
 """
+
+
+# --- operational reads: churn hot-list + tombstone GC plan -------------------
+HOT_KEYS_K = 100
+
+
+def cdc_hot_keys(sf_dir: str) -> rd.Dataset:
+    """Churn hot-list: the top-``HOT_KEYS_K`` most-changed (repo, path)
+    keys by applied-change count.  This is the read that FEEDS the
+    engine's own skew machinery — its output is exactly the ``hot_keys``
+    set ``stages.join.bucketed_join`` and the replay merger's salted
+    sub-partitioning accept (the reference hits the same skew on
+    mega-encounter patients; here it is measured, not guessed).
+
+    Plan: per-batch combiner partials (each batch collapses to its
+    distinct keys) -> ONE keyed Sum over the distinct-key table
+    (dim-sized, not fact-sized) -> global sort-limit for the top-K with
+    a deterministic (n DESC, repo, path) tiebreak."""
+    import polars as pl
+
+    from ray.data.aggregate import Sum
+
+    facts = _fact_cached(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t.select(["repo", "path"]))
+            .group_by(["repo", "path"])
+            .agg(pl.len().cast(pl.Int64).alias("pn"))
+            .to_arrow()
+        )
+
+    return (
+        facts.map_batches(partial, batch_format="pyarrow")
+        .groupby(["repo", "path"])
+        .aggregate(Sum("pn", alias_name="n_changes"))
+        .sort(["n_changes", "repo", "path"], descending=[True, False, False])
+        .limit(HOT_KEYS_K)
+    )
+
+
+SQL_HOT_KEYS = f"""
+WITH {CHANGES_FROM_EVENTS_SQL}, {_VALID}
+SELECT repo, path, COUNT(*) AS n_changes
+FROM dedup
+GROUP BY repo, path
+ORDER BY n_changes DESC, repo, path
+LIMIT {HOT_KEYS_K}
+"""
+
+
+def cdc_tombstone_gc(sf_dir: str) -> rd.Dataset:
+    """Tombstone GC plan: deleted keys whose tombstone is at or below the
+    stream's midpoint sequence — safe to physically purge because every
+    consumer checkpoint is past them (the compacted-topic / snapshot-
+    expiry maintenance read; the reference's logical-delete rows get the
+    same periodic sweep).  A stateless filter over the already-reduced
+    path_dim: zero additional shuffle, streaming end to end."""
+    pdim = _path_dim_cached(sf_dir)
+    facts = _fact_cached(sf_dir)
+    horizon = int(facts.max("commit_seq")) // 2
+
+    def plan(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.is_valid(t["delete_date"]),
+            pc.less_equal(t["last_commit_seq"], horizon),
+        )
+        return t.filter(keep).select(["repo", "path", "last_commit_seq"])
+
+    return pdim.map_batches(plan, batch_format="pyarrow")
+
+
+SQL_TOMBSTONE_GC = f"""
+WITH {CHANGES_FROM_EVENTS_SQL}, {_VALID}, {_LAST},
+cut AS (SELECT MAX(commit_seq) // 2 AS s FROM dedup)
+SELECT repo, path, commit_seq AS last_commit_seq
+FROM last, cut
+WHERE op = 'D' AND commit_seq <= cut.s
+"""
