@@ -171,6 +171,11 @@ def run_queries() -> dict[str, float]:
         "text_chunks",
         "corpus_shuffle",
         "kmeans_refine",
+        # r5 session-2 additions: SCD2 history + watermark audit (both
+        # share cdc_path_dim's fact materialization, so these time the
+        # incremental reduce, not the replay)
+        "cdc_scd2",
+        "cdc_seq_audit",
     ]
     q = e.queries()
     out = {}

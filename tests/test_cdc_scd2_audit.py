@@ -107,3 +107,19 @@ def test_seq_audit_duplicate_seqs_collapse():
     assert len(out) == 1
     assert int(out.iloc[0]["gap"]) == 46
     assert abs(out.iloc[0]["gap_ratio"] - round(46 / 8.5, 4)) < 1e-9
+
+
+def test_scd2_current_versions_match_path_dim_live_rows():
+    """Invariant tying the SCD2 read to the flagship output: the set of
+    CURRENT (repo, path, sha) versions must equal path_dim's live rows
+    (delete_date null) — both are 'the state now', derived by different
+    reductions over the same deduped stream."""
+    from aiw_i2b2_etl_ray.pipelines.cdc_queries import cdc_path_dim, cdc_scd2
+
+    sf = "/root/testdata/sf0.001"
+    cur = cdc_scd2(sf).to_pandas()
+    cur = cur[cur["is_current"] == 1][["repo", "path", "content_sha256"]]
+    pdim = cdc_path_dim(sf).to_pandas()
+    live = pdim[pdim["delete_date"].isna()][["repo", "path", "content_sha256"]]
+    key = lambda df: set(map(tuple, df.itertuples(index=False)))
+    assert key(cur) == key(live)
