@@ -185,6 +185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from aiw_i2b2_etl_ray.pipelines import clustering as clu
         from aiw_i2b2_etl_ray.pipelines import textops as tx
         from aiw_i2b2_etl_ray.pipelines import multimodal as mm
+        from aiw_i2b2_etl_ray.pipelines import retrieval as rt
 
         cat.update(
             {
@@ -229,6 +230,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "vocab_topk": tx.vocab_topk,
                 # exact heavy hitters without a full-domain shuffle
                 "heavy_hitter_tokens": tx.heavy_hitter_tokens,
+                # sparse lexical (tf-idf) relevance top-k — retrieval-
+                # based curation read (new r5 session 2)
+                "term_topk": rt.term_topk,
                 "text_chunks": tx.text_chunks,
                 "text_rolling_fp": tx.text_rolling_fp,
                 "text_bpe_tokens": tx.text_bpe_tokens,
@@ -279,7 +283,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r04 driver row exists) and concept_ancestors (r04 green)
         "cdc_hot_keys",
         "cdc_tombstone_gc",
-        "sample_per_lang",
+        # tf-idf retrieval top-k (new r5 session 2) takes sample_per_lang's
+        # slot (r04 driver-green; stays in the dict and local-green)
+        "term_topk",
         "mix_sources",
         "pack_sequences",
         "weighted_sample",
@@ -569,6 +575,9 @@ def oracle_sql() -> dict[str, str]:
                 "unigram_score": tx.SQL_UNIGRAM_SCORE,
             }
         )
+        from aiw_i2b2_etl_ray.pipelines import retrieval as rt
+
+        sql["term_topk"] = rt.SQL_TERM_TOPK
         from aiw_i2b2_etl_ray.pipelines import multimodal as mm
 
         sql.update(
