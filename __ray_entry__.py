@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "tpch_q12": tq.tpch_q12,  # join + conditional counts
             "tpch_q14": tq.tpch_q14,  # promo revenue share (broadcast dim)
             "tpch_q16": tq.tpch_q16,  # distinct-count across join + NOT IN
+            "tpch_q21": tq.tpch_q21,  # exactly-one-late-supplier (EXISTS pair)
             "tpch_q22": tq.tpch_q22,  # scalar-subquery avg + anti-join
             "cheapest_supplier": tq.cheapest_supplier_per_part,  # group-wise argmin
             "asof_join": tj.asof_join_events_orders,  # as-of (latest-prior) join
@@ -291,7 +292,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample",
         # declarative/extraction family
         "declarative_read_phenotype",
-        "ontology_with_totals",
+        # Q21 (new r5 session 2, hash-compared) takes ontology_with_totals'
+        # slot (r04 driver-green, unchanged since; stays local-green)
+        "tpch_q21",
         # incremental snapshot diff (new late r5, never driver-verified)
         # takes value_precedence's slot (r04 driver-green; stays in the
         # dict and local-oracle-green)
@@ -477,6 +480,7 @@ def oracle_sql() -> dict[str, str]:
             "tpch_q12": tq.SQL_TPCH_Q12,
             "tpch_q14": tq.SQL_TPCH_Q14,
             "tpch_q16": tq.SQL_TPCH_Q16,
+            "tpch_q21": tq.SQL_TPCH_Q21,
             "tpch_q22": tq.SQL_TPCH_Q22,
             "cheapest_supplier": tq.SQL_CHEAPEST_SUPPLIER,
             "asof_join": tj.SQL_ASOF_JOIN,

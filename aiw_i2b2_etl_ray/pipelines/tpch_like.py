@@ -862,3 +862,125 @@ WHERE c_acctbal > thr.a
   )
 GROUP BY cntrycode
 """
+
+
+# --- Q21 shape: exactly-one-late-supplier orders (correlated EXISTS) --------
+Q21_LATE_DAYS = 90
+Q21_TOP = 20
+
+
+def tpch_q21(sf_dir: str) -> rd.Dataset:
+    """Q21 shape (suppliers who kept orders waiting): for multi-supplier
+    orders where EXACTLY ONE supplier shipped late, count such orders per
+    that supplier — the EXISTS / NOT-EXISTS-correlated-pair shape, the
+    hardest classic TPC-H pattern.  "Late" adapts to the driver's columns
+    as ``l_shipdate > o_orderdate + 90 days`` (no receipt/commit dates).
+
+    Physical plan: ONE bucketed large-large join (lineitem x orders on
+    orderkey) carrying only 3 columns; each joined batch collapses to its
+    DISTINCT (orderkey, suppkey, late) triples map-side, so the per-order
+    groupby's input is bounded by the distinct-triple count; the
+    per-order fold is vectorized polars (n_unique + conditional
+    max/count); the surviving one-row-per-order table joins the supplier
+    dim BROADCAST, and a count/sort-limit finishes."""
+    from ray.data.aggregate import Sum
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey", "l_shipdate"]
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "o_orderdate"]),
+        batch_format="pyarrow",
+    )
+    joined = bucketed_join(line, orders, on=["l_orderkey"], num_buckets=32)
+
+    late_us = Q21_LATE_DAYS * 86400 * 1_000_000
+
+    def triples(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        return (
+            df.select(
+                pl.col("l_orderkey"),
+                pl.col("l_suppkey"),
+                (
+                    pl.col("l_shipdate").cast(pl.Int64)
+                    > pl.col("o_orderdate").cast(pl.Int64) + late_us
+                ).alias("late"),
+            )
+            .unique()
+            .to_arrow()
+        )
+
+    def per_order(g: pa.Table) -> pa.Table:
+        df = pl.from_arrow(g)
+        agg = (
+            df.group_by("l_orderkey")
+            .agg(
+                pl.col("l_suppkey").n_unique().cast(pl.Int64).alias("n_supp"),
+                pl.col("l_suppkey")
+                .filter(pl.col("late"))
+                .n_unique()
+                .cast(pl.Int64)
+                .alias("n_late_supp"),
+                pl.col("l_suppkey").filter(pl.col("late")).max().alias("late_supp"),
+            )
+            .filter((pl.col("n_supp") > 1) & (pl.col("n_late_supp") == 1))
+        )
+        return agg.select(["late_supp"]).to_arrow()
+
+    culprit_orders = (
+        joined.map_batches(triples, batch_format="pyarrow", **worker_runtime_env())
+        .groupby("l_orderkey")
+        .map_groups(per_order, batch_format="pyarrow")
+    )
+
+    sup = pl.read_parquet(f"{sf_dir}/supplier.parquet").select(["s_suppkey", "s_name"])
+    sup_ref = ray.put(sup.to_arrow())
+
+    class AttachName:
+        def __init__(self):
+            self.sup = pl.from_arrow(ray.get(sup_ref))
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            return (
+                pl.from_arrow(t)
+                .group_by("late_supp")
+                .agg(pl.len().cast(pl.Int64).alias("pn"))
+                .join(self.sup, left_on="late_supp", right_on="s_suppkey", how="inner")
+                .select(["s_name", "pn"])
+                .to_arrow()
+            )
+
+    return (
+        culprit_orders.map_batches(
+            AttachName, batch_format="pyarrow", concurrency=(1, 4)
+        )
+        .groupby("s_name")
+        .aggregate(Sum("pn", alias_name="numwait"))
+        .sort(["numwait", "s_name"], descending=[True, False])
+        .limit(Q21_TOP)
+    )
+
+
+SQL_TPCH_Q21 = f"""
+WITH l AS (
+  SELECT l_orderkey, l_suppkey,
+         (l_shipdate > o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY) AS late
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+),
+per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey)                     AS n_supp,
+         COUNT(DISTINCT l_suppkey) FILTER (WHERE late) AS n_late_supp,
+         MAX(CASE WHEN late THEN l_suppkey END)        AS late_supp
+  FROM l GROUP BY l_orderkey
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM per_order JOIN supplier ON s_suppkey = late_supp
+WHERE n_supp > 1 AND n_late_supp = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT {Q21_TOP}
+"""
