@@ -123,3 +123,36 @@ def test_scd2_current_versions_match_path_dim_live_rows():
     live = pdim[pdim["delete_date"].isna()][["repo", "path", "content_sha256"]]
     key = lambda df: set(map(tuple, df.itertuples(index=False)))
     assert key(cur) == key(live)
+
+
+def test_hot_keys_feed_salted_join_measure_then_apply():
+    """Integration of the measure->apply loop cdc_hot_keys documents:
+    the measured hot-key set, fed as bucketed_join(hot_keys=...), must
+    leave join results IDENTICAL to the unsalted plan (salting is a
+    physical rewrite only)."""
+    from aiw_i2b2_etl_ray.pipelines.cdc_queries import cdc_hot_keys
+    from aiw_i2b2_etl_ray.stages.join import bucketed_join
+
+    sf = "/root/testdata/sf0.001"
+    hot = cdc_hot_keys(sf).to_pandas().head(5)
+    hot_set = set(map(tuple, hot[["repo", "path"]].itertuples(index=False)))
+    assert len(hot_set) == 5
+
+    from aiw_i2b2_etl_ray.pipelines.cdc_queries import _fact_cached
+
+    facts = _fact_cached(sf).select_columns(["repo", "path", "commit_seq"])
+    dim = _fact_cached(sf).select_columns(["repo", "path", "lang"]).map_batches(
+        lambda t: t.group_by(["repo", "path"]).aggregate([("lang", "max")]),
+        batch_format="pyarrow",
+    )
+
+    def runs(**kw):
+        out = bucketed_join(facts, dim, on=["repo", "path"], num_buckets=8, **kw)
+        df = out.to_pandas().sort_values(["repo", "path", "commit_seq"]).reset_index(drop=True)
+        return df
+
+    plain = runs()
+    salted = runs(hot_keys=hot_set, salt=4)
+    # column order may differ between plans; compare on shared sorted cols
+    cols = sorted(plain.columns)
+    assert plain[cols].equals(salted[cols])
