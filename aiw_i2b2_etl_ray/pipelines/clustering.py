@@ -146,9 +146,35 @@ def kmeans_refine(sf_dir: str) -> rd.Dataset:
     GROUP BY."""
     from ray.data.aggregate import Sum
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     cents = _load_seed_centroids(sf_dir)
     dim = cents.shape[1]
+    # decode the list<float> column ONCE into a FixedSizeList column and
+    # materialize: the 2 Lloyd passes + the census each re-scan it with a
+    # zero-copy reshape instead of re-reading parquet and re-stacking
+    # Python list rows (the decode dominated the 3-pass wall time).
+    # Reuse-vs-recompute: the decoded matrix is 8B x n x dim in the object
+    # store (spills past memory) — a win whenever ITERS >= 2; a single-
+    # pass consumer (cluster_assign) keeps the direct read.
+    raw = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"emb": pa.array([], pa.list_(pa.float64(), dim))}
+            )
+        m = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        fsl = pa.FixedSizeListArray.from_arrays(
+            pa.array(m.ravel(), pa.float64()), dim
+        )
+        return pa.table({"emb": fsl})
+
+    ds = raw.map_batches(_prep, batch_format="pyarrow", **worker_runtime_env()).materialize()
+
+    def _emb_matrix(t: pa.Table) -> np.ndarray:
+        return np.asarray(
+            t["emb"].combine_chunks().flatten(), dtype=np.float64
+        ).reshape(-1, dim)
+
     # cluster ids track the surviving seed order so a dropped (emptied)
     # cluster keeps the remaining ids stable
     cid_map = np.arange(CLUSTER_K, dtype=np.int64)
@@ -166,7 +192,7 @@ def kmeans_refine(sf_dir: str) -> rd.Dataset:
             )
             if len(t) == 0:
                 return empty
-            _, m = _batch_matrix(t)
+            m = _emb_matrix(t)
             cid, _cos = _assign(m, ray.get(_ref))
             order = np.argsort(cid, kind="stable")
             cs, ms = cid[order], m[order]
@@ -207,7 +233,7 @@ def kmeans_refine(sf_dir: str) -> rd.Dataset:
                 {"cluster_id": pa.array([], pa.int64()), "pn": pa.array([], pa.int64())}
             )
         cents_f, ids_f = ray.get(c_ref)
-        _, m = _batch_matrix(t)
+        m = _emb_matrix(t)
         cid, _cos = _assign(m, cents_f)
         u, n = np.unique(cid, return_counts=True)
         return pa.table(
