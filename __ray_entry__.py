@@ -118,6 +118,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "tpch_q16": tq.tpch_q16,  # distinct-count across join + NOT IN
             "tpch_q21": tq.tpch_q21,  # exactly-one-late-supplier (EXISTS pair)
             "tpch_q22": tq.tpch_q22,  # scalar-subquery avg + anti-join
+            # r5 session-3 additions:
+            "tpch_q4": tq.tpch_q4,  # EXISTS semi-join + priority rollup
+            "tpch_q7": tq.tpch_q7,  # bi-national volume (2 broadcast dims)
+            "tpch_q10": tq.tpch_q10,  # returned-item top-20 report
+            "tpch_q13": tq.tpch_q13,  # order-count histogram incl. zero bucket
+            "tpch_q15": tq.tpch_q15,  # argmax supplier by windowed revenue
+            "tpch_q19": tq.tpch_q19,  # disjunctive predicate-box revenue
             "cheapest_supplier": tq.cheapest_supplier_per_part,  # group-wise argmin
             "asof_join": tj.asof_join_events_orders,  # as-of (latest-prior) join
             "range_join": tj.range_join_orders_shipments,  # interval join, no equi-key
@@ -307,26 +314,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup family (dedup_exact: driver-green r01+r02, rotated out)
         "dedup_minhash",
         "dedup_incremental",
-        "dedup_simhash",
+        # dedup_simhash is hash-defined rows-only with an r04 driver row —
+        # its slot frees for the sixth new TPC-H shape
         "dedup_ngram_jaccard",
         "dedup_embedding",
         "dedup_embedding_ivf",
         "dedup_clusters",
         "corpus_filter",
         "model_score",
-        # similarity family
+        # similarity family (ann_lsh/ann_ivf/ann_incremental are rows-only
+        # by nature and already have r04 driver rows — their slots go to
+        # three of the new hash-compared TPC-H shapes below)
         "ann_topk",
-        "ann_lsh",
-        "ann_ivf",
-        "ann_incremental",
-        # text analysis family
+        # text analysis family (dedup_simhash/text_rolling_fp/
+        # text_bpe_tokens likewise rows-only with r04 driver rows — slots
+        # freed for the remaining new TPC-H shapes)
         "text_langid",
         "text_scrub",
         "vocab_topk",
         "heavy_hitter_tokens",
         "text_chunks",
-        "text_rolling_fp",
-        "text_bpe_tokens",
+        # r5 session-3 additions (never driver-verified, all oracle-checked;
+        # preflighted at sf0.01 at BOTH 8 and 32 CPUs before rotating in)
+        "tpch_q4",
+        "tpch_q7",
+        "tpch_q10",
+        "tpch_q13",
+        "tpch_q15",
+        "tpch_q19",
         # multimodal plumbing: all three got driver rows in r04
         # (rows-only — no oracle by nature); one stays as the family
         # sentinel, two slots go to the new hash-compared Q16/Q22 shapes
@@ -482,6 +497,12 @@ def oracle_sql() -> dict[str, str]:
             "tpch_q16": tq.SQL_TPCH_Q16,
             "tpch_q21": tq.SQL_TPCH_Q21,
             "tpch_q22": tq.SQL_TPCH_Q22,
+            "tpch_q4": tq.SQL_TPCH_Q4,
+            "tpch_q7": tq.SQL_TPCH_Q7,
+            "tpch_q10": tq.SQL_TPCH_Q10,
+            "tpch_q13": tq.SQL_TPCH_Q13,
+            "tpch_q15": tq.SQL_TPCH_Q15,
+            "tpch_q19": tq.SQL_TPCH_Q19,
             "cheapest_supplier": tq.SQL_CHEAPEST_SUPPLIER,
             "asof_join": tj.SQL_ASOF_JOIN,
             "range_join": tj.SQL_RANGE_JOIN,

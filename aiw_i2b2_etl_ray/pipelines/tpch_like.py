@@ -984,3 +984,587 @@ GROUP BY s_name
 ORDER BY numwait DESC, s_name
 LIMIT {Q21_TOP}
 """
+
+
+# --- Q4 shape: EXISTS semi-join + priority rollup ----------------------------
+Q4_DATE_LO, Q4_DATE_HI = "1996-07-01", "1996-10-01"
+Q4_LATE_DAYS = 45  # "late" adapts to the driver's columns (no commit/receipt
+#                    dates): l_shipdate > o_orderdate + 45 days
+
+
+def tpch_q4(sf_dir: str) -> rd.Dataset:
+    """Q4 shape (order-priority checking): count orders per priority in a
+    quarter having AT LEAST ONE late lineitem — the plain correlated
+    EXISTS (q21 is the exactly-one pair; this is the one-sided semi).
+
+    Physical plan: the orders side prunes at the READ (orderdate window
+    pushes into the parquet scan); ONE bucketed large-large join on
+    orderkey carries 2+3 columns; each joined batch keeps only its late
+    rows and collapses to DISTINCT (orderkey, priority) map-side, so the
+    global dedup groupby's input is bounded by the distinct late-order
+    count, not the fact count (the q16 distinct-across-join pattern);
+    priority counts fold combiner-first."""
+    import datetime
+
+    import pyarrow.dataset as pads
+    from ray.data.aggregate import Count
+
+    lo = datetime.datetime.fromisoformat(Q4_DATE_LO)
+    hi = datetime.datetime.fromisoformat(Q4_DATE_HI)
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        filter=(pads.field("o_orderdate") >= lo) & (pads.field("o_orderdate") < hi),
+    ).map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "o_orderdate", "o_orderpriority"]),
+        batch_format="pyarrow",
+    )
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+    joined = bucketed_join(line, orders, on=["l_orderkey"], num_buckets=16)
+
+    late_us = Q4_LATE_DAYS * 86400 * 1_000_000
+
+    def late_pairs(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .filter(
+                pl.col("l_shipdate").cast(pl.Int64)
+                > pl.col("o_orderdate").cast(pl.Int64) + late_us
+            )
+            .select(["l_orderkey", "o_orderpriority"])
+            .unique()
+            .to_arrow()
+        )
+
+    # priority functionally depends on orderkey, so grouping the pair
+    # IS the per-order dedup (one surviving row per late order)
+    distinct_orders = (
+        joined.map_batches(late_pairs, batch_format="pyarrow", **worker_runtime_env())
+        .groupby(["l_orderkey", "o_orderpriority"])
+        .aggregate(Count(alias_name="_c"))
+    )
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t.select(["o_orderpriority"]))
+            .group_by("o_orderpriority")
+            .agg(pl.len().cast(pl.Int64).alias("pc"))
+            .to_arrow()
+        )
+
+    return (
+        distinct_orders.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("pc", alias_name="order_count"))
+    )
+
+
+SQL_TPCH_Q4 = f"""
+SELECT o.o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '{Q4_DATE_LO}'
+  AND o.o_orderdate <  TIMESTAMP '{Q4_DATE_HI}'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL {Q4_LATE_DAYS} DAY
+  )
+GROUP BY o.o_orderpriority
+"""
+
+
+# --- Q7 shape: bi-national volume shipping with year rollup ------------------
+Q7_NATION_A, Q7_NATION_B = "NATION_11", "NATION_20"
+Q7_DATE_LO, Q7_DATE_HI = "1995-01-01", "1997-01-01"
+
+
+def tpch_q7(sf_dir: str) -> rd.Dataset:
+    """Q7 shape (volume shipping): revenue between two nations per
+    (supp_nation, cust_nation, ship-year) — the classic two-dim-broadcast
+    + one large-large join report.
+
+    Physical plan: customer and supplier each fold with nation into a
+    key->nation-name map FILTERED TO THE TWO NATIONS before broadcast
+    (selectivity-bounded: 2/|nations| of each dim ships, via ``ray.put``
+    once, read per task); lineitem prunes at the read (shipdate window)
+    and inner-joins the supplier map map-side (non-target rows die before
+    the exchange), orders likewise against the customer map; ONE bucketed
+    co-shuffle on orderkey joins the two survivors; the cross-pair filter
+    and (nation, nation, year) revenue partials are vectorized polars and
+    the final keyed Sum sees ≤ 2 x years rows per block."""
+    import datetime
+
+    import pyarrow.dataset as pads
+
+    nat = pl.read_parquet(f"{sf_dir}/nation.parquet").filter(
+        pl.col("n_name").is_in([Q7_NATION_A, Q7_NATION_B])
+    )
+    cust = (
+        pl.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+        .join(nat, left_on="c_nationkey", right_on="n_nationkey")
+        .select(["c_custkey", pl.col("n_name").alias("cust_nation")])
+    )
+    supp = (
+        pl.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+        .join(nat, left_on="s_nationkey", right_on="n_nationkey")
+        .select(["s_suppkey", pl.col("n_name").alias("supp_nation")])
+    )
+    side_ref = ray.put((cust, supp))
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+
+    def order_side(t: pa.Table) -> pa.Table:
+        cust_tbl, _ = ray.get(side_ref)
+        return (
+            pl.from_arrow(t)
+            .join(cust_tbl, left_on="o_custkey", right_on="c_custkey")
+            .select(["o_orderkey", "cust_nation"])
+            .to_arrow()
+        )
+
+    o_side = orders.map_batches(order_side, batch_format="pyarrow", **worker_runtime_env())
+
+    lo = datetime.datetime.fromisoformat(Q7_DATE_LO)
+    hi = datetime.datetime.fromisoformat(Q7_DATE_HI)
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi),
+    )
+
+    def line_side(t: pa.Table) -> pa.Table:
+        _, supp_tbl = ray.get(side_ref)
+        return (
+            pl.from_arrow(t)
+            .join(supp_tbl, left_on="l_suppkey", right_on="s_suppkey")
+            .with_columns(
+                (pl.col("l_extendedprice") * (1 - pl.col("l_discount"))).alias("volume"),
+                pl.col("l_shipdate").dt.year().cast(pl.Int64).alias("l_year"),
+            )
+            .select(["l_orderkey", "supp_nation", "l_year", "volume"])
+            .rename({"l_orderkey": "o_orderkey"})
+            .to_arrow()
+        )
+
+    l_side = line.map_batches(line_side, batch_format="pyarrow", **worker_runtime_env())
+
+    joined = bucketed_join(l_side, o_side, on=["o_orderkey"], num_buckets=16)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .filter(pl.col("supp_nation") != pl.col("cust_nation"))
+            .group_by(["supp_nation", "cust_nation", "l_year"])
+            .agg(pl.col("volume").sum().alias("pr"))
+            .to_arrow()
+        )
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow", **worker_runtime_env())
+        .groupby(["supp_nation", "cust_nation", "l_year"])
+        .aggregate(Sum("pr", alias_name="revenue"))
+        .map_batches(
+            lambda t: t.set_column(
+                t.column_names.index("revenue"),
+                "revenue",
+                round_half_away_pc(t["revenue"], 2),
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()  # ≤ 2 pair-directions x years rows
+    )
+    if agg.count() == 0:  # schema-stable empty result (SQL parity)
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "supp_nation": pd.array([], dtype="string"),
+                "cust_nation": pd.array([], dtype="string"),
+                "l_year": pd.array([], dtype="int64"),
+                "revenue": pd.array([], dtype="float64"),
+            }
+        )
+    return agg
+
+
+SQL_TPCH_Q7 = f"""
+SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         EXTRACT(year FROM l.l_shipdate) AS l_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+  JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+  WHERE ((n1.n_name = '{Q7_NATION_A}' AND n2.n_name = '{Q7_NATION_B}')
+      OR (n1.n_name = '{Q7_NATION_B}' AND n2.n_name = '{Q7_NATION_A}'))
+    AND l.l_shipdate >= TIMESTAMP '{Q7_DATE_LO}'
+    AND l.l_shipdate <  TIMESTAMP '{Q7_DATE_HI}'
+)
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+# --- Q10 shape: returned-item reporting, top-20 customers --------------------
+Q10_DATE_LO, Q10_DATE_HI = "1996-10-01", "1997-01-01"
+Q10_FLAG = "R"
+Q10_TOP = 20
+
+
+def tpch_q10(sf_dir: str) -> rd.Dataset:
+    """Q10 shape (returned-item reporting): top-20 customers by lost
+    revenue from returned lineitems in a quarter, with customer/nation
+    attributes attached.
+
+    Physical plan: BOTH large sides prune at the read (returnflag on
+    lineitem, orderdate window on orders — row groups outside either
+    never leave storage); ONE bucketed co-shuffle on orderkey; revenue
+    partials collapse per custkey map-side before the keyed Sum (the
+    shuffle carries one row per distinct customer per block, not per
+    fact); the customer+nation attribute attach happens AFTER the
+    aggregate on the small per-customer result via ONE broadcast lookup,
+    never joining attributes through the fact exchange; top-20 by
+    sort-limit with a custkey tie-break."""
+    import datetime
+
+    import pyarrow.dataset as pads
+
+    lo = datetime.datetime.fromisoformat(Q10_DATE_LO)
+    hi = datetime.datetime.fromisoformat(Q10_DATE_HI)
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey"],
+        filter=(pads.field("o_orderdate") >= lo) & (pads.field("o_orderdate") < hi),
+    ).map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+    )
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=(pads.field("l_returnflag") == Q10_FLAG),
+    )
+    joined = bucketed_join(line, orders, on=["l_orderkey"], num_buckets=16)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .with_columns(
+                (pl.col("l_extendedprice") * (1 - pl.col("l_discount"))).alias("rev")
+            )
+            .group_by("o_custkey")
+            .agg(pl.col("rev").sum().alias("pr"))
+            .rename({"o_custkey": "c_custkey"})
+            .to_arrow()
+        )
+
+    per_cust = (
+        joined.map_batches(partial, batch_format="pyarrow", **worker_runtime_env())
+        .groupby("c_custkey")
+        .aggregate(Sum("pr", alias_name="revenue"))
+        .sort(["revenue", "c_custkey"], descending=[True, False])
+        .limit(Q10_TOP)
+    )
+
+    cust = (
+        pl.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+        )
+        .join(
+            pl.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]),
+            left_on="c_nationkey",
+            right_on="n_nationkey",
+        )
+        .select(["c_custkey", "c_name", "c_acctbal", "n_name"])
+    )
+    cust_ref = ray.put(cust)
+
+    def attach(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .with_columns(
+                pl.col("revenue").map_batches(
+                    lambda s: pl.from_arrow(round_half_away_pc(s.to_arrow(), 2))
+                )
+            )
+            .join(ray.get(cust_ref), on="c_custkey", how="inner")
+            .select(["c_custkey", "c_name", "revenue", "c_acctbal", "n_name"])
+            .to_arrow()
+        )
+
+    return per_cust.map_batches(attach, batch_format="pyarrow", **worker_runtime_env())
+
+
+SQL_TPCH_Q10 = f"""
+SELECT c.c_custkey, c.c_name,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       c.c_acctbal, n.n_name
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '{Q10_DATE_LO}'
+  AND o.o_orderdate <  TIMESTAMP '{Q10_DATE_HI}'
+  AND l.l_returnflag = '{Q10_FLAG}'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY SUM(l.l_extendedprice * (1 - l.l_discount)) DESC, c.c_custkey
+LIMIT {Q10_TOP}
+"""
+
+
+# --- Q13 shape: order-count distribution incl. the zero bucket ---------------
+def tpch_q13(sf_dir: str) -> rd.Dataset:
+    """Q13 shape (customer distribution): how many customers placed
+    exactly k orders, INCLUDING k=0 — the LEFT-JOIN-then-histogram
+    pattern.
+
+    Physical plan: orders alone drives the large pass (per-batch custkey
+    count partials -> keyed Sum = one row per ordering customer — the
+    left join never materializes; customers with orders are exactly the
+    groupby's key set); the counts-of-counts rollup is a second
+    combiner-first fold whose input is customer-bounded; the zero bucket
+    is total-customer-count (parquet METADATA read, no scan) minus the
+    ordering-customer count (a count on the already-small per-customer
+    result), unioned in as one driver row."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+
+    def cnt_partial(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .group_by("o_custkey")
+            .agg(pl.len().cast(pl.Int64).alias("pn"))
+            .to_arrow()
+        )
+
+    per_cust = (
+        orders.map_batches(cnt_partial, batch_format="pyarrow", **worker_runtime_env())
+        .groupby("o_custkey")
+        .aggregate(Sum("pn", alias_name="c_count"))
+        .materialize()  # two consumers: the histogram + the nonzero count
+    )
+    n_with_orders = per_cust.count()
+    n_cust = pq.ParquetFile(f"{sf_dir}/customer.parquet").metadata.num_rows
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t.select(["c_count"]))
+            .group_by("c_count")
+            .agg(pl.len().cast(pl.Int64).alias("pc"))
+            .to_arrow()
+        )
+
+    dist = (
+        per_cust.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("c_count")
+        .aggregate(Sum("pc", alias_name="custdist"))
+    )
+    n_zero = n_cust - n_with_orders
+    if n_zero > 0:
+        zero_row = rd.from_arrow(
+            pa.table(
+                {
+                    "c_count": pa.array([0], pa.int64()),
+                    "custdist": pa.array([n_zero], pa.int64()),
+                }
+            )
+        )
+        dist = dist.union(zero_row)
+    return dist
+
+
+SQL_TPCH_Q13 = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+"""
+
+
+# --- Q15 shape: argmax supplier by windowed revenue --------------------------
+Q15_DATE_LO, Q15_DATE_HI = "1996-01-01", "1996-04-01"
+
+
+def tpch_q15(sf_dir: str) -> rd.Dataset:
+    """Q15 shape (top supplier): the supplier(s) whose quarterly revenue
+    equals the global max — the view-then-argmax pattern.
+
+    Physical plan: lineitem prunes at the read (shipdate window) and
+    carries 3 columns; per-batch suppkey revenue partials collapse
+    map-side before the keyed Sum, so the shuffle is supplier-bounded;
+    the argmax scans the supplier-sized result ONCE on the driver (the
+    max is a scalar fold, not a second shuffle) and the name attach is a
+    broadcast lookup over the ≤|argmax| surviving rows."""
+    import datetime
+
+    import pyarrow.dataset as pads
+
+    lo = datetime.datetime.fromisoformat(Q15_DATE_LO)
+    hi = datetime.datetime.fromisoformat(Q15_DATE_HI)
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+        filter=(pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .with_columns(
+                (pl.col("l_extendedprice") * (1 - pl.col("l_discount"))).alias("rev")
+            )
+            .group_by("l_suppkey")
+            .agg(pl.col("rev").sum().alias("pr"))
+            .to_arrow()
+        )
+
+    per_supp = (
+        line.map_batches(partial, batch_format="pyarrow", **worker_runtime_env())
+        .groupby("l_suppkey")
+        .aggregate(Sum("pr", alias_name="total_revenue"))
+        .materialize()  # supplier-bounded; two consumers (max + filter)
+    )
+    import pandas as pd
+
+    top = per_supp.max("total_revenue") if per_supp.count() else None
+    if top is None:
+        return pd.DataFrame(
+            {
+                "s_suppkey": pd.array([], dtype="int64"),
+                "s_name": pd.array([], dtype="string"),
+                "total_revenue": pd.array([], dtype="float64"),
+            }
+        )
+
+    sup = pl.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"])
+    sup_ref = ray.put(sup)
+
+    def attach(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .filter(pl.col("total_revenue") == top)
+            .with_columns(
+                pl.col("total_revenue").map_batches(
+                    lambda s: pl.from_arrow(round_half_away_pc(s.to_arrow(), 2))
+                )
+            )
+            .rename({"l_suppkey": "s_suppkey"})
+            .join(ray.get(sup_ref), on="s_suppkey", how="inner")
+            .select(["s_suppkey", "s_name", "total_revenue"])
+            .to_arrow()
+        )
+
+    return per_supp.map_batches(attach, batch_format="pyarrow", **worker_runtime_env())
+
+
+SQL_TPCH_Q15 = f"""
+WITH revenue AS (
+  SELECT l_suppkey, SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q15_DATE_LO}'
+    AND l_shipdate <  TIMESTAMP '{Q15_DATE_HI}'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, ROUND(r.total_revenue, 2) AS total_revenue
+FROM supplier s JOIN revenue r ON r.l_suppkey = s.s_suppkey
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+# --- Q19 shape: disjunctive predicate-box revenue ----------------------------
+#: (brand, size_lo, size_hi, qty_lo, qty_hi) — three OR-ed boxes, adapted to
+#: the driver's part columns (no container / shipmode / shipinstruct)
+Q19_CASES = (
+    ("Brand#1", 1, 15, 1.0, 20.0),
+    ("Brand#2", 10, 30, 5.0, 30.0),
+    ("Brand#3", 20, 50, 10.0, 40.0),
+)
+
+
+def tpch_q19(sf_dir: str) -> rd.Dataset:
+    """Q19 shape (discounted revenue): total revenue of lineitems whose
+    (part brand, part size, quantity) lands in any of three OR-ed boxes —
+    the disjunctive multi-predicate join.
+
+    Physical plan: part is dimension-small and only rows matching SOME
+    brand+size box survive the broadcast (brand tag rides along, so the
+    per-batch test is one int compare + one float box per case); each
+    lineitem batch inner-joins the broadcast map map-side, applies the
+    disjunction VECTORIZED, and emits a single revenue partial — the
+    whole query is one streaming pass with a scalar fold, no shuffle."""
+    brands = {b: i for i, (b, *_rest) in enumerate(Q19_CASES)}
+    part = (
+        pl.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"])
+        .filter(
+            pl.any_horizontal(
+                *[
+                    (pl.col("p_brand") == b) & (pl.col("p_size").is_between(slo, shi))
+                    for (b, slo, shi, _qlo, _qhi) in Q19_CASES
+                ]
+            )
+        )
+        .with_columns(
+            pl.col("p_brand").replace_strict(brands, return_dtype=pl.Int64).alias("case_id")
+        )
+        .select(["p_partkey", "case_id"])
+    )
+    part_ref = ray.put(part)
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).join(
+            ray.get(part_ref), left_on="l_partkey", right_on="p_partkey", how="inner"
+        )
+        if df.height == 0:  # SUM-over-zero-rows stays NULL (SQL parity)
+            return pa.table({"pr": pa.array([], pa.float64())})
+        keep = pl.any_horizontal(
+            *[
+                (pl.col("case_id") == i) & pl.col("l_quantity").is_between(qlo, qhi)
+                for i, (_b, _slo, _shi, qlo, qhi) in enumerate(Q19_CASES)
+            ]
+        )
+        rev = (
+            df.filter(keep)
+            .select(
+                (pl.col("l_extendedprice") * (1 - pl.col("l_discount"))).sum().alias("r")
+            )["r"]
+        )
+        return pa.table({"pr": pa.array([float(rev[0] or 0.0)], pa.float64())})
+
+    folded = line.map_batches(
+        partial, batch_format="pyarrow", **worker_runtime_env()
+    ).aggregate(Sum("pr", alias_name="revenue"))
+    import pandas as pd
+
+    raw = (folded or {}).get("revenue")
+    rev = None if raw is None else round_half_away_pc(pa.array([raw]), 2)[0].as_py()
+    return pd.DataFrame({"revenue": pd.array([rev], dtype="float64")})
+
+
+_Q19_SQL_CASES = " OR ".join(
+    f"(p.p_brand = '{b}' AND p.p_size BETWEEN {slo} AND {shi}"
+    f" AND l.l_quantity BETWEEN {qlo} AND {qhi})"
+    for (b, slo, shi, qlo, qhi) in Q19_CASES
+)
+SQL_TPCH_Q19 = f"""
+SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE {_Q19_SQL_CASES}
+"""
