@@ -1111,6 +1111,11 @@ def tpch_q7(sf_dir: str) -> rd.Dataset:
         .join(nat, left_on="s_nationkey", right_on="n_nationkey")
         .select(["s_suppkey", pl.col("n_name").alias("supp_nation")])
     )
+    if cust.height == 0 or supp.height == 0:
+        # no customer or no supplier in either nation: the join is
+        # deterministically empty, and an all-empty mapped side has no
+        # schema for bucketed_join to co-shuffle — short-circuit
+        return _q7_empty()
     side_ref = ray.put((cust, supp))
 
     orders = rd.read_parquet(
@@ -1178,17 +1183,22 @@ def tpch_q7(sf_dir: str) -> rd.Dataset:
         .materialize()  # ≤ 2 pair-directions x years rows
     )
     if agg.count() == 0:  # schema-stable empty result (SQL parity)
-        import pandas as pd
-
-        return pd.DataFrame(
-            {
-                "supp_nation": pd.array([], dtype="string"),
-                "cust_nation": pd.array([], dtype="string"),
-                "l_year": pd.array([], dtype="int64"),
-                "revenue": pd.array([], dtype="float64"),
-            }
-        )
+        return _q7_empty()
     return agg
+
+
+def _q7_empty():
+    """Schema-stable empty Q7 result (SQL keeps its column list)."""
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "supp_nation": pd.array([], dtype="string"),
+            "cust_nation": pd.array([], dtype="string"),
+            "l_year": pd.array([], dtype="int64"),
+            "revenue": pd.array([], dtype="float64"),
+        }
+    )
 
 
 SQL_TPCH_Q7 = f"""
