@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # churn hot-list (feeds bucketed_join/merge hot_keys) + GC plan
         "cdc_hot_keys": cq.cdc_hot_keys,
         "cdc_tombstone_gc": cq.cdc_tombstone_gc,
+        "cdc_renames": cq.cdc_renames,
         "cdc_change_fact_mod": cq.cdc_change_fact_mod,  # modifier fan-out
         "cdc_modifier_dim": cq.cdc_modifier_dim,  # modifier_dimension analog
         "cdc_author_dim": cq.cdc_author_dim,  # provider_dimension analog
@@ -343,9 +344,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q15",
         "tpch_q19",
         # multimodal plumbing: all three got driver rows in r04
-        # (rows-only — no oracle by nature); one stays as the family
-        # sentinel, two slots go to the new hash-compared Q16/Q22 shapes
-        "multimodal_frames",
+        # (rows-only — no oracle by nature); the family keeps its local
+        # pytest + rows-only history, its window slot goes to the new
+        # hash-compared rename-detection read
+        "cdc_renames",
         "tpch_q16",
         "tpch_q22",
         # SCD2 history + watermark audit (new r5 session 2, never
@@ -379,6 +381,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_seq_audit": cq.SQL_SEQ_AUDIT,
         "cdc_hot_keys": cq.SQL_HOT_KEYS,
         "cdc_tombstone_gc": cq.SQL_TOMBSTONE_GC,
+        "cdc_renames": cq.SQL_RENAMES,
         "cdc_change_fact_mod": cq.SQL_CHANGE_FACT_MOD,
         "cdc_modifier_dim": cq.SQL_MODIFIER_DIM,
         "cdc_author_dim": cq.SQL_AUTHOR_DIM,

@@ -1038,3 +1038,158 @@ SELECT repo, path, commit_seq AS last_commit_seq
 FROM last, cut
 WHERE op = 'D' AND commit_seq <= cut.s
 """
+
+
+# --- operational read: rename detection across the converged state -----------
+def cdc_renames(sf_dir: str) -> "rd.Dataset":
+    """Rename detection (the git `-M`-style move heuristic over the
+    converged CDC state): for every currently-DELETED (repo, path), find
+    a live path in the same repo whose current content digest equals the
+    deleted path's last pre-delete digest — content that "moved" rather
+    than died.  The reference's key-remap tables
+    (dest/table/PatientMappingHandler.java analog) answer the same
+    question for re-identified entities.
+
+    Physical plan: ONE streaming pass over the fact table builds, per
+    (repo, path), the last row AND the last non-delete row as map-side
+    argmax partials (both "last"s are associative, so each batch emits
+    ≤ 2 rows per touched key); the fold groups by repo only — the inner
+    per-path argmax is one vectorized polars pass, the same
+    bounded-group pattern as ``_reduce_to_path_dim`` (paths per repo is
+    bounded; repos are not).  The dead side's pre-delete digest joins
+    the live side's current digest via ``bucketed_join`` on
+    (repo, digest) — path_dim-sized operands, never the fact stream —
+    and the candidate pairs (bounded by true rename activity) reduce to
+    one deterministic target per moved path with a keyed string Min."""
+    import polars as pl
+
+    from ray.data.aggregate import Min
+
+    from ..stages.join import bucketed_join
+
+    facts = _fact_cached(sf_dir)
+
+    def last_partials(t: pa.Table) -> pa.Table:
+        # _fact_cached is the base fact table (modifier_cd uniformly '@'),
+        # so no fan-out rows need excluding here
+        df = pl.from_arrow(
+            t.select(["repo", "path", "commit_seq", "op", "content_sha256"])
+        )
+        a = (
+            df.sort("commit_seq")
+            .group_by(["repo", "path"], maintain_order=True)
+            .last()
+            .with_columns(pl.lit("a").alias("tag"))
+        )
+        l = (
+            df.filter(pl.col("op") != "D")
+            .sort("commit_seq")
+            .group_by(["repo", "path"], maintain_order=True)
+            .last()
+            .with_columns(pl.lit("l").alias("tag"))
+        )
+        return pl.concat([a, l]).to_arrow()
+
+    def fold(g: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(g)
+            .sort("commit_seq")
+            .group_by(["repo", "path", "tag"], maintain_order=True)
+            .last()
+        )
+        last = df.filter(pl.col("tag") == "a")
+        dead = last.filter(pl.col("op") == "D").select(["repo", "path"])
+        pre = (
+            dead.join(
+                df.filter(pl.col("tag") == "l"), on=["repo", "path"], how="inner"
+            )
+            .select(
+                ["repo", pl.col("path").alias("old_path"), pl.col("content_sha256").alias("digest")]
+            )
+            .with_columns(pl.lit("dead").alias("side"))
+            .rename({"old_path": "path"})
+        )
+        live = (
+            last.filter(pl.col("op") != "D")
+            .select(["repo", "path", pl.col("content_sha256").alias("digest")])
+            .with_columns(pl.lit("live").alias("side"))
+        )
+        return pl.concat([pre, live]).to_arrow()
+
+    state = (
+        facts.map_batches(last_partials, batch_format="pyarrow")
+        .groupby("repo")
+        .map_groups(fold, batch_format="pyarrow")
+        .materialize()  # path_dim-sized; consumed by both join sides
+    )
+    pre_side = state.map_batches(
+        lambda t: t.filter(pc.equal(t["side"], "dead")).select(["repo", "path", "digest"]),
+        batch_format="pyarrow",
+    ).map_batches(
+        lambda t: t.rename_columns(["repo", "old_path", "digest"]),
+        batch_format="pyarrow",
+    )
+    live_side = state.map_batches(
+        lambda t: t.filter(pc.equal(t["side"], "live")).select(["repo", "path", "digest"]),
+        batch_format="pyarrow",
+    )
+
+    cand = bucketed_join(
+        pre_side, live_side, on=["repo", "digest"], num_buckets=16
+    ).materialize()  # bounded by true rename activity
+    if cand.count() == 0:
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "repo": pd.array([], dtype="string"),
+                "old_path": pd.array([], dtype="string"),
+                "new_path": pd.array([], dtype="string"),
+                "content_sha256": pd.array([], dtype="string"),
+            }
+        )
+
+    def min_partial(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .filter(pl.col("path") != pl.col("old_path"))
+            .group_by(["repo", "old_path", "digest"])
+            .agg(pl.col("path").min().alias("new_path"))
+            .to_arrow()
+        )
+
+    return (
+        cand.map_batches(min_partial, batch_format="pyarrow")
+        .groupby(["repo", "old_path", "digest"])
+        .aggregate(Min("new_path", alias_name="new_path"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "repo": t["repo"],
+                    "old_path": t["old_path"],
+                    "new_path": t["new_path"],
+                    "content_sha256": t["digest"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+SQL_RENAMES = f"""
+WITH {CHANGES_FROM_EVENTS_SQL}, {_VALID}, {_LAST},
+dead AS (SELECT repo, path FROM last WHERE op = 'D'),
+pre AS (
+  SELECT d.repo, d.path AS old_path, sha256(x.content) AS digest
+  FROM dead d JOIN (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY repo, path ORDER BY commit_seq DESC
+    ) AS rn3 FROM dedup WHERE op <> 'D'
+  ) x ON x.repo = d.repo AND x.path = d.path AND x.rn3 = 1
+),
+live AS (SELECT repo, path, sha256(content) AS digest FROM last WHERE op <> 'D')
+SELECT p.repo, p.old_path, MIN(l.path) AS new_path, p.digest AS content_sha256
+FROM pre p
+JOIN live l ON l.repo = p.repo AND l.digest = p.digest AND l.path <> p.old_path
+GROUP BY p.repo, p.old_path, p.digest
+"""
