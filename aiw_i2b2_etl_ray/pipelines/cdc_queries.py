@@ -1061,13 +1061,17 @@ def cdc_renames(sf_dir: str) -> "rd.Dataset":
     (repo, digest) — path_dim-sized operands, never the fact stream —
     and the candidate pairs (bounded by true rename activity) reduce to
     one deterministic target per moved path with a keyed string Min."""
+    return renames_table(_fact_cached(sf_dir))
+
+
+def renames_table(facts: rd.Dataset) -> "rd.Dataset":
+    """Core of ``cdc_renames`` over any deduped fact Dataset (see there);
+    split out so tests can drive it with crafted change streams."""
     import polars as pl
 
     from ray.data.aggregate import Min
 
     from ..stages.join import bucketed_join
-
-    facts = _fact_cached(sf_dir)
 
     def last_partials(t: pa.Table) -> pa.Table:
         # _fact_cached is the base fact table (modifier_cd uniformly '@'),
@@ -1134,10 +1138,7 @@ def cdc_renames(sf_dir: str) -> "rd.Dataset":
         batch_format="pyarrow",
     )
 
-    cand = bucketed_join(
-        pre_side, live_side, on=["repo", "digest"], num_buckets=16
-    ).materialize()  # bounded by true rename activity
-    if cand.count() == 0:
+    def _empty():
         import pandas as pd
 
         return pd.DataFrame(
@@ -1148,6 +1149,18 @@ def cdc_renames(sf_dir: str) -> "rd.Dataset":
                 "content_sha256": pd.array([], dtype="string"),
             }
         )
+
+    # an all-empty side has no schema for bucketed_join to co-shuffle
+    # (a stream with no deleted paths is the common healthy case) —
+    # counts are cheap streaming passes over the materialized state
+    if pre_side.count() == 0 or live_side.count() == 0:
+        return _empty()
+
+    cand = bucketed_join(
+        pre_side, live_side, on=["repo", "digest"], num_buckets=16
+    ).materialize()  # bounded by true rename activity
+    if cand.count() == 0:
+        return _empty()
 
     def min_partial(t: pa.Table) -> pa.Table:
         return (
