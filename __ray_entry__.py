@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "tpch_q13": tq.tpch_q13,  # order-count histogram incl. zero bucket
             "tpch_q15": tq.tpch_q15,  # argmax supplier by windowed revenue
             "tpch_q19": tq.tpch_q19,  # disjunctive predicate-box revenue
+            "tpch_q8": tq.tpch_q8,  # national market share (8-table CASE ratio)
             "cheapest_supplier": tq.cheapest_supplier_per_part,  # group-wise argmin
             "asof_join": tj.asof_join_events_orders,  # as-of (latest-prior) join
             "range_join": tj.range_join_orders_shipments,  # interval join, no equi-key
@@ -318,7 +319,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup_simhash is hash-defined rows-only with an r04 driver row —
         # its slot frees for the sixth new TPC-H shape
         "dedup_ngram_jaccard",
-        "dedup_embedding",
+        # dedup_embedding: r04 driver-green, untouched this round — its
+        # slot goes to the new hash-compared Q8 market-share shape (the
+        # IVF variant keeps the embedding-dedup family in the window)
+        "tpch_q8",
         "dedup_embedding_ivf",
         "dedup_clusters",
         "corpus_filter",
@@ -506,6 +510,7 @@ def oracle_sql() -> dict[str, str]:
             "tpch_q13": tq.SQL_TPCH_Q13,
             "tpch_q15": tq.SQL_TPCH_Q15,
             "tpch_q19": tq.SQL_TPCH_Q19,
+            "tpch_q8": tq.SQL_TPCH_Q8,
             "cheapest_supplier": tq.SQL_CHEAPEST_SUPPLIER,
             "asof_join": tj.SQL_ASOF_JOIN,
             "range_join": tj.SQL_RANGE_JOIN,

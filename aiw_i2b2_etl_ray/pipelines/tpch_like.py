@@ -1578,3 +1578,160 @@ SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 WHERE {_Q19_SQL_CASES}
 """
+
+
+# --- Q8 shape: national market share within a region --------------------------
+Q8_REGION = "ASIA"
+Q8_TYPE = "PROMO"
+Q8_NATION = "NATION_8"
+Q8_DATE_LO, Q8_DATE_HI = "1995-01-01", "1997-01-01"
+
+
+def tpch_q8(sf_dir: str) -> rd.Dataset:
+    """Q8 shape (national market share): per order-year, the target
+    nation's share of regional revenue for one part type — the classic
+    8-table CASE-ratio report.
+
+    Physical plan: three dimension maps broadcast once — the type-filtered
+    part keyset, suppkey -> nation name (whole supplier dim, small), and
+    the custkey keyset of the target REGION (customer x nation x region
+    folded before ``ray.put``); orders prune at the read (date window),
+    attach the year and die early unless regional; lineitem attaches
+    supp_nation + part-match map-side; ONE bucketed co-shuffle on
+    orderkey; per-(year) partials carry two floats (target revenue,
+    total revenue) so the final fold is years-sized; the share divides
+    at the end (NULL-safe like q14)."""
+    import datetime
+
+    import pyarrow.dataset as pads
+
+    nat = pl.read_parquet(f"{sf_dir}/nation.parquet")
+    reg = pl.read_parquet(f"{sf_dir}/region.parquet").filter(
+        pl.col("r_name") == Q8_REGION
+    )
+    reg_nat = nat.join(reg, left_on="n_regionkey", right_on="r_regionkey").select(
+        ["n_nationkey"]
+    )
+    cust_keys = (
+        pl.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+        .join(reg_nat, left_on="c_nationkey", right_on="n_nationkey")
+        .select(["c_custkey"])
+    )
+    supp_map = (
+        pl.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+        .join(nat.select(["n_nationkey", "n_name"]), left_on="s_nationkey", right_on="n_nationkey")
+        .select(["s_suppkey", pl.col("n_name").alias("supp_nation")])
+    )
+    part_keys = (
+        pl.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+        .filter(pl.col("p_type") == Q8_TYPE)
+        .select(["p_partkey"])
+    )
+    side_ref = ray.put((cust_keys, supp_map, part_keys))
+
+    lo = datetime.datetime.fromisoformat(Q8_DATE_LO)
+    hi = datetime.datetime.fromisoformat(Q8_DATE_HI)
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pads.field("o_orderdate") >= lo) & (pads.field("o_orderdate") < hi),
+    )
+
+    def order_side(t: pa.Table) -> pa.Table:
+        ck, _, _ = ray.get(side_ref)
+        return (
+            pl.from_arrow(t)
+            .join(ck, left_on="o_custkey", right_on="c_custkey")
+            .with_columns(pl.col("o_orderdate").dt.year().cast(pl.Int64).alias("o_year"))
+            .select(["o_orderkey", "o_year"])
+            .to_arrow()
+        )
+
+    o_side = orders.map_batches(order_side, batch_format="pyarrow", **worker_runtime_env())
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def line_side(t: pa.Table) -> pa.Table:
+        _, sm, pk = ray.get(side_ref)
+        return (
+            pl.from_arrow(t)
+            .join(pk, left_on="l_partkey", right_on="p_partkey")
+            .join(sm, left_on="l_suppkey", right_on="s_suppkey")
+            .with_columns(
+                (pl.col("l_extendedprice") * (1 - pl.col("l_discount"))).alias("volume")
+            )
+            .select(["l_orderkey", "supp_nation", "volume"])
+            .rename({"l_orderkey": "o_orderkey"})
+            .to_arrow()
+        )
+
+    l_side = line.map_batches(line_side, batch_format="pyarrow", **worker_runtime_env())
+
+    joined = bucketed_join(l_side, o_side, on=["o_orderkey"], num_buckets=16)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .group_by("o_year")
+            .agg(
+                pl.col("volume")
+                .filter(pl.col("supp_nation") == Q8_NATION)
+                .sum()
+                .fill_null(0.0)
+                .alias("pn"),
+                pl.col("volume").sum().alias("pt"),
+            )
+            .to_arrow()
+        )
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow", **worker_runtime_env())
+        .groupby("o_year")
+        .aggregate(Sum("pn", alias_name="tn"), Sum("pt", alias_name="tt"))
+    )
+
+    def share(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from ..functions.numeric import round_half_away
+
+        tn = t["tn"].to_numpy(zero_copy_only=False)
+        tt = t["tt"].to_numpy(zero_copy_only=False)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            share = np.where(tt != 0, tn / tt, np.nan)
+        return pa.table(
+            {
+                "o_year": t["o_year"],
+                "mkt_share": pa.array(round_half_away(share, 4), pa.float64()),
+            }
+        )
+
+    return agg.map_batches(share, batch_format="pyarrow")
+
+
+SQL_TPCH_Q8 = f"""
+SELECT o_year,
+       ROUND(SUM(CASE WHEN supp_nation = '{Q8_NATION}' THEN volume ELSE 0 END)
+             / SUM(volume), 4) AS mkt_share
+FROM (
+  SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+         n2.n_name AS supp_nation,
+         l.l_extendedprice * (1 - l.l_discount) AS volume
+  FROM lineitem l
+  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+  JOIN region r   ON r.r_regionkey = n1.n_regionkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+  JOIN part p     ON p.p_partkey = l.l_partkey
+  WHERE r.r_name = '{Q8_REGION}'
+    AND p.p_type = '{Q8_TYPE}'
+    AND o.o_orderdate >= TIMESTAMP '{Q8_DATE_LO}'
+    AND o.o_orderdate <  TIMESTAMP '{Q8_DATE_HI}'
+)
+GROUP BY o_year
+"""
