@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_hot_keys": cq.cdc_hot_keys,
         "cdc_tombstone_gc": cq.cdc_tombstone_gc,
         "cdc_renames": cq.cdc_renames,
+        "cdc_lang_migrations": cq.cdc_lang_migrations,
         "cdc_change_fact_mod": cq.cdc_change_fact_mod,  # modifier fan-out
         "cdc_modifier_dim": cq.cdc_modifier_dim,  # modifier_dimension analog
         "cdc_author_dim": cq.cdc_author_dim,  # provider_dimension analog
@@ -326,7 +327,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding_ivf",
         "dedup_clusters",
         "corpus_filter",
-        "model_score",
+        # model_score: r04 driver-green, untouched this round — its slot
+        # goes to the new hash-compared lang-migration audit
+        "cdc_lang_migrations",
         # similarity family (ann_lsh/ann_ivf/ann_incremental are rows-only
         # by nature and already have r04 driver rows — their slots go to
         # three of the new hash-compared TPC-H shapes below)
@@ -386,6 +389,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_hot_keys": cq.SQL_HOT_KEYS,
         "cdc_tombstone_gc": cq.SQL_TOMBSTONE_GC,
         "cdc_renames": cq.SQL_RENAMES,
+        "cdc_lang_migrations": cq.SQL_LANG_MIGRATIONS,
         "cdc_change_fact_mod": cq.SQL_CHANGE_FACT_MOD,
         "cdc_modifier_dim": cq.SQL_MODIFIER_DIM,
         "cdc_author_dim": cq.SQL_AUTHOR_DIM,

@@ -1206,3 +1206,94 @@ FROM pre p
 JOIN live l ON l.repo = p.repo AND l.digest = p.digest AND l.path <> p.old_path
 GROUP BY p.repo, p.old_path, p.digest
 """
+
+
+# --- operational read: per-path lang migrations (type-evolution audit) -------
+def cdc_lang_migrations(sf_dir: str) -> "rd.Dataset":
+    """Type-evolution audit: every (repo, path) whose ``lang``
+    classification CHANGED across its change history, with the count of
+    distinct langs and the first/last classification — the read a lake
+    operator runs before trusting per-lang partitioning (the engine's
+    lang_dim discovers values; this verifies per-key stability, the same
+    drift the reference's XML-driven concept remapping absorbs,
+    AbstractFactHandler.java's concept re-resolution).
+
+    Physical plan: per-batch partials collapse to distinct
+    (repo, path, lang) triples carrying (min_seq, max_seq) — one
+    associative shape for BOTH the distinct-lang count and the
+    deterministic first/last pick (ties on seq break by min lang, so the
+    engine is fold-order independent and bit-identical to the windowed
+    SQL); the fold groups by repo only (bounded groups, the
+    ``_reduce_to_path_dim`` pattern) and the inner per-path rollup is one
+    vectorized polars pass.  Nothing fact-sized ever shuffles — the
+    exchange carries at most |paths| x |langs-per-path| rows."""
+    return lang_migrations_table(_fact_cached(sf_dir))
+
+
+def lang_migrations_table(facts: rd.Dataset) -> "rd.Dataset":
+    """Core of ``cdc_lang_migrations`` (see there); split out so tests
+    can drive it with crafted change streams."""
+    import polars as pl
+
+    def triple_partials(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t.select(["repo", "path", "lang", "commit_seq"]))
+            .group_by(["repo", "path", "lang"])
+            .agg(
+                pl.col("commit_seq").min().alias("lo"),
+                pl.col("commit_seq").max().alias("hi"),
+            )
+            .to_arrow()
+        )
+
+    def fold(g: pa.Table) -> pa.Table:
+        per_lang = (
+            pl.from_arrow(g)
+            .group_by(["repo", "path", "lang"])
+            .agg(pl.col("lo").min(), pl.col("hi").max())
+        )
+        return (
+            per_lang.group_by(["repo", "path"])
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_langs"),
+                pl.col("lang")
+                .filter(pl.col("lo") == pl.col("lo").min())
+                .min()
+                .alias("first_lang"),
+                pl.col("lang")
+                .filter(pl.col("hi") == pl.col("hi").max())
+                .min()
+                .alias("last_lang"),
+            )
+            .filter(pl.col("n_langs") > 1)
+            .to_arrow()
+        )
+
+    return (
+        facts.map_batches(triple_partials, batch_format="pyarrow")
+        .groupby("repo")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+SQL_LANG_MIGRATIONS = f"""
+WITH {CHANGES_FROM_EVENTS_SQL}, {_VALID},
+per3 AS (
+  SELECT repo, path, lang, MIN(commit_seq) AS lo, MAX(commit_seq) AS hi
+  FROM dedup GROUP BY repo, path, lang
+),
+w AS (
+  SELECT repo, path, lang, lo, hi,
+         COUNT(*)  OVER (PARTITION BY repo, path) AS n_langs,
+         MIN(lo)   OVER (PARTITION BY repo, path) AS lo_min,
+         MAX(hi)   OVER (PARTITION BY repo, path) AS hi_max
+  FROM per3
+)
+SELECT repo, path,
+       CAST(MAX(n_langs) AS BIGINT)               AS n_langs,
+       MIN(CASE WHEN lo = lo_min THEN lang END)   AS first_lang,
+       MIN(CASE WHEN hi = hi_max THEN lang END)   AS last_lang
+FROM w
+GROUP BY repo, path
+HAVING MAX(n_langs) > 1
+"""
