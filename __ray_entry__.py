@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "tpch_q15": tq.tpch_q15,  # argmax supplier by windowed revenue
             "tpch_q19": tq.tpch_q19,  # disjunctive predicate-box revenue
             "tpch_q8": tq.tpch_q8,  # national market share (8-table CASE ratio)
+            "tpch_q20": tq.tpch_q20,  # excess-shipment suppliers (grouped-view threshold)
             "cheapest_supplier": tq.cheapest_supplier_per_part,  # group-wise argmin
             "asof_join": tj.asof_join_events_orders,  # as-of (latest-prior) join
             "range_join": tj.range_join_orders_shipments,  # interval join, no equi-key
@@ -333,7 +334,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity family (ann_lsh/ann_ivf/ann_incremental are rows-only
         # by nature and already have r04 driver rows — their slots go to
         # three of the new hash-compared TPC-H shapes below)
-        "ann_topk",
+        # ann_topk: r04 driver-green, similarity.py untouched this round —
+        # its slot goes to the new hash-compared Q20 excess-shipment shape
+        "tpch_q20",
         # text analysis family (dedup_simhash/text_rolling_fp/
         # text_bpe_tokens likewise rows-only with r04 driver rows — slots
         # freed for the remaining new TPC-H shapes)
@@ -515,6 +518,7 @@ def oracle_sql() -> dict[str, str]:
             "tpch_q15": tq.SQL_TPCH_Q15,
             "tpch_q19": tq.SQL_TPCH_Q19,
             "tpch_q8": tq.SQL_TPCH_Q8,
+            "tpch_q20": tq.SQL_TPCH_Q20,
             "cheapest_supplier": tq.SQL_CHEAPEST_SUPPLIER,
             "asof_join": tj.SQL_ASOF_JOIN,
             "range_join": tj.SQL_RANGE_JOIN,

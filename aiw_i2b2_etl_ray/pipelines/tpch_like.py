@@ -1735,3 +1735,145 @@ FROM (
 )
 GROUP BY o_year
 """
+
+
+# --- Q20 shape: excess-shipment suppliers (grouped-view scalar threshold) ----
+Q20_NAME_PREFIX = "cold"
+Q20_DATE_LO, Q20_DATE_HI = "1996-01-01", "1997-01-01"
+Q20_EXCESS = 1.5  # "excess": shipped > 1.5x the part's per-supplier average
+
+
+def tpch_q20(sf_dir: str) -> rd.Dataset:
+    """Q20 shape (excess-stock suppliers): suppliers who shipped MORE
+    than ``Q20_EXCESS`` x the per-supplier average quantity of some
+    matched part in a year — the grouped-view + correlated-scalar
+    threshold + semi-join chain.  The driver's table set has no
+    partsupp, so shipped lineitem quantity stands in for available
+    stock (same shape, strictly bigger relation — the harder version).
+
+    Physical plan: the name-prefix part keyset broadcasts once;
+    lineitem prunes at the read (shipdate window, 3 columns) and
+    collapses to per-batch (part, supplier) quantity partials behind
+    the keyset filter, so the ONE keyed exchange carries distinct
+    pairs, not facts; the per-part average is a second combiner-first
+    fold over the pair table (pair-sized, not fact-sized); pairs join
+    their part's average via a bucketed join on partkey, the excess
+    filter is vectorized, and the surviving suppliers dedup through a
+    keyed Count before ONE broadcast name attach."""
+    import datetime
+
+    import pyarrow.dataset as pads
+    from ray.data.aggregate import Count
+
+    part_keys = (
+        pl.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"])
+        .filter(pl.col("p_name").str.starts_with(Q20_NAME_PREFIX))
+        .select(["p_partkey"])
+    )
+    pk_ref = ray.put(part_keys)
+
+    lo = datetime.datetime.fromisoformat(Q20_DATE_LO)
+    hi = datetime.datetime.fromisoformat(Q20_DATE_HI)
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity"],
+        filter=(pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi),
+    )
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .join(ray.get(pk_ref), left_on="l_partkey", right_on="p_partkey")
+            .group_by(["l_partkey", "l_suppkey"])
+            .agg(pl.col("l_quantity").sum().alias("pq"))
+            .to_arrow()
+        )
+
+    pairs = (
+        line.map_batches(pair_partial, batch_format="pyarrow", **worker_runtime_env())
+        .groupby(["l_partkey", "l_suppkey"])
+        .aggregate(Sum("pq", alias_name="q"))
+        .materialize()  # distinct-pair-sized; two consumers (avg + join)
+    )
+    import pandas as pd
+
+    if pairs.count() == 0:
+        return pd.DataFrame(
+            {
+                "s_suppkey": pd.array([], dtype="int64"),
+                "s_name": pd.array([], dtype="string"),
+            }
+        )
+
+    def avg_partial(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .group_by("l_partkey")
+            .agg(pl.col("q").sum().alias("ps"), pl.len().cast(pl.Int64).alias("pn"))
+            .to_arrow()
+        )
+
+    thr = (
+        pairs.map_batches(avg_partial, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("ps", alias_name="ts"), Sum("pn", alias_name="tn"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "l_partkey": t["l_partkey"],
+                    "aq": pc.divide(t["ts"], pc.cast(t["tn"], pa.float64())),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    joined = bucketed_join(pairs, thr, on=["l_partkey"], num_buckets=16)
+
+    def excess_suppliers(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .filter(pl.col("q") > Q20_EXCESS * pl.col("aq"))
+            .select(["l_suppkey"])
+            .unique()
+            .to_arrow()
+        )
+
+    distinct_supp = (
+        joined.map_batches(excess_suppliers, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Count(alias_name="_c"))
+    )
+
+    sup_ref = ray.put(
+        pl.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"])
+    )
+
+    def attach(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t.select(["l_suppkey"]))
+            .rename({"l_suppkey": "s_suppkey"})
+            .join(ray.get(sup_ref), on="s_suppkey", how="inner")
+            .select(["s_suppkey", "s_name"])
+            .to_arrow()
+        )
+
+    return distinct_supp.map_batches(attach, batch_format="pyarrow", **worker_runtime_env())
+
+
+SQL_TPCH_Q20 = f"""
+WITH shipped AS (
+  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS q
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE '{Q20_NAME_PREFIX}%'
+    AND l_shipdate >= TIMESTAMP '{Q20_DATE_LO}'
+    AND l_shipdate <  TIMESTAMP '{Q20_DATE_HI}'
+  GROUP BY l_partkey, l_suppkey
+),
+thr AS (SELECT l_partkey, AVG(q) AS aq FROM shipped GROUP BY l_partkey)
+SELECT DISTINCT s.s_suppkey, s.s_name
+FROM shipped sh
+JOIN thr t ON t.l_partkey = sh.l_partkey
+JOIN supplier s ON s.s_suppkey = sh.l_suppkey
+WHERE sh.q > {Q20_EXCESS} * t.aq
+"""
