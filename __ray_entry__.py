@@ -129,6 +129,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "tpch_q19": tq.tpch_q19,  # disjunctive predicate-box revenue
             "tpch_q8": tq.tpch_q8,  # national market share (8-table CASE ratio)
             "tpch_q20": tq.tpch_q20,  # excess-shipment suppliers (grouped-view threshold)
+            "tpch_q9": tq.tpch_q9,  # profit by supplier-nation x year
+            "tpch_q11": tq.tpch_q11,  # global-fraction top-value parts
             "cheapest_supplier": tq.cheapest_supplier_per_part,  # group-wise argmin
             "asof_join": tj.asof_join_events_orders,  # as-of (latest-prior) join
             "range_join": tj.range_join_orders_shipments,  # interval join, no equi-key
@@ -320,13 +322,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental",
         # dedup_simhash is hash-defined rows-only with an r04 driver row —
         # its slot frees for the sixth new TPC-H shape
-        "dedup_ngram_jaccard",
+        # dedup_ngram_jaccard / dedup_clusters: r04 driver-green, their
+        # functions untouched this round — slots go to the exact-integer
+        # Q9/Q11 shapes (minhash/incremental and source_overlap keep the
+        # dedup + clustering families in the window)
+        "tpch_q9",
         # dedup_embedding: r04 driver-green, untouched this round — its
         # slot goes to the new hash-compared Q8 market-share shape (the
         # IVF variant keeps the embedding-dedup family in the window)
         "tpch_q8",
         "dedup_embedding_ivf",
-        "dedup_clusters",
+        "tpch_q11",
         "corpus_filter",
         # model_score: r04 driver-green, untouched this round — its slot
         # goes to the new hash-compared lang-migration audit
@@ -519,6 +525,8 @@ def oracle_sql() -> dict[str, str]:
             "tpch_q19": tq.SQL_TPCH_Q19,
             "tpch_q8": tq.SQL_TPCH_Q8,
             "tpch_q20": tq.SQL_TPCH_Q20,
+            "tpch_q9": tq.SQL_TPCH_Q9,
+            "tpch_q11": tq.SQL_TPCH_Q11,
             "cheapest_supplier": tq.SQL_CHEAPEST_SUPPLIER,
             "asof_join": tj.SQL_ASOF_JOIN,
             "range_join": tj.SQL_RANGE_JOIN,

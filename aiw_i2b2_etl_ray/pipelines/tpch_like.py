@@ -1877,3 +1877,208 @@ JOIN thr t ON t.l_partkey = sh.l_partkey
 JOIN supplier s ON s.s_suppkey = sh.l_suppkey
 WHERE sh.q > {Q20_EXCESS} * t.aq
 """
+
+
+# --- Q9 shape: profit by supplier-nation and order-year ----------------------
+Q9_NAME_TOKEN = "widget"
+
+
+def tpch_q9(sf_dir: str) -> rd.Dataset:
+    """Q9 shape (product-type profit): revenue by (supplier nation,
+    order-year) for parts whose name contains a token.  The driver's
+    table set has no partsupp/ps_supplycost, so profit reduces to
+    discounted revenue (documented adaptation; the plan shape — dim
+    broadcast + large-large join + two-key rollup — is Q9's).
+
+    Physical plan: the token-matched part keyset and the suppkey ->
+    nation-name map broadcast once; lineitem filters/attaches both
+    map-side so only matched rows reach the ONE bucketed co-shuffle with
+    orders (carrying 3 columns); (nation, year) partials collapse per
+    batch and the final keyed Sum sees |nations| x |years| rows."""
+    part_keys = (
+        pl.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"])
+        .filter(pl.col("p_name").str.contains(Q9_NAME_TOKEN, literal=True))
+        .select(["p_partkey"])
+    )
+    supp_map = (
+        pl.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+        .join(
+            pl.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]),
+            left_on="s_nationkey",
+            right_on="n_nationkey",
+        )
+        .select(["s_suppkey", pl.col("n_name").alias("nation")])
+    )
+    side_ref = ray.put((part_keys, supp_map))
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def line_side(t: pa.Table) -> pa.Table:
+        pk, sm = ray.get(side_ref)
+        return (
+            pl.from_arrow(t)
+            .join(pk, left_on="l_partkey", right_on="p_partkey")
+            .join(sm, left_on="l_suppkey", right_on="s_suppkey")
+            .with_columns(
+                # exact integer basis-point units (price and discount are
+                # 2-decimal): the sum is order-independent, so the fold is
+                # bit-identical to the SQL's — no ROUND boundary flakes
+                (
+                    (pl.col("l_extendedprice") * 100).round(0).cast(pl.Int64)
+                    * (100 - (pl.col("l_discount") * 100).round(0).cast(pl.Int64))
+                ).alias("amount")
+            )
+            .select(["l_orderkey", "nation", "amount"])
+            .rename({"l_orderkey": "o_orderkey"})
+            .to_arrow()
+        )
+
+    l_side = line.map_batches(line_side, batch_format="pyarrow", **worker_runtime_env())
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    joined = bucketed_join(l_side, orders, on=["o_orderkey"], num_buckets=16)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .group_by(["nation", "o_year"])
+            .agg(pl.col("amount").sum().alias("pp"))
+            .to_arrow()
+        )
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow", **worker_runtime_env())
+        .groupby(["nation", "o_year"])
+        .aggregate(Sum("pp", alias_name="sp"))
+        .map_batches(
+            # back from exact basis-point units; the int sum fits float64
+            # exactly (< 2^53), so /1e4 + round is bit-identical to SQL's
+            lambda t: pa.table(
+                {
+                    "nation": t["nation"],
+                    "o_year": t["o_year"],
+                    "sum_profit": round_half_away_pc(
+                        pc.divide(pc.cast(t["sp"], pa.float64()), 10000.0), 2
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+SQL_TPCH_Q9 = f"""
+SELECT n.n_name AS nation,
+       CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+       ROUND(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+             / 10000.0, 2) AS sum_profit
+FROM lineitem l
+JOIN part p     ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '%{Q9_NAME_TOKEN}%'
+GROUP BY n.n_name, EXTRACT(year FROM o.o_orderdate)
+"""
+
+
+# --- Q11 shape: top-value parts by global-fraction threshold ------------------
+Q11_FACTOR = 1.2  # threshold = FACTOR x (total value / part count)
+
+
+def tpch_q11(sf_dir: str) -> rd.Dataset:
+    """Q11 shape (important stock): parts whose total shipped value
+    exceeds a fraction of the GLOBAL total — the grouped-aggregate vs
+    global-scalar-subquery comparison.  No partsupp in the driver's
+    tables, so shipped lineitem value stands in for stock value
+    (documented adaptation; the threshold scales as FACTOR/|part| like
+    the classic's 0.0001/SF).
+
+    Physical plan: one streaming pass — per-batch partkey value partials
+    -> keyed Sum (part-sized result, materialized once for its two
+    consumers); the global total folds from the SAME result (a scalar
+    ``sum``, no second fact scan); the threshold compare is a vectorized
+    filter.  The part count comes from parquet METADATA (no scan)."""
+    import pyarrow.parquet as pq
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .with_columns(
+                # exact integer basis-point units (see tpch_q9): the fold
+                # is order-independent, so threshold compares can't flake
+                (
+                    (pl.col("l_extendedprice") * 100).round(0).cast(pl.Int64)
+                    * (100 - (pl.col("l_discount") * 100).round(0).cast(pl.Int64))
+                ).alias("v")
+            )
+            .group_by("l_partkey")
+            .agg(pl.col("v").sum().alias("pv"))
+            .to_arrow()
+        )
+
+    per_part = (
+        line.map_batches(partial, batch_format="pyarrow", **worker_runtime_env())
+        .groupby("l_partkey")
+        .aggregate(Sum("pv", alias_name="v_bp"))
+        .materialize()  # part-sized; two consumers (total + filter)
+    )
+    import pandas as pd
+
+    if per_part.count() == 0:
+        return pd.DataFrame(
+            {
+                "p_partkey": pd.array([], dtype="int64"),
+                "value": pd.array([], dtype="float64"),
+            }
+        )
+    n_parts = pq.ParquetFile(f"{sf_dir}/part.parquet").metadata.num_rows
+    # threshold in exact basis-point units; both sides evaluate the same
+    # float expression on the same exact integers -> identical verdicts
+    threshold = float(per_part.sum("v_bp")) * Q11_FACTOR / n_parts
+
+    return per_part.map_batches(
+        lambda t: pa.table(
+            {
+                "p_partkey": t["l_partkey"],
+                "value": round_half_away_pc(
+                    pc.divide(pc.cast(t["v_bp"], pa.float64()), 10000.0), 2
+                ),
+            }
+        ).filter(pc.greater(pc.cast(t["v_bp"], pa.float64()), threshold)),
+        batch_format="pyarrow",
+    )
+
+
+SQL_TPCH_Q11 = f"""
+WITH v AS (
+  SELECT l_partkey,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS v_bp
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey AS p_partkey, ROUND(v_bp / 10000.0, 2) AS value
+FROM v
+WHERE CAST(v_bp AS DOUBLE) > CAST((SELECT SUM(v_bp) FROM v) AS DOUBLE)
+                             * {Q11_FACTOR} / (SELECT COUNT(*) FROM part)
+"""
