@@ -1127,10 +1127,9 @@ def renames_table(facts: rd.Dataset) -> "rd.Dataset":
         .materialize()  # path_dim-sized; consumed by both join sides
     )
     pre_side = state.map_batches(
-        lambda t: t.filter(pc.equal(t["side"], "dead")).select(["repo", "path", "digest"]),
-        batch_format="pyarrow",
-    ).map_batches(
-        lambda t: t.rename_columns(["repo", "old_path", "digest"]),
+        lambda t: t.filter(pc.equal(t["side"], "dead"))
+        .select(["repo", "path", "digest"])
+        .rename_columns(["repo", "old_path", "digest"]),
         batch_format="pyarrow",
     )
     live_side = state.map_batches(

@@ -986,6 +986,16 @@ LIMIT {Q21_TOP}
 """
 
 
+def _schema_seed(ds: rd.Dataset, schema: pa.Schema) -> rd.Dataset:
+    """Union a 0-row block of the declared schema AHEAD of a mapped
+    dataset.  A map_batches side whose blocks all come back empty
+    (empty predicate window / empty broadcast keyset) has no schema for
+    ``bucketed_join`` to plan its co-shuffle; the seed resolves
+    ``.schema()`` from metadata alone — zero extra execution, zero rows
+    through the join."""
+    return rd.from_arrow(schema.empty_table()).union(ds)
+
+
 # --- Q4 shape: EXISTS semi-join + priority rollup ----------------------------
 Q4_DATE_LO, Q4_DATE_HI = "1996-07-01", "1996-10-01"
 Q4_LATE_DAYS = 45  # "late" adapts to the driver's columns (no commit/receipt
@@ -1018,6 +1028,16 @@ def tpch_q4(sf_dir: str) -> rd.Dataset:
     ).map_batches(
         lambda t: t.rename_columns(["l_orderkey", "o_orderdate", "o_orderpriority"]),
         batch_format="pyarrow",
+    )
+    orders = _schema_seed(
+        orders,
+        pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("o_orderdate", pa.timestamp("us")),
+                ("o_orderpriority", pa.string()),
+            ]
+        ),
     )
     line = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
@@ -1054,11 +1074,22 @@ def tpch_q4(sf_dir: str) -> rd.Dataset:
             .to_arrow()
         )
 
-    return (
+    out = (
         distinct_orders.map_batches(count_partial, batch_format="pyarrow")
         .groupby("o_orderpriority")
         .aggregate(Sum("pc", alias_name="order_count"))
+        .materialize()  # priority-count-sized
     )
+    if out.count() == 0:  # schema-stable empty result (SQL parity)
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "o_orderpriority": pd.array([], dtype="string"),
+                "order_count": pd.array([], dtype="int64"),
+            }
+        )
+    return out
 
 
 SQL_TPCH_Q4 = f"""
@@ -1116,14 +1147,16 @@ def tpch_q7(sf_dir: str) -> rd.Dataset:
         # deterministically empty, and an all-empty mapped side has no
         # schema for bucketed_join to co-shuffle — short-circuit
         return _q7_empty()
-    side_ref = ray.put((cust, supp))
+    # one ray.put per table: each side fetches only the map it reads
+    cust_ref = ray.put(cust)
+    supp_ref = ray.put(supp)
 
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
     )
 
     def order_side(t: pa.Table) -> pa.Table:
-        cust_tbl, _ = ray.get(side_ref)
+        cust_tbl = ray.get(cust_ref)
         return (
             pl.from_arrow(t)
             .join(cust_tbl, left_on="o_custkey", right_on="c_custkey")
@@ -1142,7 +1175,7 @@ def tpch_q7(sf_dir: str) -> rd.Dataset:
     )
 
     def line_side(t: pa.Table) -> pa.Table:
-        _, supp_tbl = ray.get(side_ref)
+        supp_tbl = ray.get(supp_ref)
         return (
             pl.from_arrow(t)
             .join(supp_tbl, left_on="l_suppkey", right_on="s_suppkey")
@@ -1256,6 +1289,10 @@ def tpch_q10(sf_dir: str) -> rd.Dataset:
         lambda t: t.rename_columns(["l_orderkey", "o_custkey"]),
         batch_format="pyarrow",
     )
+    orders = _schema_seed(
+        orders,
+        pa.schema([("l_orderkey", pa.int64()), ("o_custkey", pa.int64())]),
+    )
     line = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
@@ -1281,7 +1318,20 @@ def tpch_q10(sf_dir: str) -> rd.Dataset:
         .aggregate(Sum("pr", alias_name="revenue"))
         .sort(["revenue", "c_custkey"], descending=[True, False])
         .limit(Q10_TOP)
+        .materialize()  # top-20-sized
     )
+    if per_cust.count() == 0:  # schema-stable empty result (SQL parity)
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "c_custkey": pd.array([], dtype="int64"),
+                "c_name": pd.array([], dtype="string"),
+                "revenue": pd.array([], dtype="float64"),
+                "c_acctbal": pd.array([], dtype="float64"),
+                "n_name": pd.array([], dtype="string"),
+            }
+        )
 
     cust = (
         pl.read_parquet(
@@ -1542,21 +1592,20 @@ def tpch_q19(sf_dir: str) -> rd.Dataset:
         df = pl.from_arrow(t).join(
             ray.get(part_ref), left_on="l_partkey", right_on="p_partkey", how="inner"
         )
-        if df.height == 0:  # SUM-over-zero-rows stays NULL (SQL parity)
-            return pa.table({"pr": pa.array([], pa.float64())})
         keep = pl.any_horizontal(
             *[
                 (pl.col("case_id") == i) & pl.col("l_quantity").is_between(qlo, qhi)
                 for i, (_b, _slo, _shi, qlo, qhi) in enumerate(Q19_CASES)
             ]
         )
-        rev = (
-            df.filter(keep)
-            .select(
-                (pl.col("l_extendedprice") * (1 - pl.col("l_discount"))).sum().alias("r")
-            )["r"]
-        )
-        return pa.table({"pr": pa.array([float(rev[0] or 0.0)], pa.float64())})
+        surviving = df.filter(keep) if df.height else df
+        if surviving.height == 0:  # SUM-over-zero-rows stays NULL (SQL
+            # parity) — for join-empty AND quantity-box-filtered-empty alike
+            return pa.table({"pr": pa.array([], pa.float64())})
+        rev = surviving.select(
+            (pl.col("l_extendedprice") * (1 - pl.col("l_discount"))).sum().alias("r")
+        )["r"]
+        return pa.table({"pr": pa.array([float(rev[0])], pa.float64())})
 
     folded = line.map_batches(
         partial, batch_format="pyarrow", **worker_runtime_env()
@@ -1627,7 +1676,11 @@ def tpch_q8(sf_dir: str) -> rd.Dataset:
         .filter(pl.col("p_type") == Q8_TYPE)
         .select(["p_partkey"])
     )
-    side_ref = ray.put((cust_keys, supp_map, part_keys))
+    # one ray.put per table: each consumer stage fetches ONLY the map it
+    # reads (supp_map, the largest, never ships to the orders side)
+    ck_ref = ray.put(cust_keys)
+    sm_ref = ray.put(supp_map)
+    pk_ref = ray.put(part_keys)
 
     lo = datetime.datetime.fromisoformat(Q8_DATE_LO)
     hi = datetime.datetime.fromisoformat(Q8_DATE_HI)
@@ -1638,7 +1691,7 @@ def tpch_q8(sf_dir: str) -> rd.Dataset:
     )
 
     def order_side(t: pa.Table) -> pa.Table:
-        ck, _, _ = ray.get(side_ref)
+        ck = ray.get(ck_ref)
         return (
             pl.from_arrow(t)
             .join(ck, left_on="o_custkey", right_on="c_custkey")
@@ -1647,7 +1700,10 @@ def tpch_q8(sf_dir: str) -> rd.Dataset:
             .to_arrow()
         )
 
-    o_side = orders.map_batches(order_side, batch_format="pyarrow", **worker_runtime_env())
+    o_side = _schema_seed(
+        orders.map_batches(order_side, batch_format="pyarrow", **worker_runtime_env()),
+        pa.schema([("o_orderkey", pa.int64()), ("o_year", pa.int64())]),
+    )
 
     line = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -1655,7 +1711,7 @@ def tpch_q8(sf_dir: str) -> rd.Dataset:
     )
 
     def line_side(t: pa.Table) -> pa.Table:
-        _, sm, pk = ray.get(side_ref)
+        sm, pk = ray.get(sm_ref), ray.get(pk_ref)
         return (
             pl.from_arrow(t)
             .join(pk, left_on="l_partkey", right_on="p_partkey")
@@ -1668,7 +1724,16 @@ def tpch_q8(sf_dir: str) -> rd.Dataset:
             .to_arrow()
         )
 
-    l_side = line.map_batches(line_side, batch_format="pyarrow", **worker_runtime_env())
+    l_side = _schema_seed(
+        line.map_batches(line_side, batch_format="pyarrow", **worker_runtime_env()),
+        pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("supp_nation", pa.string()),
+                ("volume", pa.float64()),
+            ]
+        ),
+    )
 
     joined = bucketed_join(l_side, o_side, on=["o_orderkey"], num_buckets=16)
 
@@ -1709,7 +1774,17 @@ def tpch_q8(sf_dir: str) -> rd.Dataset:
             }
         )
 
-    return agg.map_batches(share, batch_format="pyarrow")
+    out = agg.map_batches(share, batch_format="pyarrow").materialize()  # years-sized
+    if out.count() == 0:  # schema-stable empty result (SQL parity)
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "o_year": pd.array([], dtype="int64"),
+                "mkt_share": pd.array([], dtype="float64"),
+            }
+        )
+    return out
 
 
 SQL_TPCH_Q8 = f"""
@@ -1909,7 +1984,8 @@ def tpch_q9(sf_dir: str) -> rd.Dataset:
         )
         .select(["s_suppkey", pl.col("n_name").alias("nation")])
     )
-    side_ref = ray.put((part_keys, supp_map))
+    pk_ref = ray.put(part_keys)
+    sm_ref = ray.put(supp_map)
 
     line = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -1917,7 +1993,7 @@ def tpch_q9(sf_dir: str) -> rd.Dataset:
     )
 
     def line_side(t: pa.Table) -> pa.Table:
-        pk, sm = ray.get(side_ref)
+        pk, sm = ray.get(pk_ref), ray.get(sm_ref)
         return (
             pl.from_arrow(t)
             .join(pk, left_on="l_partkey", right_on="p_partkey")
@@ -1936,7 +2012,16 @@ def tpch_q9(sf_dir: str) -> rd.Dataset:
             .to_arrow()
         )
 
-    l_side = line.map_batches(line_side, batch_format="pyarrow", **worker_runtime_env())
+    l_side = _schema_seed(
+        line.map_batches(line_side, batch_format="pyarrow", **worker_runtime_env()),
+        pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("nation", pa.string()),
+                ("amount", pa.int64()),
+            ]
+        ),
+    )
 
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
@@ -1960,7 +2045,7 @@ def tpch_q9(sf_dir: str) -> rd.Dataset:
             .to_arrow()
         )
 
-    return (
+    out = (
         joined.map_batches(partial, batch_format="pyarrow", **worker_runtime_env())
         .groupby(["nation", "o_year"])
         .aggregate(Sum("pp", alias_name="sp"))
@@ -1978,7 +2063,19 @@ def tpch_q9(sf_dir: str) -> rd.Dataset:
             ),
             batch_format="pyarrow",
         )
+        .materialize()  # |nations| x |years| rows
     )
+    if out.count() == 0:  # schema-stable empty result (SQL parity)
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "nation": pd.array([], dtype="string"),
+                "o_year": pd.array([], dtype="int64"),
+                "sum_profit": pd.array([], dtype="float64"),
+            }
+        )
+    return out
 
 
 SQL_TPCH_Q9 = f"""

@@ -103,6 +103,15 @@ def empty_window_sf(tmp_path_factory):
         ),
         str(d / "nation.parquet"),
     )
+    pq.write_table(
+        pa.table(
+            {
+                "r_regionkey": pa.array([0], pa.int64()),
+                "r_name": pa.array(["NOWHERE"]),  # never the Q8 region
+            }
+        ),
+        str(d / "region.parquet"),
+    )
     return str(d)
 
 
@@ -140,6 +149,93 @@ def test_q19_no_matching_boxes_is_null(empty_window_sf):
     out = _pdf(tpch_q19(empty_window_sf))
     assert list(out.columns) == ["revenue"]
     assert len(out) == 1 and pd.isna(out["revenue"].iloc[0])
+
+
+def test_q4_empty_window_keeps_schema(empty_window_sf):
+    from aiw_i2b2_etl_ray.pipelines.tpch_like import tpch_q4
+
+    out = _pdf(tpch_q4(empty_window_sf))
+    assert sorted(out.columns) == ["o_orderpriority", "order_count"]
+    assert len(out) == 0
+
+
+def test_q8_empty_keysets_keep_schema(empty_window_sf):
+    # no region named ASIA and no PROMO parts: every keyset is empty
+    from aiw_i2b2_etl_ray.pipelines.tpch_like import tpch_q8
+
+    out = _pdf(tpch_q8(empty_window_sf))
+    assert sorted(out.columns) == ["mkt_share", "o_year"]
+    assert len(out) == 0
+
+
+def test_q9_empty_part_keyset_keeps_schema(empty_window_sf):
+    # no p_name contains the Q9 token
+    from aiw_i2b2_etl_ray.pipelines.tpch_like import tpch_q9
+
+    out = _pdf(tpch_q9(empty_window_sf))
+    assert sorted(out.columns) == ["nation", "o_year", "sum_profit"]
+    assert len(out) == 0
+
+
+def test_q10_empty_window_keeps_schema(empty_window_sf):
+    # orderdate window empty AND no 'R' returnflags
+    from aiw_i2b2_etl_ray.pipelines.tpch_like import tpch_q10
+
+    out = _pdf(tpch_q10(empty_window_sf))
+    assert sorted(out.columns) == [
+        "c_acctbal",
+        "c_custkey",
+        "c_name",
+        "n_name",
+        "revenue",
+    ]
+    assert len(out) == 0
+
+
+def test_q19_quantity_filtered_empty_is_null(tmp_path):
+    """Joined rows exist but ALL fail the quantity boxes: SQL's SUM over
+    zero rows is NULL, and the engine must not collapse it to 0.0."""
+    from aiw_i2b2_etl_ray.pipelines.tpch_like import Q19_CASES, tpch_q19
+
+    d = tmp_path / "sf_qty_filtered"
+    d.mkdir()
+    brand, slo, _shi, _qlo, qhi = Q19_CASES[0]
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array([1], pa.int64()),
+                "p_name": pa.array(["thing"]),
+                "p_brand": pa.array([brand]),  # inside the brand+size box
+                "p_type": pa.array(["STANDARD"]),
+                "p_size": pa.array([slo], pa.int64()),
+                "p_retailprice": pa.array([1.0]),
+            }
+        ),
+        str(d / "part.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_partkey": pa.array([1, 1], pa.int64()),
+                "l_quantity": pa.array([qhi + 50.0] * 2),  # outside EVERY box
+                "l_extendedprice": pa.array([100.0] * 2),
+                "l_discount": pa.array([0.05] * 2),
+            }
+        ),
+        str(d / "lineitem.parquet"),
+    )
+    out = _pdf(tpch_q19(str(d)))
+    assert list(out.columns) == ["revenue"]
+    assert len(out) == 1 and pd.isna(out["revenue"].iloc[0])
+
+
+def test_q20_empty_prefix_keeps_schema(empty_window_sf):
+    # no p_name starts with the Q20 prefix
+    from aiw_i2b2_etl_ray.pipelines.tpch_like import tpch_q20
+
+    out = _pdf(tpch_q20(empty_window_sf))
+    assert sorted(out.columns) == ["s_name", "s_suppkey"]
+    assert len(out) == 0
 
 
 def test_q13_all_customers_have_orders(empty_window_sf):
