@@ -176,6 +176,11 @@ def run_queries() -> dict[str, float]:
         # incremental reduce, not the replay)
         "cdc_scd2",
         "cdc_seq_audit",
+        # r5 session-3 additions: rename detection (argmax pass + digest
+        # join over the shared fact materialization) and the widest new
+        # TPC-H shape (8-table market share)
+        "cdc_renames",
+        "tpch_q8",
     ]
     q = e.queries()
     out = {}
