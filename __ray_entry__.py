@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_tombstone_gc": cq.cdc_tombstone_gc,
         "cdc_renames": cq.cdc_renames,
         "cdc_lang_migrations": cq.cdc_lang_migrations,
+        "cdc_shared_content": cq.cdc_shared_content,
         "cdc_change_fact_mod": cq.cdc_change_fact_mod,  # modifier fan-out
         "cdc_modifier_dim": cq.cdc_modifier_dim,  # modifier_dimension analog
         "cdc_author_dim": cq.cdc_author_dim,  # provider_dimension analog
@@ -399,6 +400,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_tombstone_gc": cq.SQL_TOMBSTONE_GC,
         "cdc_renames": cq.SQL_RENAMES,
         "cdc_lang_migrations": cq.SQL_LANG_MIGRATIONS,
+        "cdc_shared_content": cq.SQL_SHARED_CONTENT,
         "cdc_change_fact_mod": cq.SQL_CHANGE_FACT_MOD,
         "cdc_modifier_dim": cq.SQL_MODIFIER_DIM,
         "cdc_author_dim": cq.SQL_AUTHOR_DIM,

@@ -1296,3 +1296,81 @@ FROM w
 GROUP BY repo, path
 HAVING MAX(n_langs) > 1
 """
+
+
+# --- operational read: cross-repo shared content (vendoring screen) ----------
+def cdc_shared_content(sf_dir: str) -> "rd.Dataset":
+    """Vendored/boilerplate screen over the converged state: content
+    digests that appear LIVE in two or more repos, with how many repos
+    and how many paths carry each — the read a code-corpus curator runs
+    before per-repo dedup weights (license headers, vendored libraries,
+    generated files), and the cross-repo complement of `dedup_exact`.
+
+    Physical plan: the live state comes from the shared path_dim
+    materialization (no fact re-scan); each block collapses to its
+    distinct (digest, repo) pairs carrying a path count, so the first
+    keyed exchange is pair-bounded (the q16 distinct-across-join
+    pattern); a second combiner-first fold rolls pairs up to one row
+    per digest (n_repos = pair count, n_paths = path-count sum) and the
+    >=2-repos filter is vectorized."""
+    import polars as pl
+
+    from ray.data.aggregate import Sum
+
+    pdim = _path_dim_cached(sf_dir)
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t.select(["repo", "content_sha256", "delete_date"]))
+            .filter(pl.col("delete_date").is_null())
+            .group_by(["content_sha256", "repo"])
+            .agg(pl.len().cast(pl.Int64).alias("pp"))
+            .to_arrow()
+        )
+
+    pairs = (
+        pdim.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["content_sha256", "repo"])
+        .aggregate(Sum("pp", alias_name="pair_paths"))
+    )
+
+    def digest_partial(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t.select(["content_sha256", "pair_paths"]))
+            .group_by("content_sha256")
+            .agg(
+                pl.len().cast(pl.Int64).alias("pr"),
+                pl.col("pair_paths").sum().alias("pn"),
+            )
+            .to_arrow()
+        )
+
+    return (
+        pairs.map_batches(digest_partial, batch_format="pyarrow")
+        .groupby("content_sha256")
+        .aggregate(Sum("pr", alias_name="n_repos"), Sum("pn", alias_name="n_paths"))
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t["n_repos"], 2))
+            if len(t) and "n_repos" in t.schema.names
+            else pa.table(
+                {
+                    "content_sha256": pa.array([], pa.string()),
+                    "n_repos": pa.array([], pa.int64()),
+                    "n_paths": pa.array([], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+SQL_SHARED_CONTENT = f"""
+WITH {CHANGES_FROM_EVENTS_SQL}, {_VALID}, {_LAST},
+live AS (SELECT repo, path, sha256(content) AS digest FROM last WHERE op <> 'D')
+SELECT digest AS content_sha256,
+       COUNT(DISTINCT repo) AS n_repos,
+       COUNT(*)             AS n_paths
+FROM live
+GROUP BY digest
+HAVING COUNT(DISTINCT repo) >= 2
+"""
