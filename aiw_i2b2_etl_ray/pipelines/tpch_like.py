@@ -56,7 +56,16 @@ def tpch_q3(sf_dir: str) -> rd.Dataset:
         df = df.filter(pl.col("o_custkey").is_in(list(keys)))
         return df.select("o_orderkey", "o_orderdate", "o_orderpriority").to_arrow()
 
-    o_side = orders.map_batches(keep_orders, batch_format="pyarrow", **worker_runtime_env())
+    o_side = _schema_seed(
+        orders.map_batches(keep_orders, batch_format="pyarrow", **worker_runtime_env()),
+        pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("o_orderdate", pa.timestamp("us")),
+                ("o_orderpriority", pa.string()),
+            ]
+        ),
+    )
 
     line = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -71,7 +80,10 @@ def tpch_q3(sf_dir: str) -> rd.Dataset:
             (pl.col("l_extendedprice") * (1 - pl.col("l_discount"))).alias("rev")
         ).select("l_orderkey", "rev").rename({"l_orderkey": "o_orderkey"}).to_arrow()
 
-    l_side = line.map_batches(keep_lines, batch_format="pyarrow", **worker_runtime_env())
+    l_side = _schema_seed(
+        line.map_batches(keep_lines, batch_format="pyarrow", **worker_runtime_env()),
+        pa.schema([("o_orderkey", pa.int64()), ("rev", pa.float64())]),
+    )
 
     joined = bucketed_join(l_side, o_side, on=["o_orderkey"], num_buckets=16)
 
@@ -89,7 +101,19 @@ def tpch_q3(sf_dir: str) -> rd.Dataset:
         .aggregate(Sum("pr", alias_name="revenue"))
         .sort([("revenue"), ("o_orderkey")], descending=[True, False])
         .limit(10)
+        .materialize()  # top-10-sized
     )
+    if agg.count() == 0:  # schema-stable empty result (SQL parity)
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "o_orderkey": pd.array([], dtype="int64"),
+                "o_orderdate": pd.array([], dtype="datetime64[us]"),
+                "o_orderpriority": pd.array([], dtype="string"),
+                "revenue": pd.array([], dtype="float64"),
+            }
+        )
     return agg.map_batches(
         lambda t: t.set_column(
             t.column_names.index("revenue"), "revenue", round_half_away_pc(t["revenue"], 2)
@@ -155,7 +179,16 @@ def tpch_q5(sf_dir: str) -> rd.Dataset:
         j = df.join(cust_tbl, left_on="o_custkey", right_on="c_custkey")
         return j.select("o_orderkey", "c_nationkey", "n_name").to_arrow()
 
-    o_side = orders.map_batches(order_side, batch_format="pyarrow", **worker_runtime_env())
+    o_side = _schema_seed(
+        orders.map_batches(order_side, batch_format="pyarrow", **worker_runtime_env()),
+        pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("c_nationkey", pa.int64()),
+                ("n_name", pa.string()),
+            ]
+        ),
+    )
 
     line = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -174,7 +207,16 @@ def tpch_q5(sf_dir: str) -> rd.Dataset:
             .to_arrow()
         )
 
-    l_side = line.map_batches(line_side, batch_format="pyarrow", **worker_runtime_env())
+    l_side = _schema_seed(
+        line.map_batches(line_side, batch_format="pyarrow", **worker_runtime_env()),
+        pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("s_nationkey", pa.int64()),
+                ("rev", pa.float64()),
+            ]
+        ),
+    )
 
     joined = bucketed_join(l_side, o_side, on=["o_orderkey"], num_buckets=16)
 
@@ -186,7 +228,17 @@ def tpch_q5(sf_dir: str) -> rd.Dataset:
         joined.map_batches(partial, batch_format="pyarrow", **worker_runtime_env())
         .groupby("n_name")
         .aggregate(Sum("pr", alias_name="revenue"))
+        .materialize()  # |nations|-sized
     )
+    if agg.count() == 0:  # schema-stable empty result (SQL parity)
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "n_name": pd.array([], dtype="string"),
+                "revenue": pd.array([], dtype="float64"),
+            }
+        )
     return agg.map_batches(
         lambda t: t.set_column(
             t.column_names.index("revenue"), "revenue", round_half_away_pc(t["revenue"], 2)
@@ -801,21 +853,33 @@ def tpch_q22(sf_dir: str) -> rd.Dataset:
         )
     avg_bal = tot_s / tot_n
 
-    rich = coded.map_batches(
-        lambda t: t.filter(pc.greater(t["c_acctbal"], avg_bal)).select(
-            ["c_custkey", "cntrycode", "c_acctbal"]
+    rich = _schema_seed(
+        coded.map_batches(
+            lambda t: t.filter(pc.greater(t["c_acctbal"], avg_bal)).select(
+                ["c_custkey", "cntrycode", "c_acctbal"]
+            ),
+            batch_format="pyarrow",
         ),
-        batch_format="pyarrow",
+        pa.schema(
+            [
+                ("c_custkey", pa.int64()),
+                ("cntrycode", pa.int64()),
+                ("c_acctbal", pa.float64()),
+            ]
+        ),
     )
     import pyarrow.dataset as pads
 
-    orders_keys = rd.read_parquet(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_custkey"],
-        filter=(pads.field("o_totalprice") > Q22_ORDER_THRESHOLD),
-    ).map_batches(
-        lambda t: pl.from_arrow(t).unique().rename({"o_custkey": "c_custkey"}).to_arrow(),
-        batch_format="pyarrow",
+    orders_keys = _schema_seed(
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey"],
+            filter=(pads.field("o_totalprice") > Q22_ORDER_THRESHOLD),
+        ).map_batches(
+            lambda t: pl.from_arrow(t).unique().rename({"o_custkey": "c_custkey"}).to_arrow(),
+            batch_format="pyarrow",
+        ),
+        pa.schema([("c_custkey", pa.int64())]),
     )
     no_orders = bucketed_join(rich, orders_keys, on=["c_custkey"], how="anti", num_buckets=16)
 
@@ -830,7 +894,7 @@ def tpch_q22(sf_dir: str) -> rd.Dataset:
             .to_arrow()
         )
 
-    return (
+    out = (
         no_orders.map_batches(roll_partial, batch_format="pyarrow")
         .groupby("cntrycode")
         .aggregate(Sum("pn", alias_name="numcust"), Sum("ps", alias_name="pss"))
@@ -841,10 +905,30 @@ def tpch_q22(sf_dir: str) -> rd.Dataset:
                     "numcust": t["numcust"],
                     "totacctbal": round_half_away_pc(t["pss"], 2),
                 }
+            )
+            if len(t) and "pss" in t.schema.names
+            else pa.table(
+                {
+                    "cntrycode": pa.array([], pa.int64()),
+                    "numcust": pa.array([], pa.int64()),
+                    "totacctbal": pa.array([], pa.float64()),
+                }
             ),
             batch_format="pyarrow",
         )
+        .materialize()  # |codes|-sized
     )
+    if out.count() == 0:  # schema-stable empty result (SQL parity)
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "cntrycode": pd.array([], dtype="int64"),
+                "numcust": pd.array([], dtype="int64"),
+                "totacctbal": pd.array([], dtype="float64"),
+            }
+        )
+    return out
 
 
 SQL_TPCH_Q22 = f"""

@@ -238,6 +238,39 @@ def test_q20_empty_prefix_keeps_schema(empty_window_sf):
     assert len(out) == 0
 
 
+def test_q3_empty_order_window_keeps_schema(empty_window_sf):
+    # all orderdates are after Q3_DATE -> the orders side is empty while
+    # lineitems survive their shipdate filter
+    from aiw_i2b2_etl_ray.pipelines.tpch_like import tpch_q3
+
+    out = _pdf(tpch_q3(empty_window_sf))
+    assert sorted(out.columns) == [
+        "o_orderdate",
+        "o_orderkey",
+        "o_orderpriority",
+        "revenue",
+    ]
+    assert len(out) == 0
+
+
+def test_q5_empty_region_keeps_schema(empty_window_sf):
+    # no region named ASIA: every dimension join side is empty
+    from aiw_i2b2_etl_ray.pipelines.tpch_like import tpch_q5
+
+    out = _pdf(tpch_q5(empty_window_sf))
+    assert sorted(out.columns) == ["n_name", "revenue"]
+    assert len(out) == 0
+
+
+def test_q22_no_positive_balances_keeps_schema(empty_window_sf):
+    # all acctbals are 0 -> the AVG subquery has no rows -> empty result
+    from aiw_i2b2_etl_ray.pipelines.tpch_like import tpch_q22
+
+    out = _pdf(tpch_q22(empty_window_sf))
+    assert sorted(out.columns) == ["cntrycode", "numcust", "totacctbal"]
+    assert len(out) == 0
+
+
 def test_q13_all_customers_have_orders(empty_window_sf):
     """Zero bucket must be ABSENT when every customer ordered (n_zero=0)."""
     from aiw_i2b2_etl_ray.pipelines.tpch_like import tpch_q13
