@@ -1155,8 +1155,19 @@ def renames_table(facts: rd.Dataset) -> "rd.Dataset":
     if pre_side.count() == 0 or live_side.count() == 0:
         return _empty()
 
+    _pre_schema = pa.schema(
+        [("repo", pa.string()), ("old_path", pa.string()), ("digest", pa.string())]
+    )
+    _live_schema = pa.schema(
+        [("repo", pa.string()), ("path", pa.string()), ("digest", pa.string())]
+    )
     cand = bucketed_join(
-        pre_side, live_side, on=["repo", "digest"], num_buckets=16
+        pre_side,
+        live_side,
+        on=["repo", "digest"],
+        num_buckets=16,
+        l_schema=_pre_schema,
+        r_schema=_live_schema,
     ).materialize()  # bounded by true rename activity
     if cand.count() == 0:
         return _empty()

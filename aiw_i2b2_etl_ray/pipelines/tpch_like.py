@@ -56,15 +56,13 @@ def tpch_q3(sf_dir: str) -> rd.Dataset:
         df = df.filter(pl.col("o_custkey").is_in(list(keys)))
         return df.select("o_orderkey", "o_orderdate", "o_orderpriority").to_arrow()
 
-    o_side = _schema_seed(
-        orders.map_batches(keep_orders, batch_format="pyarrow", **worker_runtime_env()),
-        pa.schema(
-            [
-                ("o_orderkey", pa.int64()),
-                ("o_orderdate", pa.timestamp("us")),
-                ("o_orderpriority", pa.string()),
-            ]
-        ),
+    o_side = orders.map_batches(keep_orders, batch_format="pyarrow", **worker_runtime_env())
+    o_schema = pa.schema(
+        [
+            ("o_orderkey", pa.int64()),
+            ("o_orderdate", pa.timestamp("us")),
+            ("o_orderpriority", pa.string()),
+        ]
     )
 
     line = rd.read_parquet(
@@ -80,12 +78,16 @@ def tpch_q3(sf_dir: str) -> rd.Dataset:
             (pl.col("l_extendedprice") * (1 - pl.col("l_discount"))).alias("rev")
         ).select("l_orderkey", "rev").rename({"l_orderkey": "o_orderkey"}).to_arrow()
 
-    l_side = _schema_seed(
-        line.map_batches(keep_lines, batch_format="pyarrow", **worker_runtime_env()),
-        pa.schema([("o_orderkey", pa.int64()), ("rev", pa.float64())]),
-    )
+    l_side = line.map_batches(keep_lines, batch_format="pyarrow", **worker_runtime_env())
 
-    joined = bucketed_join(l_side, o_side, on=["o_orderkey"], num_buckets=16)
+    joined = bucketed_join(
+        l_side,
+        o_side,
+        on=["o_orderkey"],
+        num_buckets=16,
+        l_schema=pa.schema([("o_orderkey", pa.int64()), ("rev", pa.float64())]),
+        r_schema=o_schema,
+    )
 
     def partial(t: pa.Table) -> pa.Table:
         return (
@@ -179,15 +181,13 @@ def tpch_q5(sf_dir: str) -> rd.Dataset:
         j = df.join(cust_tbl, left_on="o_custkey", right_on="c_custkey")
         return j.select("o_orderkey", "c_nationkey", "n_name").to_arrow()
 
-    o_side = _schema_seed(
-        orders.map_batches(order_side, batch_format="pyarrow", **worker_runtime_env()),
-        pa.schema(
-            [
-                ("o_orderkey", pa.int64()),
-                ("c_nationkey", pa.int64()),
-                ("n_name", pa.string()),
-            ]
-        ),
+    o_side = orders.map_batches(order_side, batch_format="pyarrow", **worker_runtime_env())
+    o_schema = pa.schema(
+        [
+            ("o_orderkey", pa.int64()),
+            ("c_nationkey", pa.int64()),
+            ("n_name", pa.string()),
+        ]
     )
 
     line = rd.read_parquet(
@@ -207,18 +207,22 @@ def tpch_q5(sf_dir: str) -> rd.Dataset:
             .to_arrow()
         )
 
-    l_side = _schema_seed(
-        line.map_batches(line_side, batch_format="pyarrow", **worker_runtime_env()),
-        pa.schema(
+    l_side = line.map_batches(line_side, batch_format="pyarrow", **worker_runtime_env())
+
+    joined = bucketed_join(
+        l_side,
+        o_side,
+        on=["o_orderkey"],
+        num_buckets=16,
+        l_schema=pa.schema(
             [
                 ("o_orderkey", pa.int64()),
                 ("s_nationkey", pa.int64()),
                 ("rev", pa.float64()),
             ]
         ),
+        r_schema=o_schema,
     )
-
-    joined = bucketed_join(l_side, o_side, on=["o_orderkey"], num_buckets=16)
 
     def partial(t: pa.Table) -> pa.Table:
         df = pl.from_arrow(t).filter(pl.col("s_nationkey") == pl.col("c_nationkey"))
@@ -853,35 +857,38 @@ def tpch_q22(sf_dir: str) -> rd.Dataset:
         )
     avg_bal = tot_s / tot_n
 
-    rich = _schema_seed(
-        coded.map_batches(
-            lambda t: t.filter(pc.greater(t["c_acctbal"], avg_bal)).select(
-                ["c_custkey", "cntrycode", "c_acctbal"]
-            ),
-            batch_format="pyarrow",
+    rich = coded.map_batches(
+        lambda t: t.filter(pc.greater(t["c_acctbal"], avg_bal)).select(
+            ["c_custkey", "cntrycode", "c_acctbal"]
         ),
-        pa.schema(
-            [
-                ("c_custkey", pa.int64()),
-                ("cntrycode", pa.int64()),
-                ("c_acctbal", pa.float64()),
-            ]
-        ),
+        batch_format="pyarrow",
+    )
+    rich_schema = pa.schema(
+        [
+            ("c_custkey", pa.int64()),
+            ("cntrycode", pa.int64()),
+            ("c_acctbal", pa.float64()),
+        ]
     )
     import pyarrow.dataset as pads
 
-    orders_keys = _schema_seed(
-        rd.read_parquet(
-            f"{sf_dir}/orders.parquet",
-            columns=["o_custkey"],
-            filter=(pads.field("o_totalprice") > Q22_ORDER_THRESHOLD),
-        ).map_batches(
-            lambda t: pl.from_arrow(t).unique().rename({"o_custkey": "c_custkey"}).to_arrow(),
-            batch_format="pyarrow",
-        ),
-        pa.schema([("c_custkey", pa.int64())]),
+    orders_keys = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey"],
+        filter=(pads.field("o_totalprice") > Q22_ORDER_THRESHOLD),
+    ).map_batches(
+        lambda t: pl.from_arrow(t).unique().rename({"o_custkey": "c_custkey"}).to_arrow(),
+        batch_format="pyarrow",
     )
-    no_orders = bucketed_join(rich, orders_keys, on=["c_custkey"], how="anti", num_buckets=16)
+    no_orders = bucketed_join(
+        rich,
+        orders_keys,
+        on=["c_custkey"],
+        how="anti",
+        num_buckets=16,
+        l_schema=rich_schema,
+        r_schema=pa.schema([("c_custkey", pa.int64())]),
+    )
 
     def roll_partial(t: pa.Table) -> pa.Table:
         return (
@@ -1070,16 +1077,6 @@ LIMIT {Q21_TOP}
 """
 
 
-def _schema_seed(ds: rd.Dataset, schema: pa.Schema) -> rd.Dataset:
-    """Union a 0-row block of the declared schema AHEAD of a mapped
-    dataset.  A map_batches side whose blocks all come back empty
-    (empty predicate window / empty broadcast keyset) has no schema for
-    ``bucketed_join`` to plan its co-shuffle; the seed resolves
-    ``.schema()`` from metadata alone — zero extra execution, zero rows
-    through the join."""
-    return rd.from_arrow(schema.empty_table()).union(ds)
-
-
 # --- Q4 shape: EXISTS semi-join + priority rollup ----------------------------
 Q4_DATE_LO, Q4_DATE_HI = "1996-07-01", "1996-10-01"
 Q4_LATE_DAYS = 45  # "late" adapts to the driver's columns (no commit/receipt
@@ -1113,9 +1110,18 @@ def tpch_q4(sf_dir: str) -> rd.Dataset:
         lambda t: t.rename_columns(["l_orderkey", "o_orderdate", "o_orderpriority"]),
         batch_format="pyarrow",
     )
-    orders = _schema_seed(
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+    joined = bucketed_join(
+        line,
         orders,
-        pa.schema(
+        on=["l_orderkey"],
+        num_buckets=16,
+        l_schema=pa.schema(
+            [("l_orderkey", pa.int64()), ("l_shipdate", pa.timestamp("us"))]
+        ),
+        r_schema=pa.schema(
             [
                 ("l_orderkey", pa.int64()),
                 ("o_orderdate", pa.timestamp("us")),
@@ -1123,10 +1129,6 @@ def tpch_q4(sf_dir: str) -> rd.Dataset:
             ]
         ),
     )
-    line = rd.read_parquet(
-        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
-    )
-    joined = bucketed_join(line, orders, on=["l_orderkey"], num_buckets=16)
 
     late_us = Q4_LATE_DAYS * 86400 * 1_000_000
 
@@ -1373,16 +1375,25 @@ def tpch_q10(sf_dir: str) -> rd.Dataset:
         lambda t: t.rename_columns(["l_orderkey", "o_custkey"]),
         batch_format="pyarrow",
     )
-    orders = _schema_seed(
-        orders,
-        pa.schema([("l_orderkey", pa.int64()), ("o_custkey", pa.int64())]),
-    )
     line = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
         filter=(pads.field("l_returnflag") == Q10_FLAG),
     )
-    joined = bucketed_join(line, orders, on=["l_orderkey"], num_buckets=16)
+    joined = bucketed_join(
+        line,
+        orders,
+        on=["l_orderkey"],
+        num_buckets=16,
+        l_schema=pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("l_extendedprice", pa.float64()),
+                ("l_discount", pa.float64()),
+            ]
+        ),
+        r_schema=pa.schema([("l_orderkey", pa.int64()), ("o_custkey", pa.int64())]),
+    )
 
     def partial(t: pa.Table) -> pa.Table:
         return (
@@ -1784,10 +1795,7 @@ def tpch_q8(sf_dir: str) -> rd.Dataset:
             .to_arrow()
         )
 
-    o_side = _schema_seed(
-        orders.map_batches(order_side, batch_format="pyarrow", **worker_runtime_env()),
-        pa.schema([("o_orderkey", pa.int64()), ("o_year", pa.int64())]),
-    )
+    o_side = orders.map_batches(order_side, batch_format="pyarrow", **worker_runtime_env())
 
     line = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -1808,18 +1816,22 @@ def tpch_q8(sf_dir: str) -> rd.Dataset:
             .to_arrow()
         )
 
-    l_side = _schema_seed(
-        line.map_batches(line_side, batch_format="pyarrow", **worker_runtime_env()),
-        pa.schema(
+    l_side = line.map_batches(line_side, batch_format="pyarrow", **worker_runtime_env())
+
+    joined = bucketed_join(
+        l_side,
+        o_side,
+        on=["o_orderkey"],
+        num_buckets=16,
+        l_schema=pa.schema(
             [
                 ("o_orderkey", pa.int64()),
                 ("supp_nation", pa.string()),
                 ("volume", pa.float64()),
             ]
         ),
+        r_schema=pa.schema([("o_orderkey", pa.int64()), ("o_year", pa.int64())]),
     )
-
-    joined = bucketed_join(l_side, o_side, on=["o_orderkey"], num_buckets=16)
 
     def partial(t: pa.Table) -> pa.Table:
         return (
@@ -2096,16 +2108,7 @@ def tpch_q9(sf_dir: str) -> rd.Dataset:
             .to_arrow()
         )
 
-    l_side = _schema_seed(
-        line.map_batches(line_side, batch_format="pyarrow", **worker_runtime_env()),
-        pa.schema(
-            [
-                ("o_orderkey", pa.int64()),
-                ("nation", pa.string()),
-                ("amount", pa.int64()),
-            ]
-        ),
-    )
+    l_side = line.map_batches(line_side, batch_format="pyarrow", **worker_runtime_env())
 
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
@@ -2119,7 +2122,20 @@ def tpch_q9(sf_dir: str) -> rd.Dataset:
         batch_format="pyarrow",
     )
 
-    joined = bucketed_join(l_side, orders, on=["o_orderkey"], num_buckets=16)
+    joined = bucketed_join(
+        l_side,
+        orders,
+        on=["o_orderkey"],
+        num_buckets=16,
+        l_schema=pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("nation", pa.string()),
+                ("amount", pa.int64()),
+            ]
+        ),
+        r_schema=pa.schema([("o_orderkey", pa.int64()), ("o_year", pa.int64())]),
+    )
 
     def partial(t: pa.Table) -> pa.Table:
         return (

@@ -33,6 +33,8 @@ def bucketed_join(
     how: str = "inner",
     hot_keys: set | None = None,
     salt: int = 8,
+    l_schema: "pa.Schema | None" = None,
+    r_schema: "pa.Schema | None" = None,
 ) -> rd.Dataset:
     """Hash-partitioned join of two Datasets on ``on``.  Non-key column
     names must be disjoint (resolve collisions upstream, as in SQL).
@@ -57,8 +59,14 @@ def bucketed_join(
     if hot_keys is not None and how != "inner":
         raise ValueError("hot-key salting currently supports inner joins only")
     filter_join = how in ("semi", "anti")
-    l_schema = left.schema().base_schema
-    r_schema = right.schema().base_schema
+    # callers whose sides are map_batches outputs should pass l_schema/
+    # r_schema explicitly: a side whose blocks all come back empty (empty
+    # predicate window / keyset) has no inferable schema, and .schema()
+    # on a lazy pipeline schedules a sample execution per side
+    if l_schema is None:
+        l_schema = left.schema().base_schema
+    if r_schema is None:
+        r_schema = right.schema().base_schema
     l_only = [f.name for f in l_schema if f.name not in on]
     # semi/anti use the right side as a key set: its non-key columns are
     # dropped before the shuffle (never shipped), so no collision applies

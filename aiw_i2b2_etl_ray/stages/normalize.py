@@ -31,6 +31,26 @@ from ..schemas import SHUFFLE_COLUMNS
 
 _SALT_PRIME = np.uint64(0x9E3779B97F4A7C15)
 
+#: tolerant op-token canonicalization for real-world change logs: the
+#: engine's contract is I/U/D (FIXTURES.md), but binlog/WAL tails emit
+#: source-specific tokens — Debezium c/u/d/r, full words insert/update/
+#: delete, MySQL WRITE_ROWS-style uppercase.  Mapping is by lowercased
+#: FIRST character: i/c/r (insert/create/read-snapshot) -> I, u -> U,
+#: d -> D; anything else passes through unchanged (and merges as an
+#: upsert, the engine's long-standing behavior for unknown ops).
+_OP_ALIASES = {"i": "I", "c": "I", "r": "I", "u": "U", "d": "D"}
+_OP_FROM = pa.array(list(_OP_ALIASES), pa.string())
+_OP_TO = pa.array(list(_OP_ALIASES.values()), pa.string())
+
+
+def canonical_op(op: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray | pa.Array:
+    """Vectorized: first char, lowercased, through the alias map; rows
+    already in canonical form (the common case) are returned bit-equal."""
+    first = pc.utf8_lower(pc.utf8_slice_codeunits(op, 0, 1))
+    idx = pc.index_in(first, value_set=_OP_FROM)
+    mapped = pc.take(_OP_TO, idx)  # null where not aliased
+    return pc.coalesce(mapped, op)
+
 
 class Normalizer:
     """Callable batch transform — stateless, so it runs as plain Ray TASKS
@@ -132,7 +152,7 @@ class Normalizer:
             "commit": commit,
             "lang": t["lang"] if "lang" in t.column_names else pa.nulls(n, pa.string()),
             "commit_seq": t["commit_seq"],
-            "op": t["op"],
+            "op": canonical_op(t["op"]),
             "content_sha256": sha,
             "content_len": clen,
             "size": t["size"] if "size" in t.column_names else pa.nulls(n, pa.int64()),
