@@ -1069,8 +1069,6 @@ def renames_table(facts: rd.Dataset) -> "rd.Dataset":
     split out so tests can drive it with crafted change streams."""
     import polars as pl
 
-    from ray.data.aggregate import Min
-
     from ..stages.join import bucketed_join
 
     def last_partials(t: pa.Table) -> pa.Table:
@@ -1132,9 +1130,30 @@ def renames_table(facts: rd.Dataset) -> "rd.Dataset":
         .rename_columns(["repo", "old_path", "digest"]),
         batch_format="pyarrow",
     )
-    live_side = state.map_batches(
-        lambda t: t.filter(pc.equal(t["side"], "live")).select(["repo", "path", "digest"]),
-        batch_format="pyarrow",
+    # SKEW GUARD: a mass-duplicated digest (license boilerplate, vendored
+    # files — common in code corpora) would otherwise pair every dead
+    # carrier with every live carrier inside one join bucket (O(d x l)
+    # per digest).  Only the MIN live path per (repo, digest) can ever be
+    # the answer — and dead and live path sets are provably disjoint per
+    # (repo, path) (each key has exactly ONE last state), so min-over-all
+    # equals SQL's min-over-excluding-old_path.  Pre-reduce the live side
+    # to one row per key: the join becomes 1:1-bounded, skew-proof, and
+    # the exchange shrinks to distinct (repo, digest) keys.
+    from ray.data.aggregate import Min
+
+    def live_min_partial(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .filter(pl.col("side") == "live")
+            .group_by(["repo", "digest"])
+            .agg(pl.col("path").min().alias("path"))
+            .to_arrow()
+        )
+
+    live_side = (
+        state.map_batches(live_min_partial, batch_format="pyarrow")
+        .groupby(["repo", "digest"])
+        .aggregate(Min("path", alias_name="path"))
     )
 
     def _empty():
@@ -1149,10 +1168,11 @@ def renames_table(facts: rd.Dataset) -> "rd.Dataset":
             }
         )
 
-    # an all-empty side has no schema for bucketed_join to co-shuffle
-    # (a stream with no deleted paths is the common healthy case) —
-    # counts are cheap streaming passes over the materialized state
-    if pre_side.count() == 0 or live_side.count() == 0:
+    # a stream with no deleted paths (the common healthy case) short-
+    # circuits on a cheap filter-count over the materialized state; an
+    # empty LIVE side needs no guard — the join plans from the explicit
+    # schemas and the cand.count() check below catches the empty result
+    if pre_side.count() == 0:
         return _empty()
 
     _pre_schema = pa.schema(
@@ -1172,25 +1192,23 @@ def renames_table(facts: rd.Dataset) -> "rd.Dataset":
     if cand.count() == 0:
         return _empty()
 
-    def min_partial(t: pa.Table) -> pa.Table:
-        return (
-            pl.from_arrow(t)
-            .filter(pl.col("path") != pl.col("old_path"))
-            .group_by(["repo", "old_path", "digest"])
-            .agg(pl.col("path").min().alias("new_path"))
-            .to_arrow()
-        )
-
     return (
-        cand.map_batches(min_partial, batch_format="pyarrow")
-        .groupby(["repo", "old_path", "digest"])
-        .aggregate(Min("new_path", alias_name="new_path"))
+        cand.map_batches(
+            # right side is unique per (repo, digest), so each dead row
+            # joined at most one row — a pure projection remains (the
+            # path != old_path filter is kept for SQL parity even though
+            # dead and live path sets cannot intersect)
+            lambda t: pl.from_arrow(t)
+            .filter(pl.col("path") != pl.col("old_path"))
+            .to_arrow(),
+            batch_format="pyarrow",
+        )
         .map_batches(
             lambda t: pa.table(
                 {
                     "repo": t["repo"],
                     "old_path": t["old_path"],
-                    "new_path": t["new_path"],
+                    "new_path": t["path"],
                     "content_sha256": t["digest"],
                 }
             ),

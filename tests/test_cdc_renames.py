@@ -108,6 +108,40 @@ def test_no_cross_repo_match_and_no_match_after_edit():
     assert len(out) == 0
 
 
+def test_everything_deleted_yields_empty():
+    # dead side non-empty, live side EMPTY: the join must come back
+    # schema-stable empty (no live targets exist)
+    out = _run(
+        [
+            ("r1", "a.py", 1, "I", "body"),
+            ("r1", "a.py", 2, "D", ""),
+            ("r1", "b.py", 3, "I", "body"),
+            ("r1", "b.py", 4, "D", ""),
+        ]
+    )
+    assert len(out) == 0
+    assert sorted(out.columns) == [
+        "content_sha256",
+        "new_path",
+        "old_path",
+        "repo",
+    ]
+
+
+def test_mass_duplicate_digest_stays_bounded():
+    # 30 live carriers of one digest + 3 dead: the pre-reduced live side
+    # means each dead path pairs with exactly ONE candidate (the min)
+    rows = [("r1", f"live{i:02d}.py", 100 + i, "I", "boiler") for i in range(30)]
+    for j in range(3):
+        rows += [
+            ("r1", f"dead{j}.py", 200 + 2 * j, "I", "boiler"),
+            ("r1", f"dead{j}.py", 201 + 2 * j, "D", ""),
+        ]
+    out = _run(rows)
+    assert len(out) == 3
+    assert (out["new_path"] == "live00.py").all()
+
+
 def test_pre_delete_digest_is_last_nondelete_version():
     # a.py was edited (v1 -> v2) before the delete; only the v2 digest
     # should match — a live copy of v1 is NOT the moved content
