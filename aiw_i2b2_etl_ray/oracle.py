@@ -16,6 +16,7 @@ import pandas as pd
 import pyarrow as pa
 
 from .schemas import CHANGE_FACT, LANG_DIM, PATH_DIM, REPO_DIM
+from .stages.normalize import _OP_ALIASES
 
 
 def _sha(s: str | None) -> str | None:
@@ -52,6 +53,12 @@ def replay(events: pa.Table) -> OracleResult:
 
     for row in df.itertuples(index=False):
         r = row._asdict() if hasattr(row, "_asdict") else dict(row)
+        # mirror the engine's tolerant op-token canonicalization
+        # (stages/normalize.canonical_op): lowercased first char through
+        # the alias map, unknown tokens pass through (merge as upserts)
+        op_raw = r.get("op")
+        if isinstance(op_raw, str) and op_raw:
+            r["op"] = _OP_ALIASES.get(op_raw[0].lower(), op_raw)
         repo, path, commit = r.get("repo"), r.get("path"), r.get("commit")
         if not repo or not path or not commit:
             rejects.append({**r, "reason": "null_key"})

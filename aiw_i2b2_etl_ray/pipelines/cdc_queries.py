@@ -1157,15 +1157,13 @@ def renames_table(facts: rd.Dataset) -> "rd.Dataset":
     )
 
     def _empty():
-        import pandas as pd
+        from ..util import empty_frame
 
-        return pd.DataFrame(
-            {
-                "repo": pd.array([], dtype="string"),
-                "old_path": pd.array([], dtype="string"),
-                "new_path": pd.array([], dtype="string"),
-                "content_sha256": pd.array([], dtype="string"),
-            }
+        return empty_frame(
+            repo="string",
+            old_path="string",
+            new_path="string",
+            content_sha256="string",
         )
 
     # a stream with no deleted paths (the common healthy case) short-
@@ -1342,11 +1340,15 @@ def cdc_shared_content(sf_dir: str) -> "rd.Dataset":
     pattern); a second combiner-first fold rolls pairs up to one row
     per digest (n_repos = pair count, n_paths = path-count sum) and the
     >=2-repos filter is vectorized."""
+    return shared_content_table(_path_dim_cached(sf_dir))
+
+
+def shared_content_table(pdim: rd.Dataset) -> "rd.Dataset":
+    """Core of ``cdc_shared_content`` over any path_dim Dataset (see
+    there); split out so tests can drive crafted states."""
     import polars as pl
 
     from ray.data.aggregate import Sum
-
-    pdim = _path_dim_cached(sf_dir)
 
     def pair_partial(t: pa.Table) -> pa.Table:
         return (
@@ -1374,7 +1376,7 @@ def cdc_shared_content(sf_dir: str) -> "rd.Dataset":
             .to_arrow()
         )
 
-    return (
+    out = (
         pairs.map_batches(digest_partial, batch_format="pyarrow")
         .groupby("content_sha256")
         .aggregate(Sum("pr", alias_name="n_repos"), Sum("pn", alias_name="n_paths"))
@@ -1390,7 +1392,14 @@ def cdc_shared_content(sf_dir: str) -> "rd.Dataset":
             ),
             batch_format="pyarrow",
         )
+        .materialize()  # shared-digest-sized
     )
+    if out.count() == 0:  # schema-stable empty result (SQL parity): an
+        # all-deleted/all-rejected state has zero blocks, not typed ones
+        from ..util import empty_frame
+
+        return empty_frame(content_sha256="string", n_repos="int64", n_paths="int64")
+    return out
 
 
 SQL_SHARED_CONTENT = f"""

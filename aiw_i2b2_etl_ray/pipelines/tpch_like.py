@@ -27,7 +27,7 @@ from ray.data.aggregate import Sum
 
 from ..functions.numeric import round_half_away_pc
 from ..stages.join import bucketed_join
-from ..util import worker_runtime_env
+from ..util import empty_frame, worker_runtime_env
 
 Q3_SEGMENT = "BUILDING"
 Q3_DATE = "1995-03-15"
@@ -106,15 +106,11 @@ def tpch_q3(sf_dir: str) -> rd.Dataset:
         .materialize()  # top-10-sized
     )
     if agg.count() == 0:  # schema-stable empty result (SQL parity)
-        import pandas as pd
-
-        return pd.DataFrame(
-            {
-                "o_orderkey": pd.array([], dtype="int64"),
-                "o_orderdate": pd.array([], dtype="datetime64[us]"),
-                "o_orderpriority": pd.array([], dtype="string"),
-                "revenue": pd.array([], dtype="float64"),
-            }
+        return empty_frame(
+            o_orderkey="int64",
+            o_orderdate="datetime64[us]",
+            o_orderpriority="string",
+            revenue="float64",
         )
     return agg.map_batches(
         lambda t: t.set_column(
@@ -235,14 +231,7 @@ def tpch_q5(sf_dir: str) -> rd.Dataset:
         .materialize()  # |nations|-sized
     )
     if agg.count() == 0:  # schema-stable empty result (SQL parity)
-        import pandas as pd
-
-        return pd.DataFrame(
-            {
-                "n_name": pd.array([], dtype="string"),
-                "revenue": pd.array([], dtype="float64"),
-            }
-        )
+        return empty_frame(n_name="string", revenue="float64")
     return agg.map_batches(
         lambda t: t.set_column(
             t.column_names.index("revenue"), "revenue", round_half_away_pc(t["revenue"], 2)
@@ -926,15 +915,7 @@ def tpch_q22(sf_dir: str) -> rd.Dataset:
         .materialize()  # |codes|-sized
     )
     if out.count() == 0:  # schema-stable empty result (SQL parity)
-        import pandas as pd
-
-        return pd.DataFrame(
-            {
-                "cntrycode": pd.array([], dtype="int64"),
-                "numcust": pd.array([], dtype="int64"),
-                "totacctbal": pd.array([], dtype="float64"),
-            }
-        )
+        return empty_frame(cntrycode="int64", numcust="int64", totacctbal="float64")
     return out
 
 
@@ -1167,14 +1148,7 @@ def tpch_q4(sf_dir: str) -> rd.Dataset:
         .materialize()  # priority-count-sized
     )
     if out.count() == 0:  # schema-stable empty result (SQL parity)
-        import pandas as pd
-
-        return pd.DataFrame(
-            {
-                "o_orderpriority": pd.array([], dtype="string"),
-                "order_count": pd.array([], dtype="int64"),
-            }
-        )
+        return empty_frame(o_orderpriority="string", order_count="int64")
     return out
 
 
@@ -1308,15 +1282,8 @@ def tpch_q7(sf_dir: str) -> rd.Dataset:
 
 def _q7_empty():
     """Schema-stable empty Q7 result (SQL keeps its column list)."""
-    import pandas as pd
-
-    return pd.DataFrame(
-        {
-            "supp_nation": pd.array([], dtype="string"),
-            "cust_nation": pd.array([], dtype="string"),
-            "l_year": pd.array([], dtype="int64"),
-            "revenue": pd.array([], dtype="float64"),
-        }
+    return empty_frame(
+        supp_nation="string", cust_nation="string", l_year="int64", revenue="float64"
     )
 
 
@@ -1416,16 +1383,12 @@ def tpch_q10(sf_dir: str) -> rd.Dataset:
         .materialize()  # top-20-sized
     )
     if per_cust.count() == 0:  # schema-stable empty result (SQL parity)
-        import pandas as pd
-
-        return pd.DataFrame(
-            {
-                "c_custkey": pd.array([], dtype="int64"),
-                "c_name": pd.array([], dtype="string"),
-                "revenue": pd.array([], dtype="float64"),
-                "c_acctbal": pd.array([], dtype="float64"),
-                "n_name": pd.array([], dtype="string"),
-            }
+        return empty_frame(
+            c_custkey="int64",
+            c_name="string",
+            revenue="float64",
+            c_acctbal="float64",
+            n_name="string",
         )
 
     cust = (
@@ -1596,13 +1559,7 @@ def tpch_q15(sf_dir: str) -> rd.Dataset:
 
     top = per_supp.max("total_revenue") if per_supp.count() else None
     if top is None:
-        return pd.DataFrame(
-            {
-                "s_suppkey": pd.array([], dtype="int64"),
-                "s_name": pd.array([], dtype="string"),
-                "total_revenue": pd.array([], dtype="float64"),
-            }
-        )
+        return empty_frame(s_suppkey="int64", s_name="string", total_revenue="float64")
 
     sup = pl.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"])
     sup_ref = ray.put(sup)
@@ -1872,14 +1829,7 @@ def tpch_q8(sf_dir: str) -> rd.Dataset:
 
     out = agg.map_batches(share, batch_format="pyarrow").materialize()  # years-sized
     if out.count() == 0:  # schema-stable empty result (SQL parity)
-        import pandas as pd
-
-        return pd.DataFrame(
-            {
-                "o_year": pd.array([], dtype="int64"),
-                "mkt_share": pd.array([], dtype="float64"),
-            }
-        )
+        return empty_frame(o_year="int64", mkt_share="float64")
     return out
 
 
@@ -1969,12 +1919,7 @@ def tpch_q20(sf_dir: str) -> rd.Dataset:
     import pandas as pd
 
     if pairs.count() == 0:
-        return pd.DataFrame(
-            {
-                "s_suppkey": pd.array([], dtype="int64"),
-                "s_name": pd.array([], dtype="string"),
-            }
-        )
+        return empty_frame(s_suppkey="int64", s_name="string")
 
     def avg_partial(t: pa.Table) -> pa.Table:
         return (
@@ -2166,15 +2111,7 @@ def tpch_q9(sf_dir: str) -> rd.Dataset:
         .materialize()  # |nations| x |years| rows
     )
     if out.count() == 0:  # schema-stable empty result (SQL parity)
-        import pandas as pd
-
-        return pd.DataFrame(
-            {
-                "nation": pd.array([], dtype="string"),
-                "o_year": pd.array([], dtype="int64"),
-                "sum_profit": pd.array([], dtype="float64"),
-            }
-        )
+        return empty_frame(nation="string", o_year="int64", sum_profit="float64")
     return out
 
 
@@ -2243,12 +2180,7 @@ def tpch_q11(sf_dir: str) -> rd.Dataset:
     import pandas as pd
 
     if per_part.count() == 0:
-        return pd.DataFrame(
-            {
-                "p_partkey": pd.array([], dtype="int64"),
-                "value": pd.array([], dtype="float64"),
-            }
-        )
+        return empty_frame(p_partkey="int64", value="float64")
     n_parts = pq.ParquetFile(f"{sf_dir}/part.parquet").metadata.num_rows
     # threshold in exact basis-point units; both sides evaluate the same
     # float expression on the same exact integers -> identical verdicts

@@ -36,3 +36,18 @@ def cap_kernel_threads() -> None:
 
     for k, v in WORKER_ENV["env_vars"].items():
         os.environ.setdefault(k, v)
+
+
+def empty_frame(**dtypes: str):
+    """Schema-stable empty result: a typed 0-row pandas DataFrame.
+
+    A Ray pipeline whose blocks all come back empty loses its schema, so
+    ``to_pandas()`` yields a column-less frame and the driver's
+    rows+schema compare fails; queries guard their (tiny, materialized)
+    finals with ``if out.count() == 0: return empty_frame(col="dtype",
+    ...)``.  One helper instead of a hand-written pd.DataFrame literal
+    per query — the literal was forgotten once (cdc_shared_content) and
+    each copy's dtype list had to be eye-synced with the real schema."""
+    import pandas as pd
+
+    return pd.DataFrame({c: pd.array([], dtype=t) for c, t in dtypes.items()})

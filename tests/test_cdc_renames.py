@@ -162,3 +162,60 @@ def test_pre_delete_digest_is_last_nondelete_version():
             "content_sha256": _sha("v2"),
         }
     ]
+
+
+def test_shared_content_empty_live_state_keeps_schema():
+    """All paths deleted: shared_content must return a typed empty frame,
+    not a column-less one (the zero-blocks schema-loss class)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from aiw_i2b2_etl_ray.pipelines.cdc_queries import shared_content_table
+
+    pdim = rd.from_arrow(
+        pa.table(
+            {
+                "repo": pa.array(["r1", "r2"], pa.string()),
+                "path": pa.array(["a", "b"], pa.string()),
+                "lang": pa.array(["py", "py"], pa.string()),
+                "content_sha256": pa.array(["x" * 64, "x" * 64], pa.string()),
+                "last_commit": pa.array(["c1", "c2"], pa.string()),
+                "last_commit_seq": pa.array([1, 2], pa.int64()),
+                "delete_date": pa.array([1, 2], pa.timestamp("us")),  # all dead
+                "size": pa.array([None, None], pa.int64()),
+            }
+        )
+    )
+    out = shared_content_table(pdim)
+    out = out if isinstance(out, pd.DataFrame) else out.to_pandas()
+    assert len(out) == 0
+    assert sorted(out.columns) == ["content_sha256", "n_paths", "n_repos"]
+
+
+def test_shared_content_counts_cross_repo_digests():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from aiw_i2b2_etl_ray.pipelines.cdc_queries import shared_content_table
+
+    d1, d2 = "a" * 64, "b" * 64
+    pdim = rd.from_arrow(
+        pa.table(
+            {
+                "repo": pa.array(["r1", "r2", "r2", "r1"], pa.string()),
+                "path": pa.array(["a", "b", "c", "d"], pa.string()),
+                "lang": pa.array(["py"] * 4, pa.string()),
+                # d1 lives in r1+r2 (3 paths); d2 only in r1
+                "content_sha256": pa.array([d1, d1, d1, d2], pa.string()),
+                "last_commit": pa.array(["c"] * 4, pa.string()),
+                "last_commit_seq": pa.array([1, 2, 3, 4], pa.int64()),
+                "delete_date": pa.array([None] * 4, pa.timestamp("us")),
+                "size": pa.array([None] * 4, pa.int64()),
+            }
+        )
+    ).repartition(3)
+    out = shared_content_table(pdim)
+    out = out if isinstance(out, pd.DataFrame) else out.to_pandas()
+    assert out.to_dict("records") == [
+        {"content_sha256": d1, "n_repos": 2, "n_paths": 3}
+    ]
