@@ -51,6 +51,15 @@ def read_changes(path: str | list[str], *, with_content: bool = True) -> rd.Data
     if evolved:
         cols.append("size")
     schema = pa.schema([base.field(c) for c in cols])
+    # NOTE on read parallelism: Ray's ParquetDatasource assigns WHOLE files
+    # to read tasks (np.array_split over fragments — override_num_blocks
+    # only recuts the decoded output into more blocks, which SplitBlocks
+    # already does), so the decode parallelism of a change log equals its
+    # file count.  Ingest-side file sizing is therefore a deployment
+    # concern: write logs as many bounded-size segments (the synthetic
+    # generator defaults to 100k rows/file with 64k-row groups), not a few
+    # giant files — a 20-file 10M-event log decodes on 20 of 32 cores and
+    # the read dominates the whole merge pipeline.
     return rd.read_parquet(path, schema=schema)
 
 

@@ -43,7 +43,7 @@ def generate_changes(
     reject_frac: float = 0.005,
     evo_frac: float = 0.75,
     content_len: tuple[int, int] = (24, 240),
-    rows_per_file: int = 1_000_000,
+    rows_per_file: int = 100_000,
 ) -> str:
     """Write a deterministic change log; returns ``out_dir``.
 
@@ -136,7 +136,12 @@ def generate_changes(
             t = pa.concat_tables([t, t.take(pa.array(dup_idx))])
 
         f = os.path.join(out_dir, f"part-{fi:05d}.parquet")
-        pq.write_table(t, f)
+        # Bounded row groups (the pyarrow default is one giant row group
+        # per file): keeps any reader's per-row-group decode memory bounded
+        # and lets predicate-pushed scans skip at row-group granularity.
+        # Decode PARALLELISM is set by file count (Ray assigns whole files
+        # to read tasks) — hence the 100k-row default file size above.
+        pq.write_table(t, f, row_group_size=64_000)
         out_files.append(f)
 
     return out_dir

@@ -53,7 +53,13 @@ def _ensure_input(n_events: int) -> str:
         n_repos=max(20, n_events // 50_000),
         paths_per_repo=200,
         seed=42,
-        rows_per_file=500_000,
+        # 100k rows/file: Ray's parquet read assigns whole FILES to read
+        # tasks, so file count == decode parallelism.  500k-row files made
+        # a 10M-event log decode on only 20 of 32 cores, and the read
+        # dominated the replay (profiled ~half the pipeline's remote wall).
+        # Real 10^10-event deployments ship thousands of log segments; the
+        # benchmark layout now matches that shape.
+        rows_per_file=100_000,
     )
     with open(marker, "w") as f:
         f.write("ok")
