@@ -19,17 +19,14 @@ import pyarrow as pa
 _EMPTY_SHA = hashlib.sha256(b"").hexdigest()
 
 
-def sha256_hex(col: pa.Array | pa.ChunkedArray) -> pa.Array:
-    """Hex sha256 of each utf8 value; null stays null.
-
-    Per-row loop is unavoidable for a cryptographic digest; hashlib runs the
-    compression in C, and the input bytes come straight off the Arrow data
-    buffer as zero-copy memoryview slices (identical digests to
-    ``sha256(s.encode("utf-8"))`` — the buffer IS the utf8 encoding), so no
-    per-row Python strings are built.
-    """
+def _digest_rows(col: pa.Array | pa.ChunkedArray, factory, hexed: bool) -> list:
+    """Per-row cryptographic digests over an Arrow utf8/binary column,
+    hashing the data buffer DIRECTLY through zero-copy memoryview slices
+    (a string array's buffer already holds the utf8 bytes, so digests are
+    identical to ``factory(s.encode("utf-8"))``) — no per-row Python string
+    materialization.  Profiled 1.6x over the to_pylist loop; the residue is
+    the C compression, the cryptographic floor.  Null rows stay None."""
     chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
-    sha = hashlib.sha256
     out: list = []
     for ch in chunks:
         if len(ch) == 0:
@@ -44,55 +41,50 @@ def sha256_hex(col: pa.Array | pa.ChunkedArray) -> pa.Array:
             offset=ch.offset * np.dtype(odt).itemsize,
         )
         data = memoryview(bufs[2])
-        if ch.null_count == 0:
-            out.extend(
-                sha(data[off[i] : off[i + 1]]).hexdigest() for i in range(len(ch))
-            )
+        if hexed:
+            if ch.null_count == 0:
+                out.extend(
+                    factory(data[off[i] : off[i + 1]]).hexdigest()
+                    for i in range(len(ch))
+                )
+            else:
+                valid = ch.is_valid().to_numpy(zero_copy_only=False)
+                out.extend(
+                    factory(data[off[i] : off[i + 1]]).hexdigest() if valid[i] else None
+                    for i in range(len(ch))
+                )
         else:
-            valid = ch.is_valid().to_numpy(zero_copy_only=False)
-            out.extend(
-                sha(data[off[i] : off[i + 1]]).hexdigest() if valid[i] else None
-                for i in range(len(ch))
-            )
-    return pa.array(out, type=pa.string())
+            if ch.null_count == 0:
+                out.extend(
+                    factory(data[off[i] : off[i + 1]]).digest() for i in range(len(ch))
+                )
+            else:
+                valid = ch.is_valid().to_numpy(zero_copy_only=False)
+                out.extend(
+                    factory(data[off[i] : off[i + 1]]).digest() if valid[i] else None
+                    for i in range(len(ch))
+                )
+    return out
+
+
+def sha256_hex(col: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Hex sha256 of each utf8 value; null stays null (see _digest_rows —
+    zero-copy buffer slices, no per-row Python strings)."""
+    return pa.array(_digest_rows(col, hashlib.sha256, hexed=True), type=pa.string())
 
 
 def sha256_bin(col: pa.Array | pa.ChunkedArray) -> pa.Array:
     """Raw 32-byte sha256 digests — the shuffle-side representation (half
-    the bytes of hex; hex-encode only at the output edge).
+    the bytes of hex; hex-encode only at the output edge).  This is the
+    replay hot path: the digest was 88% of the Normalizer's per-batch cost
+    before the zero-copy rewrite (see _digest_rows)."""
+    return pa.array(_digest_rows(col, hashlib.sha256, hexed=False), type=pa.binary())
 
-    Hashes the Arrow utf8/binary buffer DIRECTLY through zero-copy
-    memoryview slices (a string array's data buffer already holds the utf8
-    bytes, so digests are identical to ``sha256(s.encode("utf-8"))``) —
-    no per-row Python string materialization.  Profiled 1.6x over the
-    to_pylist loop, and this is 88% of the Normalizer's per-batch cost on
-    the replay hot path; the residue is hashlib's C compression, the
-    cryptographic floor."""
-    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
-    sha = hashlib.sha256
-    out: list = []
-    for ch in chunks:
-        if len(ch) == 0:
-            continue
-        big = pa.types.is_large_string(ch.type) or pa.types.is_large_binary(ch.type)
-        odt = np.int64 if big else np.int32
-        bufs = ch.buffers()
-        off = np.frombuffer(
-            bufs[1],
-            dtype=odt,
-            count=len(ch) + 1,
-            offset=ch.offset * np.dtype(odt).itemsize,
-        )
-        data = memoryview(bufs[2])
-        if ch.null_count == 0:
-            out.extend(sha(data[off[i] : off[i + 1]]).digest() for i in range(len(ch)))
-        else:
-            valid = ch.is_valid().to_numpy(zero_copy_only=False)
-            out.extend(
-                sha(data[off[i] : off[i + 1]]).digest() if valid[i] else None
-                for i in range(len(ch))
-            )
-    return pa.array(out, type=pa.binary())
+
+def md5_hex(col: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Hex md5 of each utf8 value; null stays null (fingerprints and chunk
+    ids — same zero-copy buffer walk as the sha kernels)."""
+    return pa.array(_digest_rows(col, hashlib.md5, hexed=True), type=pa.string())
 
 
 def bin_to_hex(col) -> pa.Array:

@@ -8,7 +8,6 @@ computes every signal in ONE corpus pass."""
 
 from __future__ import annotations
 
-import hashlib
 import re
 
 import numpy as np
@@ -18,7 +17,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-from ..functions.hashing import rolling_fingerprint
+from ..functions.hashing import md5_hex, rolling_fingerprint
 from ..functions.numeric import round_half_away, round_half_away_pl
 from ..util import worker_runtime_env
 
@@ -279,9 +278,9 @@ def text_fingerprint(sf_dir: str) -> rd.Dataset:
 
     class FP:
         def __call__(self, t: pa.Table) -> pa.Table:
-            # normalization stays in the Rust string kernels; only the md5
-            # itself is a loop, and that loop is pure C (multi-block
-            # digests — the single-block numpy kernel doesn't apply)
+            # normalization stays in the Rust string kernels; the md5 hashes
+            # the normalized column's Arrow buffer directly (zero-copy
+            # slices, hashing.md5_hex — no per-row Python strings)
             norm = (
                 pl.from_arrow(t.select(["text"]))
                 .select(
@@ -290,14 +289,10 @@ def text_fingerprint(sf_dir: str) -> rd.Dataset:
                     .str.replace_all(r"[^a-z0-9]+", "")
                     .alias("n")
                 )["n"]
-                .to_list()
+                .to_arrow()
             )
-            md5 = hashlib.md5
-            fps = [
-                md5(s.encode()).hexdigest() if s is not None else None for s in norm
-            ]
             return pa.table(
-                {"doc_id": t["doc_id"], "md5_fingerprint": pa.array(fps, pa.string())}
+                {"doc_id": t["doc_id"], "md5_fingerprint": md5_hex(norm)}
             )
 
     return ds.map_batches(FP, batch_format="pyarrow", concurrency=(1, 8))
@@ -419,9 +414,8 @@ def text_chunks(sf_dir: str) -> rd.Dataset:
 
     def chunk(t: pa.Table) -> pa.Table:
         # offsets/slices fully vectorized (polars char-based kernels);
-        # only the per-piece md5 remains a loop, and that loop is pure C
-        # (a chunk is up to 400 utf-8 chars — multi-block, so the
-        # single-block numpy MD5 kernel doesn't apply)
+        # the per-piece md5 hashes the piece column's Arrow buffer directly
+        # (hashing.md5_hex, zero-copy slices)
         df = pl.from_arrow(t).with_columns(pl.col("text").fill_null(""))
         n = pl.col("text").str.len_chars().cast(pl.Int64)
         span = pl.max_horizontal(n - (CHUNK_LEN - CHUNK_STRIDE), pl.lit(1))
@@ -443,15 +437,15 @@ def text_chunks(sf_dir: str) -> rd.Dataset:
             )
             .filter(pl.col("chunk_len") > 0)
         )
-        md5 = hashlib.md5
-        digests = [md5(p.encode()).hexdigest() for p in ex["piece"].to_list()]
         return pa.table(
             {
                 "doc_id": ex["doc_id"].to_arrow().cast(pa.int64()),
                 "chunk_idx": ex["chunk_idx"].to_arrow().cast(pa.int32()),
                 "offset": ex["offset"].to_arrow().cast(pa.int64()),
                 "chunk_len": ex["chunk_len"].to_arrow().cast(pa.int64()),
-                "chunk_md5": pa.array(digests, pa.string()),
+                # md5 over the piece column's Arrow buffer (zero-copy
+                # slices, hashing.md5_hex — no per-row Python strings)
+                "chunk_md5": md5_hex(ex["piece"].to_arrow()),
             }
         )
 
