@@ -53,6 +53,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_change_fact_mod": cq.cdc_change_fact_mod,  # modifier fan-out
         "cdc_modifier_dim": cq.cdc_modifier_dim,  # modifier_dimension analog
         "cdc_author_dim": cq.cdc_author_dim,  # provider_dimension analog
+        # exactly-once stated as an equality: full-redelivery replay must
+        # hash-match the single-delivery path_dim (new r5 session 5)
+        "cdc_reapply": cq.cdc_reapply,
+        # post-load referential-integrity census, all-integer (new r5 s5)
+        "cdc_integrity": cq.cdc_integrity,
         # --- reference operator families (SURVEY.md §2) --------------------
         "eav_encode": an.eav_encode,  # M6
         "str_normalize": an.str_normalize,  # M7/M8
@@ -205,6 +210,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         cat.update(
             {
                 "dedup_exact": dd.dedup_exact,
+                # normalize-then-exact (CCNet-style fuzzy-exact) dedup
+                "dedup_normalized": dd.dedup_normalized,
                 "dedup_minhash": dd.minhash_pairs_cached,
                 # persistent LSH index, two-increment build == one-shot
                 "dedup_incremental": ddi.dedup_incremental,
@@ -253,6 +260,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "text_bpe_tokens": tx.text_bpe_tokens,
                 # bounded-vocab unigram-LM quality score (new r5)
                 "unigram_score": tx.unigram_score,
+                # per-doc token-entropy lexical-diversity signal (new r5 s5)
+                "text_entropy": tx.text_entropy,
                 "multimodal_features": mm.multimodal_features,
                 "multimodal_frames": mm.frame_sample,
                 "multimodal_resize": mm.multimodal_resize,
@@ -332,7 +341,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # slot goes to the new hash-compared Q8 market-share shape (the
         # IVF variant keeps the embedding-dedup family in the window)
         "tpch_q8",
-        "dedup_embedding_ivf",
+        # dedup_embedding_ivf: r04 driver-green, untouched this round —
+        # its slot goes to the all-integer integrity census (new r5 s5)
+        "cdc_integrity",
         "tpch_q11",
         "corpus_filter",
         # model_score: r04 driver-green, untouched this round — its slot
@@ -346,10 +357,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q20",
         # text analysis family (dedup_simhash/text_rolling_fp/
         # text_bpe_tokens likewise rows-only with r04 driver rows — slots
-        # freed for the remaining new TPC-H shapes)
-        "text_langid",
-        "text_scrub",
-        "vocab_topk",
+        # freed for the remaining new TPC-H shapes).  Session-5 additions
+        # (never driver-verified, all oracle-checked at two sfs) take the
+        # slots of text_langid / text_scrub / vocab_topk — all three r04
+        # driver-green with functions untouched this round; they stay in
+        # the dict and local-oracle-green
+        "text_entropy",
+        "dedup_normalized",
+        "cdc_reapply",
         "heavy_hitter_tokens",
         "text_chunks",
         # r5 session-3 additions (never driver-verified, all oracle-checked;
@@ -404,6 +419,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_change_fact_mod": cq.SQL_CHANGE_FACT_MOD,
         "cdc_modifier_dim": cq.SQL_MODIFIER_DIM,
         "cdc_author_dim": cq.SQL_AUTHOR_DIM,
+        "cdc_reapply": cq.SQL_REAPPLY,
+        "cdc_integrity": cq.SQL_INTEGRITY,
         "eav_encode": """
             SELECT event_id,
                    CASE WHEN value IS NULL THEN '@' ELSE 'N' END AS valtype_cd,
@@ -596,6 +613,7 @@ def oracle_sql() -> dict[str, str]:
         sql.update(
             {
                 "dedup_exact": dd.SQL_DEDUP_EXACT,
+                "dedup_normalized": dd.SQL_DEDUP_NORMALIZED,
                 "dedup_embedding": dd.SQL_DEDUP_EMBEDDING,
                 "dedup_clusters": gc.SQL_DEDUP_CLUSTERS,
                 "dup_spans": dd.SQL_DUP_SPANS,
@@ -624,6 +642,7 @@ def oracle_sql() -> dict[str, str]:
                 "heavy_hitter_tokens": tx.SQL_HEAVY_HITTERS,
                 "text_chunks": tx.SQL_TEXT_CHUNKS,
                 "unigram_score": tx.SQL_UNIGRAM_SCORE,
+                "text_entropy": tx.SQL_TEXT_ENTROPY,
             }
         )
         from aiw_i2b2_etl_ray.pipelines import retrieval as rt

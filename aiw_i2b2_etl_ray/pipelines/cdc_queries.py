@@ -1412,3 +1412,149 @@ FROM live
 GROUP BY digest
 HAVING COUNT(DISTINCT repo) >= 2
 """
+
+
+def cdc_reapply(sf_dir: str) -> rd.Dataset:
+    """Full-redelivery convergence contract at the query surface: replay
+    the change stream UNIONed with a complete second copy of itself (the
+    worst-case at-least-once delivery — every change redelivered once)
+    and reduce to path_dim.  The change-id dedup (first rn per
+    (repo, path, commit), D4) must make the result IDENTICAL to the
+    single-delivery ``cdc_path_dim``, so the oracle is ``SQL_PATH_DIM``
+    itself — the exactly-once guarantee stated as an equality the driver
+    hash-checks end-to-end (the checkpoint/crash-window pytest suite
+    proves the same invariant for partial redelivery windows).
+
+    Plan: both legs stream (two pruned reads); the doubled stream pays
+    one normalize + one keyed exchange, same as the single-delivery
+    path — dedup happens inside the per-partition merge state, nothing
+    extra materializes."""
+    doubled = changes_from_events(sf_dir).union(changes_from_events(sf_dir))
+    return _reduce_to_path_dim(
+        replay_table(doubled, emit="fact", num_partitions=_NP)
+    )
+
+
+SQL_REAPPLY = SQL_PATH_DIM  # convergence contract: redelivery is a no-op
+
+
+def cdc_integrity(sf_dir: str) -> pa.Table:
+    """Post-load referential-integrity census (A1 at repo granularity):
+    per repo, the deduped change count, tombstone count, converged path
+    count, live/deleted split, and distinct live languages — the
+    counts-reconciliation read the reference logs after every load
+    (table row counts vs. source counts) widened to the full star.  All
+    columns are exact integers, so the oracle compare is drift-proof.
+
+    Plan: two repo-keyed combiner-first folds over the shared fact and
+    path_dim materializations (per-block polars partials, then a
+    repo-count-sized groupby); the final repo-level join runs on the
+    driver over dimension-sized tables (n_repos is config-bounded, the
+    broadcast-dim discipline of ``cdc_repo_dim``)."""
+    import polars as pl
+
+    from ray.data.aggregate import Sum
+
+    def fact_partial(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t.select(["repo", "op"]))
+            .group_by("repo")
+            .agg(
+                pl.len().cast(pl.Int64).alias("pc"),
+                (pl.col("op") == "D").sum().cast(pl.Int64).alias("pd"),
+            )
+            .to_arrow()
+        )
+
+    f = (
+        _fact_cached(sf_dir)
+        .map_batches(fact_partial, batch_format="pyarrow")
+        .groupby("repo")
+        .aggregate(Sum("pc", alias_name="n_changes"), Sum("pd", alias_name="n_deletes"))
+        .to_pandas()  # repo-count-sized (config-bounded)
+    )
+
+    def pdim_partial(t: pa.Table) -> pa.Table:
+        live = pl.col("delete_date").is_null()
+        return (
+            pl.from_arrow(t.select(["repo", "lang", "delete_date"]))
+            .group_by("repo")
+            .agg(
+                pl.len().cast(pl.Int64).alias("pp"),
+                live.sum().cast(pl.Int64).alias("pl"),
+            )
+            .to_arrow()
+        )
+
+    p = (
+        _path_dim_cached(sf_dir)
+        .map_batches(pdim_partial, batch_format="pyarrow")
+        .groupby("repo")
+        .aggregate(Sum("pp", alias_name="n_paths"), Sum("pl", alias_name="n_live"))
+        .to_pandas()
+    )
+
+    # distinct live languages: per-block distinct pairs, then a pair-
+    # bounded exact distinct (the q16 distinct-across-join pattern)
+    def lang_pairs(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t.select(["repo", "lang", "delete_date"]))
+            .filter(pl.col("delete_date").is_null())
+            .select("repo", "lang")
+            .unique()
+            .to_arrow()
+        )
+
+    from ray.data.aggregate import Count
+
+    lp = (
+        _path_dim_cached(sf_dir)
+        .map_batches(lang_pairs, batch_format="pyarrow")
+        .groupby(["repo", "lang"])
+        .aggregate(Count(alias_name="_n"))
+    )
+
+    def lang_partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "repo" not in t.schema.names:
+            # sort-groupby emits schema-less blocks for empty reduce
+            # partitions (the heavy_hitter_tokens lesson)
+            return pa.table(
+                {"repo": pa.array([], pa.string()), "pl": pa.array([], pa.int64())}
+            )
+        return (
+            pl.from_arrow(t.select(["repo"]))
+            .group_by("repo")
+            .agg(pl.len().cast(pl.Int64).alias("pl"))
+            .to_arrow()
+        )
+
+    nl = (
+        lp.map_batches(lang_partial, batch_format="pyarrow")
+        .groupby("repo")
+        .aggregate(Sum("pl", alias_name="n_live_langs"))
+        .to_pandas()
+    )
+    out = f.merge(p, on="repo").merge(nl, on="repo", how="left")
+    out["n_live_langs"] = out["n_live_langs"].fillna(0).astype("int64")
+    out = out.sort_values("repo").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL_INTEGRITY = f"""
+WITH {CHANGES_FROM_EVENTS_SQL}, {_VALID}, {_LAST},
+f AS (
+  SELECT repo,
+         CAST(COUNT(*) AS BIGINT)                            AS n_changes,
+         CAST(SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes
+  FROM dedup GROUP BY repo
+),
+p AS (
+  SELECT repo,
+         CAST(COUNT(*) AS BIGINT)                                  AS n_paths,
+         CAST(SUM(CASE WHEN op <> 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+         CAST(COUNT(DISTINCT CASE WHEN op <> 'D' THEN lang END) AS BIGINT) AS n_live_langs
+  FROM last GROUP BY repo
+)
+SELECT f.repo, f.n_changes, f.n_deletes, p.n_paths, p.n_live, p.n_live_langs
+FROM f JOIN p USING (repo)
+"""

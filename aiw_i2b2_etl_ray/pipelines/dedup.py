@@ -867,3 +867,66 @@ SELECT u.doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans
 FROM u JOIN d ON d.s = u.s
 GROUP BY u.doc_id
 """
+
+
+def dedup_normalized(sf_dir: str) -> rd.Dataset:
+    """Normalize-then-exact dedup — the CCNet-style fuzzy-exact stage:
+    lowercase, strip everything outside [0-9a-z\\s], collapse whitespace
+    runs, trim — then sha256 the canonical form and keep the minimum
+    doc_id per digest.  Catches the re-hosted/boilerplate-reformatted
+    copies that byte-exact ``dedup_exact`` misses but that are identical
+    prose (the deduplicate-text-datasets "normalized exact" screen).
+
+    Plan shape is dedup_exact's: normalization + digest run map-side in
+    polars' Rust kernels, so the shuffle carries (digest, doc_id) only —
+    never text — and the per-digest reduce is a first-writer-wins
+    groupby (ST3)."""
+    import polars as pl
+
+    from ..functions.hashing import sha256_hex
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def digest(t: pa.Table) -> pa.Table:
+        norm = (
+            pl.from_arrow(t.select(["text"]))
+            .select(
+                pl.col("text")
+                .str.to_lowercase()
+                .str.replace_all(r"[^0-9a-z\s]", "")
+                .str.replace_all(r"\s+", " ")
+                .str.strip_chars()
+                .alias("n")
+            )["n"]
+            .to_arrow()
+        )
+        return pa.table({"doc_id": t["doc_id"], "norm_sha256": sha256_hex(norm)})
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "norm_sha256": [g["norm_sha256"].iloc[0]],
+                "keep_doc_id": [g["doc_id"].min()],
+                "n_copies": [np.int64(len(g))],
+            }
+        )
+
+    return (
+        ds.map_batches(digest, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("norm_sha256")
+        .map_groups(keep_first, batch_format="pandas")
+    )
+
+
+SQL_DEDUP_NORMALIZED = r"""
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^0-9a-z\s]', '', 'g'),
+                             '\s+', ' ', 'g')) AS norm
+  FROM documents
+)
+SELECT sha256(norm)             AS norm_sha256,
+       MIN(doc_id)              AS keep_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM n GROUP BY sha256(norm)
+"""

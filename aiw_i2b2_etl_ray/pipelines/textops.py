@@ -827,3 +827,82 @@ SELECT d.doc_id,
        COALESCE(p.freq_sum, 0) / NULLIF(COALESCE(p.n_tokens, 0), 0) AS uni_score
 FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
+
+
+def text_entropy(sf_dir: str) -> rd.Dataset:
+    """Token-entropy quality signal: per-doc Shannon entropy (bits) of the
+    word-token distribution plus token/distinct counts — the lexical-
+    diversity rule of the quality-filter family (low-entropy docs are
+    boilerplate/keyword-stuffing; the C4/Gopher screens gate on the same
+    distributional degeneracy that ``text_repetition`` measures at the
+    n-gram level).  Complements ``unigram_score`` (corpus-typicality)
+    with a purely intra-document signal.
+
+    Entropy is written as sum((c/n) * log2(n/c)) — every term is
+    nonnegative so no -0.0 sign leaks into the value hash — and rounded
+    half-away at 4 decimals on both sides; the pre-round engine/oracle
+    gap is libm-ULP-scale (~1e-13) against 5e-5 rounding boundaries,
+    the same budget the ratio family (text_quality) runs on.
+
+    Plan: embarrassingly parallel — one streaming pass, the token
+    explosion + two group-bys run per batch inside polars' Rust kernels,
+    NO shuffle (per-doc state never crosses batch boundaries because the
+    group key is the in-batch row index)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def ent(t: pa.Table) -> pa.Table:
+        base = (
+            pl.from_arrow(t)
+            .with_row_index("ri")
+            .select("ri", "doc_id", pl.col("text").str.extract_all(_WORD).alias("toks"))
+        )
+        cnt = (
+            base.select("ri", "toks")
+            .explode("toks")
+            .drop_nulls("toks")
+            .group_by("ri", "toks")
+            .agg(pl.len().cast(pl.Float64).alias("c"))
+        )
+        n = pl.col("c").sum()
+        agg = cnt.group_by("ri").agg(
+            n.cast(pl.Int64).alias("n_tokens"),
+            pl.len().cast(pl.Int64).alias("n_distinct"),
+            ((pl.col("c") / n) * (n / pl.col("c")).log(2.0)).sum().alias("e"),
+        )
+        out = (
+            base.select("ri", "doc_id")
+            .join(agg, on="ri", how="left")
+            .with_columns(
+                pl.col("n_tokens").fill_null(0),
+                pl.col("n_distinct").fill_null(0),
+                round_half_away_pl(pl.col("e"), 4).alias("token_entropy"),
+            )
+            .sort("ri")
+            .select("doc_id", "n_tokens", "n_distinct", "token_entropy")
+        )
+        return out.to_arrow()
+
+    return ds.map_batches(ent, batch_format="pyarrow", **worker_runtime_env())
+
+
+SQL_TEXT_ENTROPY = f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST(regexp_extract_all(text, '{_WORD}')) AS tok FROM documents
+), cnt AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS c FROM tok GROUP BY doc_id, tok
+), tot AS (
+  SELECT doc_id, SUM(c) AS n FROM cnt GROUP BY doc_id
+), agg AS (
+  SELECT c.doc_id,
+         CAST(SUM(c.c) AS BIGINT)   AS n_tokens,
+         CAST(COUNT(*) AS BIGINT)   AS n_distinct,
+         ROUND(SUM((c.c / t.n) * log2(t.n / c.c)), 4) AS token_entropy
+  FROM cnt c JOIN tot t USING (doc_id)
+  GROUP BY c.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.n_tokens, 0)   AS n_tokens,
+       COALESCE(a.n_distinct, 0) AS n_distinct,
+       a.token_entropy
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""

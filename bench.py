@@ -187,6 +187,12 @@ def run_queries() -> dict[str, float]:
         # TPC-H shape (8-table market share)
         "cdc_renames",
         "tpch_q8",
+        # r5 session-5 additions: per-batch Rust-kernel text entropy,
+        # normalize-then-exact dedup, and the all-integer integrity
+        # census (shares the fact/path_dim materializations)
+        "text_entropy",
+        "dedup_normalized",
+        "cdc_integrity",
     ]
     q = e.queries()
     out = {}

@@ -527,3 +527,60 @@ def test_unigram_score_null_text_matches_oracle(tmp_path):
     got = unigram_score(d).to_pandas().set_index("doc_id")
     assert got.loc[2, "n_tokens"] == 0 and got.loc[2, "freq_sum"] == 0
     assert pd.isna(got.loc[2, "uni_score"])
+
+
+def test_dedup_normalized_collapses_reformatted_copies(tmp_path):
+    """Byte-distinct but prose-identical docs (case, punctuation,
+    whitespace-run differences) must collapse to one normalized digest
+    with first-writer-wins keep; a genuinely different doc must not."""
+    import os
+
+    from aiw_i2b2_etl_ray.pipelines.dedup import dedup_normalized
+
+    texts = [
+        "The quick brown fox, jumps over the lazy dog.",
+        "the QUICK  brown fox jumps\tover the lazy dog!!",
+        "  The quick brown fox jumps over the lazy dog\n",
+        "an entirely different document body",
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([10, 11, 12, 13], pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    d = str(tmp_path / "normdup")
+    os.makedirs(d)
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+    out = dedup_normalized(d).to_pandas().sort_values("keep_doc_id")
+    assert len(out) == 2
+    collapsed = out[out["n_copies"] == 3]
+    assert len(collapsed) == 1 and int(collapsed["keep_doc_id"].iloc[0]) == 10
+    assert int(out[out["n_copies"] == 1]["keep_doc_id"].iloc[0]) == 13
+
+
+def test_text_entropy_edge_docs(tmp_path):
+    """Crafted edge classes: empty text, punctuation-only (0 tokens ->
+    NULL entropy), single repeated token (entropy 0.0, not -0.0), and a
+    uniform two-token doc (entropy exactly 1 bit)."""
+    import math
+    import os
+
+    from aiw_i2b2_etl_ray.pipelines.textops import text_entropy
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(["", "?!... --- !!", "aa aa aa aa", "x y x y"], pa.string()),
+        }
+    )
+    d = str(tmp_path / "ent")
+    os.makedirs(d)
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+    out = text_entropy(d).to_pandas().set_index("doc_id").sort_index()
+    assert out.loc[1, "n_tokens"] == 0 and pd.isna(out.loc[1, "token_entropy"])
+    assert out.loc[2, "n_tokens"] == 0 and pd.isna(out.loc[2, "token_entropy"])
+    assert out.loc[3, "n_tokens"] == 4 and out.loc[3, "n_distinct"] == 1
+    assert out.loc[3, "token_entropy"] == 0.0
+    assert math.copysign(1.0, out.loc[3, "token_entropy"]) == 1.0  # +0.0, not -0.0
+    assert out.loc[4, "token_entropy"] == 1.0  # two equiprobable tokens
