@@ -262,6 +262,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "unigram_score": tx.unigram_score,
                 # per-doc token-entropy lexical-diversity signal (new r5 s5)
                 "text_entropy": tx.text_entropy,
+                # Gopher duplicate-line-fraction filter (new r5 s6)
+                "text_dup_lines": tx.text_dup_lines,
+                # per-(source, lang) corpus census, exact-integer partials
+                # (new r5 s6)
+                "source_quality": tx.source_quality,
                 "multimodal_features": mm.multimodal_features,
                 "multimodal_frames": mm.frame_sample,
                 "multimodal_resize": mm.multimodal_resize,
@@ -313,8 +318,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mix_sources",
         "pack_sequences",
         "weighted_sample",
-        # declarative/extraction family
-        "declarative_read_phenotype",
+        # declarative_read_phenotype: r04 driver-green, sources/declarative
+        # untouched since round 2 — its slot goes to the new source-census
+        # groupby (new r5 s6; it exercises the sort-groupby empty-reduce-
+        # block path, the layout-dependent class r04 caught at 32 CPUs;
+        # text_dup_lines, the other s6 addition, is per-batch shuffle-free
+        # and layout-independent, so local oracle coverage suffices)
+        "source_quality",
         # Q21 (new r5 session 2, hash-compared) takes ontology_with_totals'
         # slot (r04 driver-green, unchanged since; stays local-green)
         "tpch_q21",
@@ -643,6 +653,8 @@ def oracle_sql() -> dict[str, str]:
                 "text_chunks": tx.SQL_TEXT_CHUNKS,
                 "unigram_score": tx.SQL_UNIGRAM_SCORE,
                 "text_entropy": tx.SQL_TEXT_ENTROPY,
+                "text_dup_lines": tx.SQL_TEXT_DUP_LINES,
+                "source_quality": tx.SQL_SOURCE_QUALITY,
             }
         )
         from aiw_i2b2_etl_ray.pipelines import retrieval as rt

@@ -906,3 +906,172 @@ SELECT d.doc_id,
        a.token_entropy
 FROM documents d LEFT JOIN agg a USING (doc_id)
 """
+
+
+def text_dup_lines(sf_dir: str) -> rd.Dataset:
+    """Duplicate-line fraction — the Gopher line-level repetition filter
+    (docs whose lines repeat are navigation chrome / SEO spam; the rule
+    complements ``text_repetition``'s n-gram view with exact-line
+    granularity).  Per doc: the count of non-blank lines, the distinct
+    count, and ``dup_line_frac = 1 - distinct/count`` (NULL for docs with
+    no non-blank lines).  Counts are exact integers and the fraction is
+    one division, so the oracle compare is drift-proof.
+
+    Plan: embarrassingly parallel — line split + explode + two group-bys
+    run per batch in polars' Rust kernels with the in-batch row index as
+    the group key (the ``text_entropy`` shape), NO shuffle."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def dup(t: pa.Table) -> pa.Table:
+        base = pl.from_arrow(t).with_row_index("ri")
+        lines = (
+            base.select("ri", pl.col("text").str.split("\n").alias("line"))
+            .explode("line")
+            # blank = nothing outside [ \t\r] — explicit class, because
+            # polars strip_chars() strips UNICODE whitespace while DuckDB
+            # trim() strips ASCII spaces; the class is identical in both
+            .filter(pl.col("line").str.contains(r"[^ \t\r]"))
+        )
+        agg = lines.group_by("ri").agg(
+            pl.len().cast(pl.Int64).alias("n_lines"),
+            pl.col("line").n_unique().cast(pl.Int64).alias("n_distinct_lines"),
+        )
+        out = (
+            base.select("ri", "doc_id")
+            .join(agg, on="ri", how="left")
+            .with_columns(
+                pl.col("n_lines").fill_null(0),
+                pl.col("n_distinct_lines").fill_null(0),
+            )
+            .with_columns(
+                pl.when(pl.col("n_lines") > 0)
+                .then(
+                    round_half_away_pl(
+                        1.0
+                        - pl.col("n_distinct_lines").cast(pl.Float64)
+                        / pl.col("n_lines").cast(pl.Float64)
+                    )
+                )
+                .alias("dup_line_frac")
+            )
+            .sort("ri")
+            .select("doc_id", "n_lines", "n_distinct_lines", "dup_line_frac")
+        )
+        return out.to_arrow()
+
+    return ds.map_batches(dup, batch_format="pyarrow", **worker_runtime_env())
+
+
+SQL_TEXT_DUP_LINES = """
+WITH l AS (
+  SELECT doc_id, UNNEST(string_split(text, chr(10))) AS line FROM documents
+), nb AS (
+  SELECT doc_id, line FROM l WHERE regexp_matches(line, '[^ \t\r]')
+), agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT)             AS n_lines,
+         CAST(COUNT(DISTINCT line) AS BIGINT) AS n_distinct_lines,
+         ROUND(1.0 - CAST(COUNT(DISTINCT line) AS DOUBLE) / COUNT(*), 4)
+                                              AS dup_line_frac
+  FROM nb GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.n_lines, 0)          AS n_lines,
+       COALESCE(a.n_distinct_lines, 0) AS n_distinct_lines,
+       a.dup_line_frac
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def source_quality(sf_dir: str) -> rd.Dataset:
+    """Per-(source, lang) corpus census — the "which crawl sources are
+    junk" report every training-data pipeline runs before weighting a
+    mixture: doc count, total tokens, corpus-level alpha ratio, and mean
+    tokens per doc.  All partials are exact integer sums (one division at
+    the end), so the result is bit-deterministic under any block layout
+    or fold order — no float-accumulation drift.
+
+    Plan: combiner-first (A1/A4 discipline) — per-batch polars partials
+    collapse each block to <= |source x lang| rows, the shuffle carries
+    only those, and a source-count-sized groupby folds them."""
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "lang", "text"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .group_by("source", "lang")
+            .agg(
+                pl.len().cast(pl.Int64).alias("pd"),
+                pl.col("text").str.count_matches(_WORD).sum().cast(pl.Int64).alias("pt"),
+                pl.col("text").str.count_matches("[A-Za-z]").sum().cast(pl.Int64).alias("pa"),
+                pl.col("text").str.len_chars().sum().cast(pl.Int64).alias("pc"),
+            )
+            .to_arrow()
+        )
+
+    folded = (
+        ds.map_batches(partial, batch_format="pyarrow", **worker_runtime_env())
+        .groupby(["source", "lang"])
+        .aggregate(
+            Sum("pd", alias_name="n_docs"),
+            Sum("pt", alias_name="n_tokens"),
+            Sum("pa", alias_name="_a"),
+            Sum("pc", alias_name="_c"),
+        )
+    )
+
+    _OUT = pa.schema(
+        [
+            ("source", pa.string()),
+            ("lang", pa.string()),
+            ("n_docs", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("alpha_ratio", pa.float64()),
+            ("mean_tokens", pa.float64()),
+        ]
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        # schema-less empty reduce blocks happen under sort-based groupby
+        # (the heavy_hitter_tokens lesson) — guard before column access
+        if len(t) == 0 or "n_docs" not in t.schema.names:
+            return _OUT.empty_table()
+        return (
+            pl.from_arrow(t)
+            .with_columns(
+                round_half_away_pl(
+                    pl.col("_a").cast(pl.Float64)
+                    / pl.max_horizontal(pl.col("_c"), pl.lit(1)).cast(pl.Float64)
+                ).alias("alpha_ratio"),
+                round_half_away_pl(
+                    pl.col("n_tokens").cast(pl.Float64)
+                    / pl.col("n_docs").cast(pl.Float64)
+                ).alias("mean_tokens"),
+            )
+            .select("source", "lang", "n_docs", "n_tokens", "alpha_ratio", "mean_tokens")
+            .to_arrow()
+            .cast(_OUT)
+        )
+
+    return folded.map_batches(final, batch_format="pyarrow")
+
+
+SQL_SOURCE_QUALITY = f"""
+WITH t AS (
+  SELECT source, lang,
+         length(regexp_extract_all(text, '{_WORD}'))        AS nt,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS na,
+         length(text)                                       AS nc
+  FROM documents
+)
+SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT)  AS n_docs,
+       CAST(SUM(nt) AS BIGINT)   AS n_tokens,
+       ROUND(CAST(SUM(na) AS DOUBLE) / GREATEST(SUM(nc), 1), 4) AS alpha_ratio,
+       ROUND(CAST(SUM(nt) AS DOUBLE) / COUNT(*), 4)             AS mean_tokens
+FROM t GROUP BY source, lang
+"""

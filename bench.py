@@ -193,6 +193,10 @@ def run_queries() -> dict[str, float]:
         "text_entropy",
         "dedup_normalized",
         "cdc_integrity",
+        # r5 session-6: shuffle-free Gopher line filter + exact-integer
+        # source census
+        "text_dup_lines",
+        "source_quality",
     ]
     q = e.queries()
     out = {}

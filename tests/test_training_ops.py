@@ -584,3 +584,70 @@ def test_text_entropy_edge_docs(tmp_path):
     assert out.loc[3, "token_entropy"] == 0.0
     assert math.copysign(1.0, out.loc[3, "token_entropy"]) == 1.0  # +0.0, not -0.0
     assert out.loc[4, "token_entropy"] == 1.0  # two equiprobable tokens
+
+
+def test_text_dup_lines_edges(tmp_path):
+    """Blank-line handling (whitespace-only lines don't count), exact
+    duplicate-line fraction, and the 0-line NULL case."""
+    import os
+
+    from aiw_i2b2_etl_ray.pipelines.textops import text_dup_lines
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "a\na\nb",          # 3 lines, 2 distinct -> 1/3 dup
+                    "\n \t\n\n",        # only blank lines -> 0 lines, NULL
+                    "x",                # single line -> 0.0
+                    "m\n  \nm\nm\n",    # blank line ignored: 3 lines, 1 distinct
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    d = str(tmp_path / "dl")
+    os.makedirs(d)
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+    out = text_dup_lines(d).to_pandas().set_index("doc_id").sort_index()
+    assert out.loc[1, "n_lines"] == 3 and out.loc[1, "n_distinct_lines"] == 2
+    assert out.loc[1, "dup_line_frac"] == 0.3333
+    assert out.loc[2, "n_lines"] == 0 and pd.isna(out.loc[2, "dup_line_frac"])
+    assert out.loc[3, "dup_line_frac"] == 0.0
+    assert out.loc[4, "n_lines"] == 3 and out.loc[4, "dup_line_frac"] == 0.6667
+
+
+def test_source_quality_exact_integer_census(tmp_path):
+    """The census is exact-integer all the way to the final division:
+    hand-computed group totals must match bit-for-bit."""
+    import os
+
+    from aiw_i2b2_etl_ray.pipelines.textops import source_quality
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "source": pa.array(["web", "web", "books"]),
+            "lang": pa.array(["en", "en", "en"]),
+            "text": pa.array(["ab cd", "efg 12", ""], pa.string()),
+        }
+    )
+    d = str(tmp_path / "sq")
+    os.makedirs(d)
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+    out = (
+        source_quality(d)
+        .to_pandas()
+        .set_index(["source", "lang"])
+        .sort_index()
+    )
+    web = out.loc[("web", "en")]
+    # docs: "ab cd" (2 toks, 4 alpha, 5 chars), "efg 12" (2 toks, 3 alpha, 6 chars)
+    assert web["n_docs"] == 2 and web["n_tokens"] == 4
+    assert web["alpha_ratio"] == round((4 + 3) / (5 + 6), 4)
+    assert web["mean_tokens"] == 2.0
+    books = out.loc[("books", "en")]
+    # empty text: GREATEST(sum_chars, 1) guards the division
+    assert books["n_docs"] == 1 and books["n_tokens"] == 0
+    assert books["alpha_ratio"] == 0.0 and books["mean_tokens"] == 0.0
