@@ -26,7 +26,18 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-BENCH_ROOT = "/tmp/aiw_bench"
+BENCH_ROOT = os.environ.get("GRAFT_BENCH_ROOT", "/tmp/aiw_bench")
+
+#: scaling legs run with input+output on RAM-backed tmpfs: the scaling
+#: criterion measures the engine's CPU-parallel efficiency, and this
+#: sandbox's shared disk swings 10-80 MB/s between windows — at the low
+#: end the WIDE leg goes I/O-bound and the ratio reports disk weather,
+#: not the engine (observed: same code read 0.94 then 0.57 across two
+#: back-to-back runs whose host_calibration disk read 82 vs 10 MB/s).
+#: The headline keeps the disk-based root for cross-round comparability.
+SCALING_ROOT = (
+    "/dev/shm/aiw_bench" if os.path.isdir("/dev/shm") else "/tmp/aiw_bench_scaling"
+)
 
 #: events per scale factor (sandbox stand-in for the 10^10 target)
 EVENTS_BY_SF = {"sf0.001": 20_000, "sf0.01": 200_000, "sf0.1": 10_000_000}
@@ -225,7 +236,12 @@ def mini_scaling_pair(n_events: int) -> dict:
 
     def run(ncpu: int) -> dict:
         env = dict(
-            os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_EVENTS=str(n_events)
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_BENCH_EVENTS=str(n_events),
+            # tmpfs root: isolate the CPU-scaling signal from shared-disk
+            # weather (see SCALING_ROOT rationale)
+            GRAFT_BENCH_ROOT=SCALING_ROOT,
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--headline-only"],
@@ -239,11 +255,12 @@ def mini_scaling_pair(n_events: int) -> dict:
 
     # a failed or hung leg must degrade to a reported error, never take the
     # headline bench down with it (the driver still needs the JSON line).
-    # The 8-CPU leg gets two reps (ambient load hits the wider leg
-    # disproportionately — more slots contending); the slow 2-CPU leg gets
-    # one to bound the bench's total wall time, and ALL raw leg times are
-    # reported so a loaded window is visible in the record.
-    reps = {8: 2, 2: 1}
+    # Best-of-2 on BOTH legs, interleaved: ambient load on this shared
+    # host swings identical legs ~2x (observed 33 vs 63 s back-to-back on
+    # tmpfs), and a single bad window on either leg skews the ratio in
+    # that leg's direction.  ALL raw leg times are reported so a loaded
+    # window stays visible in the record.
+    reps = {8: 2, 2: 2}
     runs: dict[int, list] = {2: [], 8: []}
     errors: list[str] = []
     for i in range(2):
@@ -330,6 +347,9 @@ def scaling() -> None:
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_BENCH_EVENTS=str(SCALING_EVENTS),
+            # tmpfs root: isolate the CPU-scaling signal from shared-disk
+            # weather (see SCALING_ROOT rationale)
+            GRAFT_BENCH_ROOT=SCALING_ROOT,
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--headline-only"],
