@@ -983,6 +983,24 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
+def _source_census_partial(t: pa.Table) -> pa.Table:
+    """Map-side combiner for :func:`source_quality`: collapses a block of
+    any size to <= |source x lang| exact-integer partial rows, so the
+    shuffle volume is group-count-bounded, never row-count-bounded
+    (module-level so the scale-behavior suite can pin the property)."""
+    return (
+        pl.from_arrow(t)
+        .group_by("source", "lang")
+        .agg(
+            pl.len().cast(pl.Int64).alias("pd"),
+            pl.col("text").str.count_matches(_WORD).sum().cast(pl.Int64).alias("pt"),
+            pl.col("text").str.count_matches("[A-Za-z]").sum().cast(pl.Int64).alias("pa"),
+            pl.col("text").str.len_chars().sum().cast(pl.Int64).alias("pc"),
+        )
+        .to_arrow()
+    )
+
+
 def source_quality(sf_dir: str) -> rd.Dataset:
     """Per-(source, lang) corpus census — the "which crawl sources are
     junk" report every training-data pipeline runs before weighting a
@@ -1000,21 +1018,10 @@ def source_quality(sf_dir: str) -> rd.Dataset:
         f"{sf_dir}/documents.parquet", columns=["source", "lang", "text"]
     )
 
-    def partial(t: pa.Table) -> pa.Table:
-        return (
-            pl.from_arrow(t)
-            .group_by("source", "lang")
-            .agg(
-                pl.len().cast(pl.Int64).alias("pd"),
-                pl.col("text").str.count_matches(_WORD).sum().cast(pl.Int64).alias("pt"),
-                pl.col("text").str.count_matches("[A-Za-z]").sum().cast(pl.Int64).alias("pa"),
-                pl.col("text").str.len_chars().sum().cast(pl.Int64).alias("pc"),
-            )
-            .to_arrow()
-        )
-
     folded = (
-        ds.map_batches(partial, batch_format="pyarrow", **worker_runtime_env())
+        ds.map_batches(
+            _source_census_partial, batch_format="pyarrow", **worker_runtime_env()
+        )
         .groupby(["source", "lang"])
         .aggregate(
             Sum("pd", alias_name="n_docs"),

@@ -551,3 +551,26 @@ def test_mix_temperature_rank_stage_never_sees_a_whole_source(tmp_path):
     exp = exp.sort_values("pick_rank").reset_index(drop=True)
     assert len(got) == quota == len(exp)
     assert (got["doc_id"].to_numpy() == exp["doc_id"].to_numpy()).all()
+
+
+def test_source_census_partial_bounds_exchange():
+    """source_quality's map-side combiner must collapse a block of ANY
+    row count to <= |source x lang| partial rows — the shuffle carries
+    group-count-bounded partials, never per-doc rows."""
+    import pyarrow as pa
+
+    from aiw_i2b2_etl_ray.pipelines.textops import _source_census_partial
+
+    n = 10_000
+    t = pa.table(
+        {
+            "source": pa.array(["web", "books", "web"] * (n // 3 + 1))[:n],
+            "lang": pa.array(["en", "en", "de"] * (n // 3 + 1))[:n],
+            "text": pa.array([f"doc {i} body" for i in range(n)], pa.string()),
+        }
+    )
+    out = _source_census_partial(t)
+    assert out.num_rows == 3  # |source x lang| groups, not 10k rows
+    # exact-integer invariants: per-group doc counts sum back to n
+    assert sum(out["pd"].to_pylist()) == n
+    assert out.schema.field("pt").type == pa.int64()
