@@ -1501,6 +1501,9 @@ def cdc_integrity(sf_dir: str) -> pa.Table:
             pl.from_arrow(t.select(["repo", "lang", "delete_date"]))
             .filter(pl.col("delete_date").is_null())
             .select("repo", "lang")
+            # NULL lang is not a language: COUNT(DISTINCT CASE...) in the
+            # oracle skips NULLs, so the engine must too
+            .drop_nulls("lang")
             .unique()
             .to_arrow()
         )

@@ -22,6 +22,22 @@ from ..util import worker_runtime_env
 # --- exact dedup ------------------------------------------------------------
 
 
+def _keep_first_by(key: str):
+    """First-writer-wins per-digest reducer (ST3), shared by dedup_exact
+    and dedup_normalized: min doc_id survives, copies counted."""
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                key: [g[key].iloc[0]],
+                "keep_doc_id": [g["doc_id"].min()],
+                "n_copies": [np.int64(len(g))],
+            }
+        )
+
+    return keep_first
+
+
 def dedup_exact(sf_dir: str) -> rd.Dataset:
     """Exact dedup: sha256(text) -> hash-partition groupby -> keep min
     doc_id per digest (first-writer-wins, the provider-dedup pattern ST3)."""
@@ -30,19 +46,10 @@ def dedup_exact(sf_dir: str) -> rd.Dataset:
     def digest(t: pa.Table) -> pa.Table:
         return pa.table({"doc_id": t["doc_id"], "text_sha256": sha256_hex(t["text"])})
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "text_sha256": [g["text_sha256"].iloc[0]],
-                "keep_doc_id": [g["doc_id"].min()],
-                "n_copies": [np.int64(len(g))],
-            }
-        )
-
     return (
         ds.map_batches(digest, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("text_sha256")
-        .map_groups(keep_first, batch_format="pandas")
+        .map_groups(_keep_first_by("text_sha256"), batch_format="pandas")
     )
 
 
@@ -871,11 +878,18 @@ GROUP BY u.doc_id
 
 def dedup_normalized(sf_dir: str) -> rd.Dataset:
     """Normalize-then-exact dedup — the CCNet-style fuzzy-exact stage:
-    lowercase, strip everything outside [0-9a-z\\s], collapse whitespace
-    runs, trim — then sha256 the canonical form and keep the minimum
-    doc_id per digest.  Catches the re-hosted/boilerplate-reformatted
-    copies that byte-exact ``dedup_exact`` misses but that are identical
-    prose (the deduplicate-text-datasets "normalized exact" screen).
+    lowercase, strip everything outside lowercase-alnum + ASCII
+    whitespace, collapse whitespace runs, trim — then sha256 the
+    canonical form and keep the minimum doc_id per digest.  Catches the
+    re-hosted/boilerplate-reformatted copies that byte-exact
+    ``dedup_exact`` misses but that are identical prose (the
+    deduplicate-text-datasets "normalized exact" screen).
+
+    Whitespace is the EXPLICIT class ``[ \\t\\n\\r\\f]`` spelled
+    identically in both engines — polars' Rust ``\\s`` is Unicode while
+    DuckDB's RE2 ``\\s`` is ASCII, so the shorthand would normalize a
+    NBSP-bearing doc to different digests (same divergence class
+    text_dup_lines guards).
 
     Plan shape is dedup_exact's: normalization + digest run map-side in
     polars' Rust kernels, so the shuffle carries (digest, doc_id) only —
@@ -893,36 +907,34 @@ def dedup_normalized(sf_dir: str) -> rd.Dataset:
             .select(
                 pl.col("text")
                 .str.to_lowercase()
-                .str.replace_all(r"[^0-9a-z\s]", "")
-                .str.replace_all(r"\s+", " ")
-                .str.strip_chars()
+                .str.replace_all("[^0-9a-z \t\n\r\f]", "")
+                .str.replace_all("[ \t\n\r\f]+", " ")
+                .str.strip_chars(" ")  # only ASCII spaces remain at edges
                 .alias("n")
             )["n"]
             .to_arrow()
         )
         return pa.table({"doc_id": t["doc_id"], "norm_sha256": sha256_hex(norm)})
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "norm_sha256": [g["norm_sha256"].iloc[0]],
-                "keep_doc_id": [g["doc_id"].min()],
-                "n_copies": [np.int64(len(g))],
-            }
-        )
-
     return (
-        ds.map_batches(digest, batch_format="pyarrow", zero_copy_batch=True)
+        ds.map_batches(
+            digest,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            **worker_runtime_env(),  # cap polars threads under any driver
+        )
         .groupby("norm_sha256")
-        .map_groups(keep_first, batch_format="pandas")
+        .map_groups(_keep_first_by("norm_sha256"), batch_format="pandas")
     )
 
 
-SQL_DEDUP_NORMALIZED = r"""
+SQL_DEDUP_NORMALIZED = """
 WITH n AS (
   SELECT doc_id,
-         trim(regexp_replace(regexp_replace(lower(text), '[^0-9a-z\s]', '', 'g'),
-                             '\s+', ' ', 'g')) AS norm
+         trim(regexp_replace(regexp_replace(lower(text),
+                                            '[^0-9a-z \t\n\r\f]', '', 'g'),
+                             '[ \t\n\r\f]+', ' ', 'g'),
+              ' ') AS norm
   FROM documents
 )
 SELECT sha256(norm)             AS norm_sha256,

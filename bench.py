@@ -35,9 +35,30 @@ BENCH_ROOT = os.environ.get("GRAFT_BENCH_ROOT", "/tmp/aiw_bench")
 #: not the engine (observed: same code read 0.94 then 0.57 across two
 #: back-to-back runs whose host_calibration disk read 82 vs 10 MB/s).
 #: The headline keeps the disk-based root for cross-round comparability.
-SCALING_ROOT = (
-    "/dev/shm/aiw_bench" if os.path.isdir("/dev/shm") else "/tmp/aiw_bench_scaling"
-)
+def _pick_scaling_root() -> str:
+    """RAM-backed root only when tmpfs can actually hold the legs'
+    input+output (Docker's default /dev/shm is 64 MB — generate_changes
+    would ENOSPC every leg); otherwise fall back to disk, which merely
+    re-admits weather noise instead of failing."""
+    try:
+        st = os.statvfs("/dev/shm")
+        if st.f_bavail * st.f_frsize >= 16 * 1024**3:
+            return "/dev/shm/aiw_bench"
+    except OSError:
+        pass
+    return "/tmp/aiw_bench_scaling"
+
+
+SCALING_ROOT = _pick_scaling_root()
+
+
+def _cleanup_scaling_root() -> None:
+    """Drop the legs' RAM-resident input+output after the measurement so
+    multi-GB tmpfs trees don't compete with Ray's object store during
+    the subsequent headline run (or linger after the bench exits)."""
+    import shutil
+
+    shutil.rmtree(SCALING_ROOT, ignore_errors=True)
 
 #: events per scale factor (sandbox stand-in for the 10^10 target)
 EVENTS_BY_SF = {"sf0.001": 20_000, "sf0.01": 200_000, "sf0.1": 10_000_000}
@@ -271,6 +292,7 @@ def mini_scaling_pair(n_events: int) -> dict:
                 runs[ncpu].append(run(ncpu))
             except Exception as ex:  # noqa: BLE001 - any leg failure is data
                 errors.append(f"ncpu={ncpu}: {type(ex).__name__}: {str(ex)[:200]}")
+    _cleanup_scaling_root()
     if not runs[2] or not runs[8]:
         return {"error": "scaling legs failed", "detail": errors}
     r2 = min(runs[2], key=lambda r: r["value"])
@@ -386,6 +408,7 @@ def scaling() -> None:
                         ),
                         file=sys.stderr,
                     )
+    _cleanup_scaling_root()
     if not (runs[2] and runs[8] and runs[32]):
         print(json.dumps({"metric": "scaling_efficiency", "value": None,
                           "unit": "ratio", "error": "one or more legs failed"}))

@@ -651,3 +651,51 @@ def test_source_quality_exact_integer_census(tmp_path):
     # empty text: GREATEST(sum_chars, 1) guards the division
     assert books["n_docs"] == 1 and books["n_tokens"] == 0
     assert books["alpha_ratio"] == 0.0 and books["mean_tokens"] == 0.0
+
+
+def test_dedup_normalized_unicode_whitespace_matches_oracle(tmp_path):
+    """The normalization class is explicit ASCII on both sides: polars'
+    Rust \\s is Unicode while DuckDB's RE2 \\s is ASCII, so NBSP-bearing
+    docs would digest differently under the shorthand.  Pin engine ==
+    oracle on exactly that input."""
+    import hashlib
+    import os
+
+    import duckdb
+
+    from aiw_i2b2_etl_ray.pipelines.dedup import SQL_DEDUP_NORMALIZED, dedup_normalized
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                # NBSP between words, its space twin, and a tab variant
+                ["foo bar", "foo bar", "foo\tbar"],
+                pa.string(),
+            ),
+        }
+    )
+    d = str(tmp_path / "nws")
+    os.makedirs(d)
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+    got = dedup_normalized(d).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    exp = con.sql(SQL_DEDUP_NORMALIZED).df()
+
+    def h(df):
+        df = (
+            df[sorted(df.columns)]
+            .sort_values(sorted(df.columns))
+            .reset_index(drop=True)
+        )
+        return hashlib.sha256(
+            pd.util.hash_pandas_object(df.astype(str)).values.tobytes()
+        ).hexdigest()
+
+    assert h(got) == h(exp)
+    # NBSP is stripped (not kept as whitespace) in BOTH engines, so doc 1
+    # normalizes to 'foobar' while docs 2 and 3 collapse to 'foo bar'
+    assert sorted(got["n_copies"].tolist()) == [1, 2]
