@@ -137,6 +137,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "tpch_q20": tq.tpch_q20,  # excess-shipment suppliers (grouped-view threshold)
             "tpch_q9": tq.tpch_q9,  # profit by supplier-nation x year
             "tpch_q11": tq.tpch_q11,  # global-fraction top-value parts
+            # full Q2 (correlated min, ALL ties kept, region-scoped dims,
+            # attribute join-back, deterministic sort-limit) — the
+            # group-wise-argmin variant below keeps only one winner
+            "tpch_q2": tq.tpch_q2,
             "cheapest_supplier": tq.cheapest_supplier_per_part,  # group-wise argmin
             "asof_join": tj.asof_join_events_orders,  # as-of (latest-prior) join
             "range_join": tj.range_join_orders_shipments,  # interval join, no equi-key
@@ -317,7 +321,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_topk",
         "mix_sources",
         "pack_sequences",
-        "weighted_sample",
+        # weighted_sample: r04 driver-green; its one r5 change (the
+        # vectorized md5 draw) is the same kernel mix_sources exercises
+        # in the slot above, so its slot goes to the final-session Q2
+        # (the last of the 22 TPC-H shapes — correlated min + join-back;
+        # never driver-verified, preflighted at sf0.01 x 8 AND 32 CPUs
+        # before rotating in).  weighted_sample stays in the dict and
+        # local-oracle-green.
+        "tpch_q2",
         # declarative_read_phenotype: r04 driver-green, sources/declarative
         # untouched since round 2 — its slot goes to the new source-census
         # groupby (new r5 s6; it exercises the sort-groupby empty-reduce-
@@ -556,6 +567,7 @@ def oracle_sql() -> dict[str, str]:
             "tpch_q20": tq.SQL_TPCH_Q20,
             "tpch_q9": tq.SQL_TPCH_Q9,
             "tpch_q11": tq.SQL_TPCH_Q11,
+            "tpch_q2": tq.SQL_TPCH_Q2,
             "cheapest_supplier": tq.SQL_CHEAPEST_SUPPLIER,
             "asof_join": tj.SQL_ASOF_JOIN,
             "range_join": tj.SQL_RANGE_JOIN,

@@ -2211,3 +2211,162 @@ FROM v
 WHERE CAST(v_bp AS DOUBLE) > CAST((SELECT SUM(v_bp) FROM v) AS DOUBLE)
                              * {Q11_FACTOR} / (SELECT COUNT(*) FROM part)
 """
+
+
+# --- Q2 shape: minimum-cost supplier (correlated min + join-back) ------------
+Q2_REGION = "EUROPE"
+Q2_TYPE = "ECONOMY"
+Q2_SIZE_MAX = 15
+Q2_TOP = 100
+
+
+def tpch_q2(sf_dir: str) -> rd.Dataset:
+    """Q2 shape (minimum-cost supplier): for every part of a given type
+    and size band, the region's supplier(s) whose best offer equals the
+    part's region-wide minimum — the correlated-scalar-min + join-back
+    pattern, and the last of the 22 TPC-H shapes (the reference pushes
+    these into source SQL, dsb/I2B2DataSourceBackend.java:200,226).
+    The driver's table set has no partsupp, so a supplier's "offer" for
+    a part is the cheapest lineitem total it ever shipped of that part
+    (exact cents — MIN over int64, zero float drift; documented
+    adaptation: same correlated-min shape over a strictly bigger
+    relation).
+
+    Physical plan: the two small sides broadcast once — the region's
+    supplier attributes (supplier x nation x region folded driver-side)
+    and the type/size-matched part keyset; lineitem prunes to 3 columns
+    at the read and collapses to per-batch (part, supplier) MIN partials
+    behind both broadcast filters, so the ONE keyed exchange carries
+    distinct offer pairs, not facts; the per-part region minimum is a
+    second combiner-first fold over the pair-sized table; offers meet
+    their part's minimum in a bucketed join on partkey, the equality
+    filter is vectorized, and names attach to the tiny survivor set by
+    broadcast before the deterministic sort-limit (acctbal DESC with a
+    full tie-break, so LIMIT is stable under any block layout)."""
+    from ray.data.aggregate import Min
+
+    sup = (
+        pl.read_parquet(f"{sf_dir}/supplier.parquet")
+        .join(
+            pl.read_parquet(f"{sf_dir}/nation.parquet"),
+            left_on="s_nationkey",
+            right_on="n_nationkey",
+        )
+        .join(
+            pl.read_parquet(f"{sf_dir}/region.parquet"),
+            left_on="n_regionkey",
+            right_on="r_regionkey",
+        )
+        .filter(pl.col("r_name") == Q2_REGION)
+        .select(["s_suppkey", "s_name", "s_acctbal", "n_name"])
+    )
+    parts = (
+        pl.read_parquet(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name", "p_type", "p_size"]
+        )
+        .filter((pl.col("p_type") == Q2_TYPE) & (pl.col("p_size") <= Q2_SIZE_MAX))
+        .select(["p_partkey", "p_name"])
+    )
+    sup_ref, part_ref = ray.put(sup), ray.put(parts)
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+    )
+
+    def offer_partial(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .join(ray.get(part_ref).select("p_partkey"), left_on="l_partkey", right_on="p_partkey")
+            .join(ray.get(sup_ref).select("s_suppkey"), left_on="l_suppkey", right_on="s_suppkey")
+            .with_columns(
+                (pl.col("l_extendedprice") * 100)
+                .round(0)
+                .cast(pl.Int64)
+                .alias("cost_cents")
+            )
+            .group_by(["l_partkey", "l_suppkey"])
+            .agg(pl.col("cost_cents").min())
+            .to_arrow()
+        )
+
+    offers = (
+        line.map_batches(offer_partial, batch_format="pyarrow", **worker_runtime_env())
+        .groupby(["l_partkey", "l_suppkey"])
+        .aggregate(Min("cost_cents", alias_name="cost_cents"))
+        .materialize()  # distinct-offer-sized; two consumers (per-part min + join)
+    )
+    if offers.count() == 0:  # schema-stable empty result (SQL parity)
+        return empty_frame(
+            s_acctbal="float64",
+            s_name="string",
+            n_name="string",
+            p_partkey="int64",
+            p_name="string",
+            best_cost_cents="int64",
+        )
+
+    part_min = (
+        offers.map_batches(
+            lambda t: pl.from_arrow(t)
+            .group_by("l_partkey")
+            .agg(pl.col("cost_cents").min().alias("mn"))
+            .to_arrow(),
+            batch_format="pyarrow",
+        )
+        .groupby("l_partkey")
+        .aggregate(Min("mn", alias_name="mn"))
+    )
+
+    joined = bucketed_join(offers, part_min, on=["l_partkey"], num_buckets=16)
+
+    def winners(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .filter(pl.col("cost_cents") == pl.col("mn"))
+            .join(ray.get(sup_ref), left_on="l_suppkey", right_on="s_suppkey")
+            .join(ray.get(part_ref), left_on="l_partkey", right_on="p_partkey")
+            .select(
+                "s_acctbal",
+                "s_name",
+                "n_name",
+                pl.col("l_partkey").alias("p_partkey"),
+                "p_name",
+                pl.col("cost_cents").alias("best_cost_cents"),
+            )
+            .to_arrow()
+        )
+
+    return (
+        joined.map_batches(winners, batch_format="pyarrow", **worker_runtime_env())
+        .sort(
+            ["s_acctbal", "n_name", "s_name", "p_partkey"],
+            descending=[True, False, False, False],
+        )
+        .limit(Q2_TOP)
+    )
+
+
+SQL_TPCH_Q2 = f"""
+WITH offer AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS cost_cents
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation   ON n_nationkey = s_nationkey
+  JOIN region   ON r_regionkey = n_regionkey
+  WHERE r_name = '{Q2_REGION}'
+  GROUP BY l_partkey, l_suppkey
+),
+pmin AS (SELECT l_partkey, MIN(cost_cents) AS mn FROM offer GROUP BY l_partkey)
+SELECT s.s_acctbal, s.s_name, n.n_name,
+       p.p_partkey, p.p_name, o.cost_cents AS best_cost_cents
+FROM offer o
+JOIN pmin m     ON m.l_partkey = o.l_partkey AND o.cost_cents = m.mn
+JOIN part p     ON p.p_partkey = o.l_partkey
+JOIN supplier s ON s.s_suppkey = o.l_suppkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+WHERE p.p_type = '{Q2_TYPE}' AND p.p_size <= {Q2_SIZE_MAX}
+ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+LIMIT {Q2_TOP}
+"""
