@@ -229,6 +229,9 @@ def run_queries() -> dict[str, float]:
         # source census
         "text_dup_lines",
         "source_quality",
+        # r5 session-7: the full correlated-min Q2 (distinct-pair
+        # exchange + pair-sized second fold + broadcast join-back)
+        "tpch_q2",
     ]
     q = e.queries()
     out = {}
