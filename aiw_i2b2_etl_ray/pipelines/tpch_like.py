@@ -2236,13 +2236,15 @@ def tpch_q2(sf_dir: str) -> rd.Dataset:
     supplier attributes (supplier x nation x region folded driver-side)
     and the type/size-matched part keyset; lineitem prunes to 3 columns
     at the read and collapses to per-batch (part, supplier) MIN partials
-    behind both broadcast filters, so the ONE keyed exchange carries
-    distinct offer pairs, not facts; the per-part region minimum is a
-    second combiner-first fold over the pair-sized table; offers meet
-    their part's minimum in a bucketed join on partkey, the equality
-    filter is vectorized, and names attach to the tiny survivor set by
-    broadcast before the deterministic sort-limit (acctbal DESC with a
-    full tie-break, so LIMIT is stable under any block layout)."""
+    behind both broadcast filters, so the ONE fact-derived keyed
+    exchange carries distinct offer pairs, not facts; the correlated
+    min + ties-kept join-back then collapse into a single
+    ``groupby(partkey).map_groups`` over the pair-sized offer table
+    (each group bounded by the region's supplier count — keep-min is a
+    vectorized filter, no second aggregate exchange or join-back
+    shuffle); names attach to the tiny survivor set by broadcast before
+    the deterministic sort-limit (acctbal DESC with a full tie-break,
+    so LIMIT is stable under any block layout)."""
     from ray.data.aggregate import Min
 
     sup = (
@@ -2294,7 +2296,7 @@ def tpch_q2(sf_dir: str) -> rd.Dataset:
         line.map_batches(offer_partial, batch_format="pyarrow", **worker_runtime_env())
         .groupby(["l_partkey", "l_suppkey"])
         .aggregate(Min("cost_cents", alias_name="cost_cents"))
-        .materialize()  # distinct-offer-sized; two consumers (per-part min + join)
+        .materialize()  # distinct-offer-sized (count guard + one consumer)
     )
     if offers.count() == 0:  # schema-stable empty result (SQL parity)
         return empty_frame(
@@ -2306,24 +2308,19 @@ def tpch_q2(sf_dir: str) -> rd.Dataset:
             best_cost_cents="int64",
         )
 
-    part_min = (
-        offers.map_batches(
-            lambda t: pl.from_arrow(t)
-            .group_by("l_partkey")
-            .agg(pl.col("cost_cents").min().alias("mn"))
-            .to_arrow(),
-            batch_format="pyarrow",
-        )
-        .groupby("l_partkey")
-        .aggregate(Min("mn", alias_name="mn"))
-    )
+    # correlated min + equality join-back in ONE keyed pass: grouping the
+    # pair-sized offer table by partkey gives each task the part's full
+    # offer set (bounded by the region's supplier count), where keep-min
+    # WITH TIES is a vectorized filter — no second aggregate exchange, no
+    # join-back shuffle of a table this small
+    def keep_min(g: pa.Table) -> pa.Table:
+        return g.filter(pc.equal(g["cost_cents"], pc.min(g["cost_cents"])))
 
-    joined = bucketed_join(offers, part_min, on=["l_partkey"], num_buckets=16)
+    joined = offers.groupby("l_partkey").map_groups(keep_min, batch_format="pyarrow")
 
     def winners(t: pa.Table) -> pa.Table:
         return (
             pl.from_arrow(t)
-            .filter(pl.col("cost_cents") == pl.col("mn"))
             .join(ray.get(sup_ref), left_on="l_suppkey", right_on="s_suppkey")
             .join(ray.get(part_ref), left_on="l_partkey", right_on="p_partkey")
             .select(
