@@ -271,6 +271,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 # per-(source, lang) corpus census, exact-integer partials
                 # (new r5 s6)
                 "source_quality": tx.source_quality,
+                # corpus-datasheet length histogram + bigram type-token
+                # diversity census (new r5 s7)
+                "doc_length_hist": tx.doc_length_hist,
+                "ngram_diversity": tx.ngram_diversity,
                 "multimodal_features": mm.multimodal_features,
                 "multimodal_frames": mm.frame_sample,
                 "multimodal_resize": mm.multimodal_resize,
@@ -667,6 +671,8 @@ def oracle_sql() -> dict[str, str]:
                 "text_entropy": tx.SQL_TEXT_ENTROPY,
                 "text_dup_lines": tx.SQL_TEXT_DUP_LINES,
                 "source_quality": tx.SQL_SOURCE_QUALITY,
+                "doc_length_hist": tx.SQL_DOC_LENGTH_HIST,
+                "ngram_diversity": tx.SQL_NGRAM_DIVERSITY,
             }
         )
         from aiw_i2b2_etl_ray.pipelines import retrieval as rt

@@ -1082,3 +1082,198 @@ SELECT source, lang,
        ROUND(CAST(SUM(nt) AS DOUBLE) / COUNT(*), 4)             AS mean_tokens
 FROM t GROUP BY source, lang
 """
+
+
+# --- corpus length distribution + bigram diversity censuses ------------------
+
+
+def doc_length_hist(sf_dir: str) -> rd.Dataset:
+    """Document-length distribution per language — the corpus-datasheet
+    histogram a mixture designer reads before setting context length and
+    packing capacity.  Bins are decimal-digit counts of ``n_chars``
+    (1 = 1-9 chars, 2 = 10-99, ... — log10-ish), chosen because the bin
+    is an EXACT integer in both engines (string length of the decimal
+    rendering; no float log whose ULP could flip a floor at bin edges).
+    All partials are exact integer sums, so the result is
+    bit-deterministic under any block layout.
+
+    Plan: combiner-first — per-batch polars partials collapse each block
+    to <= |lang x bins| rows; the shuffle carries only those."""
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .group_by(
+                "lang",
+                pl.col("n_chars")
+                .cast(pl.Utf8)
+                .str.len_chars()
+                .cast(pl.Int64)
+                .alias("digits_bin"),
+            )
+            .agg(
+                pl.len().cast(pl.Int64).alias("pd"),
+                pl.col("n_chars").sum().alias("pc"),
+            )
+            .to_arrow()
+        )
+
+    folded = (
+        ds.map_batches(partial, batch_format="pyarrow", **worker_runtime_env())
+        .groupby(["lang", "digits_bin"])
+        .aggregate(Sum("pd", alias_name="n_docs"), Sum("pc", alias_name="total_chars"))
+    )
+
+    _OUT = pa.schema(
+        [
+            ("lang", pa.string()),
+            ("digits_bin", pa.int64()),
+            ("n_docs", pa.int64()),
+            ("total_chars", pa.int64()),
+        ]
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        # schema-less empty reduce blocks happen under sort-based groupby
+        # (the heavy_hitter_tokens lesson) — guard before column access
+        if len(t) == 0 or "n_docs" not in t.schema.names:
+            return _OUT.empty_table()
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "digits_bin": t["digits_bin"],
+                "n_docs": t["n_docs"].cast(pa.int64()),
+                "total_chars": t["total_chars"].cast(pa.int64()),
+            }
+        ).cast(_OUT)
+
+    return folded.map_batches(final, batch_format="pyarrow")
+
+
+SQL_DOC_LENGTH_HIST = """
+SELECT lang,
+       CAST(LENGTH(CAST(n_chars AS VARCHAR)) AS BIGINT) AS digits_bin,
+       CAST(COUNT(*) AS BIGINT)                          AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT)                      AS total_chars
+FROM documents
+GROUP BY lang, LENGTH(CAST(n_chars AS VARCHAR))
+"""
+
+
+def ngram_diversity(sf_dir: str) -> rd.Dataset:
+    """Per-source bigram type-token ratio — the distributional-diversity
+    signal (Self-BLEU's cheap exact cousin) that flags template-generated
+    or looping sources before they enter a mixture: distinct word-bigram
+    count / total bigram count per source.
+
+    Plan: per-batch polars bigram explosion (aligned list slices — no
+    Python loop) collapses each block to DISTINCT (source, bigram)
+    partial counts; ONE keyed groupby over those pairs yields exact
+    per-pair totals (summed partials ARE totals); a second combiner-first
+    fold reduces the pair table to one row per source (distinct = row
+    count, total = sum).  The shuffle carries (source, bigram, count)
+    rows — the ``vocab_topk`` exchange class; at open-web scale the
+    bigrams would hash to 8 B like ``dup_spans`` (documented trade: the
+    string form keeps the oracle exact here).  Sources whose docs all
+    have < 2 tokens emit no bigrams and are absent in both engines."""
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        toks = pl.from_arrow(t).select(
+            "source", pl.col("text").str.extract_all(_WORD).alias("toks")
+        )
+        return (
+            toks.select(
+                "source",
+                a=pl.col("toks").list.slice(0, pl.col("toks").list.len() - 1),
+                b=pl.col("toks").list.slice(1),
+            )
+            .explode(["a", "b"])
+            .drop_nulls()  # a doc with < 2 tokens explodes to one null row
+            .group_by("source", (pl.col("a") + " " + pl.col("b")).alias("bigram"))
+            .agg(pl.len().cast(pl.Int64).alias("pn"))
+            .to_arrow()
+        )
+
+    pairs = (
+        ds.map_batches(pair_partial, batch_format="pyarrow", **worker_runtime_env())
+        .groupby(["source", "bigram"])
+        .aggregate(Sum("pn", alias_name="n"))
+    )
+
+    def source_partial(t: pa.Table) -> pa.Table:
+        # guard: sort-based groupby can emit schema-less empty blocks
+        if len(t) == 0 or "source" not in t.schema.names:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "pdist": pa.array([], pa.int64()),
+                    "ptot": pa.array([], pa.int64()),
+                }
+            )
+        return (
+            pl.from_arrow(t)
+            .group_by("source")
+            .agg(
+                pl.len().cast(pl.Int64).alias("pdist"),
+                pl.col("n").sum().alias("ptot"),
+            )
+            .to_arrow()
+        )
+
+    folded = (
+        pairs.map_batches(source_partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("pdist", alias_name="n_distinct_bigrams"),
+            Sum("ptot", alias_name="n_bigrams"),
+        )
+    )
+
+    _OUT = pa.schema(
+        [
+            ("source", pa.string()),
+            ("n_distinct_bigrams", pa.int64()),
+            ("n_bigrams", pa.int64()),
+            ("diversity", pa.float64()),
+        ]
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "n_bigrams" not in t.schema.names:
+            return _OUT.empty_table()
+        return (
+            pl.from_arrow(t)
+            .with_columns(
+                round_half_away_pl(
+                    pl.col("n_distinct_bigrams").cast(pl.Float64)
+                    / pl.col("n_bigrams").cast(pl.Float64)
+                ).alias("diversity")
+            )
+            .select("source", "n_distinct_bigrams", "n_bigrams", "diversity")
+            .to_arrow()
+            .cast(_OUT)
+        )
+
+    return folded.map_batches(final, batch_format="pyarrow")
+
+
+SQL_NGRAM_DIVERSITY = f"""
+WITH bg AS (
+  SELECT source, toks[i] || ' ' || toks[i + 1] AS bigram
+  FROM (SELECT source, regexp_extract_all(text, '{_WORD}') AS toks
+        FROM documents),
+       UNNEST(range(1, greatest(len(toks), 1))) AS u(i)
+)
+SELECT source,
+       CAST(COUNT(DISTINCT bigram) AS BIGINT) AS n_distinct_bigrams,
+       CAST(COUNT(*) AS BIGINT)               AS n_bigrams,
+       ROUND(COUNT(DISTINCT bigram) / CAST(COUNT(*) AS DOUBLE), 4) AS diversity
+FROM bg
+GROUP BY source
+"""

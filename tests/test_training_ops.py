@@ -699,3 +699,87 @@ def test_dedup_normalized_unicode_whitespace_matches_oracle(tmp_path):
     # NBSP is stripped (not kept as whitespace) in BOTH engines, so doc 1
     # normalizes to 'foobar' while docs 2 and 3 collapse to 'foo bar'
     assert sorted(got["n_copies"].tolist()) == [1, 2]
+
+
+def test_ngram_diversity_edges(tmp_path):
+    """Bigram formation on the degenerate shapes: a doc with < 2 tokens
+    emits NO bigrams (not a null pair), a repeated bigram counts once in
+    the distinct numerator but every time in the denominator, and a
+    source whose docs are all sub-bigram is ABSENT (both engines)."""
+    import os
+
+    import duckdb
+
+    from aiw_i2b2_etl_ray.pipelines.textops import SQL_NGRAM_DIVERSITY, ngram_diversity
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "source": pa.array(["a", "a", "b", "b"]),
+            # a: "x y x y" -> bigrams [x y, y x, x y] (2 distinct / 3);
+            #    "z" -> none.  b: "" and "w" -> no bigrams at all
+            "text": pa.array(["x y x y", "z", "", "w"]),
+        }
+    )
+    d = str(tmp_path / "ngd")
+    os.makedirs(d)
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+    got = ngram_diversity(d).to_pandas().sort_values("source").reset_index(drop=True)
+    assert got["source"].tolist() == ["a"]  # b emits nothing
+    assert got.loc[0, "n_distinct_bigrams"] == 2
+    assert got.loc[0, "n_bigrams"] == 3
+    assert got.loc[0, "diversity"] == round(2 / 3, 4)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    exp = con.sql(SQL_NGRAM_DIVERSITY).df().sort_values("source").reset_index(drop=True)
+    assert exp["source"].tolist() == ["a"]
+    assert got.loc[0, "n_bigrams"] == exp.loc[0, "n_bigrams"]
+    assert got.loc[0, "diversity"] == exp.loc[0, "diversity"]
+
+
+def test_doc_length_hist_exact_bins(tmp_path):
+    """Digit bins are exact integers in both engines: 9 -> bin 1,
+    10 -> bin 2, 99 -> bin 2, 100 -> bin 3, 0 -> bin 1 ('0' is one
+    digit); totals are exact integer sums."""
+    import os
+
+    import duckdb
+
+    from aiw_i2b2_etl_ray.pipelines.textops import SQL_DOC_LENGTH_HIST, doc_length_hist
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "lang": pa.array(["en", "en", "en", "de", "de"]),
+            "text": pa.array(["x"] * 5),
+            "n_chars": pa.array([9, 10, 99, 100, 0], pa.int64()),
+        }
+    )
+    d = str(tmp_path / "dlh")
+    os.makedirs(d)
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+    got = (
+        doc_length_hist(d)
+        .to_pandas()
+        .sort_values(["lang", "digits_bin"])
+        .reset_index(drop=True)
+    )
+    assert list(map(tuple, got.values)) == [
+        ("de", 1, 1, 0),  # 0 is one digit
+        ("de", 3, 1, 100),
+        ("en", 1, 1, 9),
+        ("en", 2, 2, 109),
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    exp = (
+        con.sql(SQL_DOC_LENGTH_HIST)
+        .df()
+        .sort_values(["lang", "digits_bin"])
+        .reset_index(drop=True)
+    )
+    assert list(map(tuple, got.values)) == list(map(tuple, exp.values))
