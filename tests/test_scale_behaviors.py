@@ -574,3 +574,33 @@ def test_source_census_partial_bounds_exchange():
     # exact-integer invariants: per-group doc counts sum back to n
     assert sum(out["pd"].to_pylist()) == n
     assert out.schema.field("pt").type == pa.int64()
+
+
+def test_scaling_root_respects_tmpfs_capacity(monkeypatch, tmp_path):
+    """The scaling legs only use /dev/shm when it can actually hold the
+    legs' input+output (Docker's default tmpfs is 64 MB — generating the
+    2M-event change log there would ENOSPC every leg and fail the whole
+    scaling measurement); a too-small or missing tmpfs falls back to
+    disk.  Pins bench._pick_scaling_root's branch logic directly."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+
+    class _St:
+        def __init__(self, avail_bytes):
+            self.f_bavail = avail_bytes // 4096
+            self.f_frsize = 4096
+
+    monkeypatch.setattr(bench.os, "statvfs", lambda p: _St(64 * 1024**2))
+    assert bench._pick_scaling_root() == "/tmp/aiw_bench_scaling"
+
+    monkeypatch.setattr(bench.os, "statvfs", lambda p: _St(32 * 1024**3))
+    assert bench._pick_scaling_root() == "/dev/shm/aiw_bench"
+
+    def _raise(p):
+        raise OSError("no /dev/shm")
+
+    monkeypatch.setattr(bench.os, "statvfs", _raise)
+    assert bench._pick_scaling_root() == "/tmp/aiw_bench_scaling"
