@@ -24,6 +24,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from aiw_i2b2_etl_ray.pipelines import analytics as an
+    from aiw_i2b2_etl_ray.pipelines import cdc_mining as cm
     from aiw_i2b2_etl_ray.pipelines import cdc_queries as cq
 
     cat: dict[str, Callable[[str], Any]] = {
@@ -58,6 +59,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_reapply": cq.cdc_reapply,
         # post-load referential-integrity census, all-integer (new r5 s5)
         "cdc_integrity": cq.cdc_integrity,
+        # repo-mining reads (new r5 s8): logical-coupling pairs, bus-factor
+        # census, per-path lifecycle audit — all-integer/string outputs
+        "cdc_cochange": cm.cdc_cochange,
+        "cdc_ownership": cm.cdc_ownership,
+        "cdc_path_lifetimes": cm.cdc_path_lifetimes,
         # --- reference operator families (SURVEY.md §2) --------------------
         "eav_encode": an.eav_encode,  # M6
         "str_normalize": an.str_normalize,  # M7/M8
@@ -323,7 +329,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tf-idf retrieval top-k (new r5 session 2) takes sample_per_lang's
         # slot (r04 driver-green; stays in the dict and local-green)
         "term_topk",
-        "mix_sources",
+        # mix_sources: r04 driver-green; its one r5 change (the vectorized
+        # md5 rank) is locally oracle-green at two sfs and shared with
+        # weighted_sample/corpus_shuffle — its slot goes to the new
+        # repo-mining co-change read (never driver-verified)
+        "cdc_cochange",
         "pack_sequences",
         # weighted_sample: r04 driver-green; its one r5 change (the
         # vectorized md5 draw) is the same kernel mix_sources exercises
@@ -352,9 +362,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # in the dict and local-oracle-green)
         "cluster_assign",
         "kmeans_refine",
-        # dedup family (dedup_exact: driver-green r01+r02, rotated out)
-        "dedup_minhash",
-        "dedup_incremental",
+        # dedup family: dedup_minhash/dedup_incremental are r04
+        # driver-green; the r5 bucket-cap change is pytest-forced on a
+        # crafted mass-duplicate corpus and locally oracle-green at two
+        # sfs — their slots go to the new ownership/lifecycle mining reads
+        # (never driver-verified, all-integer hash-compared)
+        "cdc_ownership",
+        "cdc_path_lifetimes",
         # dedup_simhash is hash-defined rows-only with an r04 driver row —
         # its slot frees for the sixth new TPC-H shape
         # dedup_ngram_jaccard / dedup_clusters: r04 driver-green, their
@@ -370,7 +384,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # its slot goes to the all-integer integrity census (new r5 s5)
         "cdc_integrity",
         "tpch_q11",
-        "corpus_filter",
+        # corpus_filter: r04 driver-green, its adaptive drop-set plan
+        # unchanged since r4 — slot goes to the new doc-length census
+        # (never driver-verified)
+        "doc_length_hist",
         # model_score: r04 driver-green, untouched this round — its slot
         # goes to the new hash-compared lang-migration audit
         "cdc_lang_migrations",
@@ -391,7 +408,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_normalized",
         "cdc_reapply",
         "heavy_hitter_tokens",
-        "text_chunks",
+        # text_chunks: r04 driver-green; the r5 offset vectorization is
+        # locally oracle-green at two sfs — slot goes to the new n-gram
+        # diversity census (never driver-verified)
+        "ngram_diversity",
         # r5 session-3 additions (never driver-verified, all oracle-checked;
         # preflighted at sf0.01 at BOTH 8 and 32 CPUs before rotating in)
         "tpch_q4",
@@ -422,6 +442,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from aiw_i2b2_etl_ray.pipelines import cdc_mining as cm
     from aiw_i2b2_etl_ray.pipelines import cdc_queries as cq
 
     sql: dict[str, str] = {
@@ -446,6 +467,9 @@ def oracle_sql() -> dict[str, str]:
         "cdc_author_dim": cq.SQL_AUTHOR_DIM,
         "cdc_reapply": cq.SQL_REAPPLY,
         "cdc_integrity": cq.SQL_INTEGRITY,
+        "cdc_cochange": cm.SQL_COCHANGE,
+        "cdc_ownership": cm.SQL_OWNERSHIP,
+        "cdc_path_lifetimes": cm.SQL_PATH_LIFETIMES,
         "eav_encode": """
             SELECT event_id,
                    CASE WHEN value IS NULL THEN '@' ELSE 'N' END AS valtype_cd,

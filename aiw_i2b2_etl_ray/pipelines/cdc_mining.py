@@ -1,0 +1,379 @@
+"""Repo-mining reads over the change stream: co-change pairs, ownership
+(bus-factor) census, and per-path lifecycle audits.
+
+These are the classic MSR (mining-software-repositories) reads a code-corpus
+curator runs over a converged CDC lake — the analytical complement of the
+operational reads in ``cdc_queries`` (hot keys, tombstone GC, renames).  The
+reference's analog is its post-load provider/concept usage reporting
+(dest/table/ProviderDimensionFactory.java attribution + the A1 row-count
+census); here the same attribution questions are asked of the raw change
+history rather than the final star.
+
+All three follow the catalog's exchange discipline: a per-block vectorized
+partial (projection + distinct) shrinks the stream map-side, ONE keyed
+exchange moves the bounded partials, and the per-group fold is a polars
+kernel over the whole group (the ``cdc_state_diff``/``scd2`` pattern).
+Every output column is an exact integer or string, so the driver's
+value-hash compare is drift-proof.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data as rd
+
+from ..sources.changes import CHANGES_FROM_EVENTS_SQL, changes_from_events
+from .cdc_queries import _VALID
+
+#: co-change session width in commit_seq units.  A session is (repo,
+#: commit_seq // BUCKET): the change-stream analog of "commits landed in
+#: the same review window".  250 keeps sf0.001 (seq 0..999) at four
+#: sessions per repo so the >=2-sessions filter is exercised at the
+#: smallest test scale.
+COCHANGE_BUCKET = 250
+
+
+def _valid_mask(t: pa.Table) -> pa.Table:
+    """The merge pipeline's validity rule (non-blank repo/path/commit) —
+    must stay in lockstep with the SQL ``valid`` CTE in cdc_queries."""
+    import pyarrow.compute as pc
+
+    m = None
+    for c in ("repo", "path", "commit"):
+        cm = pc.and_(pc.is_valid(t[c]), pc.not_equal(t[c], ""))
+        m = cm if m is None else pc.and_(m, cm)
+    return t.filter(m)
+
+
+# --- co-change pairs ---------------------------------------------------------
+
+
+def cdc_cochange(sf_dir: str) -> "rd.Dataset":
+    """Co-changed path pairs: for each (repo, seq-bucket) session, the
+    distinct paths touched together; pairs that co-occur in >= 2 sessions,
+    with the exact session count.  The logical-coupling read (Zimmermann
+    et al.'s co-change mining) a curator uses to find generated-file
+    clusters and hidden module boundaries before sampling a code corpus.
+
+    Physical plan: per-block distinct (repo, bkt, path) triples map-side
+    (redelivered rows and within-block repeats collapse before anything
+    moves), ONE exchange keyed on (repo, bkt) — each group is one
+    session's path set — then a vectorized triangular pair expansion per
+    session and a combiner-first pair count (per-block partial, then a
+    pair-bounded groupby-sum).  The pair space is bounded by the distinct
+    paths per session, NOT the stream: session width is a config constant,
+    so a session's pair count is quadratic only in paths-per-session.
+    ``max_session_paths`` caps a degenerate mega-session (a bot commit
+    touching the whole tree) by keeping the lexicographically-first K
+    paths — deterministic, but intentionally OFF by default because the
+    oracle is uncapped; at 100 TB you run with a cap and accept the
+    documented truncation (the dedup_minhash bucket-cap discipline)."""
+    return cochange_table(changes_from_events(sf_dir))
+
+
+def cochange_table(
+    changes: "rd.Dataset",
+    *,
+    bucket: int = COCHANGE_BUCKET,
+    min_sessions: int = 2,
+    max_session_paths: int | None = None,
+) -> "rd.Dataset":
+    """Core of ``cdc_cochange`` over any change stream; split out so tests
+    can drive crafted streams and the mega-session cap."""
+    import polars as pl
+
+    from ray.data.aggregate import Sum
+
+    from ..util import empty_frame
+
+    def session_partial(t: pa.Table) -> pa.Table:
+        t = _valid_mask(t)
+        return (
+            pl.from_arrow(t.select(["repo", "path", "commit_seq"]))
+            .select(
+                "repo",
+                (pl.col("commit_seq") // bucket).alias("bkt"),
+                "path",
+            )
+            .unique()
+            .to_arrow()
+        )
+
+    def expand_pairs(g: pa.Table) -> pa.Table:
+        import numpy as np
+
+        paths = (
+            pl.from_arrow(g.select(["path"]))["path"].unique().sort().to_numpy()
+        )
+        if max_session_paths is not None and paths.size > max_session_paths:
+            paths = paths[:max_session_paths]
+        n = paths.size
+        if n < 2:
+            return pa.table(
+                {
+                    "repo": pa.array([], pa.string()),
+                    "path_a": pa.array([], pa.string()),
+                    "path_b": pa.array([], pa.string()),
+                }
+            )
+        ia, ib = np.triu_indices(n, k=1)
+        repo = g["repo"][0].as_py()
+        return pa.table(
+            {
+                "repo": pa.array(np.full(ia.size, repo), pa.string()),
+                "path_a": pa.array(paths[ia], pa.string()),
+                "path_b": pa.array(paths[ib], pa.string()),
+            }
+        )
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "repo" not in t.schema.names:
+            return pa.table(
+                {
+                    "repo": pa.array([], pa.string()),
+                    "path_a": pa.array([], pa.string()),
+                    "path_b": pa.array([], pa.string()),
+                    "pn": pa.array([], pa.int64()),
+                }
+            )
+        return (
+            pl.from_arrow(t.select(["repo", "path_a", "path_b"]))
+            .group_by(["repo", "path_a", "path_b"])
+            .agg(pl.len().cast(pl.Int64).alias("pn"))
+            .to_arrow()
+        )
+
+    def keep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if len(t) == 0 or "n_sessions" not in t.schema.names:
+            return pa.table(
+                {
+                    "repo": pa.array([], pa.string()),
+                    "path_a": pa.array([], pa.string()),
+                    "path_b": pa.array([], pa.string()),
+                    "n_sessions": pa.array([], pa.int64()),
+                }
+            )
+        return t.filter(pc.greater_equal(t["n_sessions"], min_sessions))
+
+    out = (
+        changes.map_batches(session_partial, batch_format="pyarrow")
+        .groupby(["repo", "bkt"])
+        .map_groups(expand_pairs, batch_format="pyarrow")
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby(["repo", "path_a", "path_b"])
+        .aggregate(Sum("pn", alias_name="n_sessions"))
+        .map_batches(keep, batch_format="pyarrow")
+        .materialize()  # distinct-pair-bounded (<= paths²/2 per repo)
+    )
+    if out.count() == 0:
+        return empty_frame(
+            repo="string", path_a="string", path_b="string", n_sessions="int64"
+        )
+    return out
+
+
+SQL_COCHANGE = f"""
+WITH {CHANGES_FROM_EVENTS_SQL}, {_VALID},
+sess AS (
+  SELECT DISTINCT repo, commit_seq // {COCHANGE_BUCKET} AS bkt, path FROM valid
+)
+SELECT a.repo, a.path AS path_a, b.path AS path_b,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM sess a JOIN sess b ON a.repo = b.repo AND a.bkt = b.bkt AND a.path < b.path
+GROUP BY a.repo, a.path, b.path
+HAVING COUNT(*) >= 2
+"""
+
+
+# --- ownership / bus-factor census -------------------------------------------
+
+
+def cdc_ownership(sf_dir: str) -> "rd.Dataset":
+    """Per-(repo, path) ownership census over the deduped change history:
+    how many distinct authors touched the path, total deduped changes, and
+    the top author (most changes, ties broken by smallest author_id) with
+    their change count — the bus-factor read behind per-author sampling
+    weights and the attribution the reference performs when it folds
+    provider rows into provider_dimension
+    (dest/table/ProviderDimensionFactory.java:119-188).
+
+    Physical plan: per-block distinct (repo, path, commit, author_id)
+    map-side (a redelivered change-id is an exact row copy, so the
+    4-tuple distinct IS change-id dedup once folded globally), one
+    exchange keyed on repo (config-bounded key set, the
+    ``cdc_state_diff`` keying), and a per-repo polars fold: global
+    change-id dedup, per-(path, author) counts, then one row per path
+    with the argmax author.  Output is path-bounded."""
+    return ownership_table(changes_from_events(sf_dir))
+
+
+def ownership_table(changes: "rd.Dataset") -> "rd.Dataset":
+    import polars as pl
+
+    from ..util import empty_frame
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = _valid_mask(t)
+        return (
+            pl.from_arrow(t.select(["repo", "path", "commit", "author_id"]))
+            .unique()
+            .to_arrow()
+        )
+
+    def fold(g: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(g)
+            .unique(["repo", "path", "commit"])  # cross-block change-id dedup
+            .group_by(["repo", "path", "author_id"])
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+        )
+        return (
+            df.sort(["n", "author_id"], descending=[True, False])
+            .group_by(["repo", "path"], maintain_order=True)
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_authors"),
+                pl.col("n").sum().alias("n_changes"),
+                pl.col("author_id").first().alias("top_author_id"),
+                pl.col("n").first().alias("top_changes"),
+            )
+            .to_arrow()
+        )
+
+    out = (
+        changes.map_batches(partial, batch_format="pyarrow")
+        .groupby("repo")
+        .map_groups(fold, batch_format="pyarrow")
+        .materialize()  # path-bounded (one row per live-or-dead path)
+    )
+    if out.count() == 0:
+        return empty_frame(
+            repo="string",
+            path="string",
+            n_authors="int64",
+            n_changes="int64",
+            top_author_id="string",
+            top_changes="int64",
+        )
+    return out
+
+
+SQL_OWNERSHIP = f"""
+WITH {CHANGES_FROM_EVENTS_SQL}, {_VALID},
+pa_counts AS (
+  SELECT repo, path, author_id, CAST(COUNT(*) AS BIGINT) AS n
+  FROM dedup GROUP BY repo, path, author_id
+),
+tops AS (
+  SELECT repo, path, author_id AS top_author_id, n AS top_changes,
+         ROW_NUMBER() OVER (
+           PARTITION BY repo, path ORDER BY n DESC, author_id
+         ) AS r
+  FROM pa_counts
+),
+agg AS (
+  SELECT repo, path,
+         CAST(COUNT(*) AS BIGINT) AS n_authors,
+         CAST(SUM(n) AS BIGINT)   AS n_changes
+  FROM pa_counts GROUP BY repo, path
+)
+SELECT agg.repo, agg.path, agg.n_authors, agg.n_changes,
+       t.top_author_id, t.top_changes
+FROM agg JOIN tops t ON agg.repo = t.repo AND agg.path = t.path AND t.r = 1
+"""
+
+
+# --- per-path lifecycle audit -------------------------------------------------
+
+
+def cdc_path_lifetimes(sf_dir: str) -> "rd.Dataset":
+    """Per-(repo, path) lifecycle over the deduped history: first/last
+    change seq, deduped change count, tombstone count, and resurrection
+    count (a delete followed by a later non-delete — the reference's
+    DELETE_DATE-then-UPDATE_DATE fixture case, testData.xml, generalized
+    to a census).  The read that sizes tombstone-GC safety windows
+    (complementing ``cdc_tombstone_gc``) and flags flapping paths.
+
+    Physical plan: per-block distinct (repo, path, commit_seq, op)
+    map-side, one exchange keyed on repo, per-repo polars fold with the
+    ops sorted by seq inside each (repo, path) group and the D->not-D
+    transition counted via a shifted comparison — the LAG window re-
+    expressed as a vectorized in-group shift (the scd2 intervals
+    pattern)."""
+    return path_lifetimes_table(changes_from_events(sf_dir))
+
+
+def path_lifetimes_table(changes: "rd.Dataset") -> "rd.Dataset":
+    import polars as pl
+
+    from ..util import empty_frame
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = _valid_mask(t)
+        return (
+            pl.from_arrow(t.select(["repo", "path", "commit_seq", "op"]))
+            .unique()
+            .to_arrow()
+        )
+
+    def fold(g: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(g)
+            # change-id dedup: commit <-> commit_seq is 1:1 in the stream,
+            # and a redelivered row is an exact copy, so distinct
+            # (repo, path, commit_seq) keeps one op per change-id
+            .unique(["repo", "path", "commit_seq"])
+            .sort("commit_seq")
+        )
+        prev = pl.col("op").shift(1)
+        return (
+            df.group_by(["repo", "path"], maintain_order=True)
+            .agg(
+                pl.col("commit_seq").min().alias("first_seq"),
+                pl.col("commit_seq").max().alias("last_seq"),
+                pl.len().cast(pl.Int64).alias("n_changes"),
+                (pl.col("op") == "D").sum().cast(pl.Int64).alias("n_deletes"),
+                ((prev == "D") & (pl.col("op") != "D"))
+                .sum()
+                .cast(pl.Int64)
+                .alias("n_resurrections"),
+            )
+            .to_arrow()
+        )
+
+    out = (
+        changes.map_batches(partial, batch_format="pyarrow")
+        .groupby("repo")
+        .map_groups(fold, batch_format="pyarrow")
+        .materialize()  # path-bounded
+    )
+    if out.count() == 0:
+        return empty_frame(
+            repo="string",
+            path="string",
+            first_seq="int64",
+            last_seq="int64",
+            n_changes="int64",
+            n_deletes="int64",
+            n_resurrections="int64",
+        )
+    return out
+
+
+SQL_PATH_LIFETIMES = f"""
+WITH {CHANGES_FROM_EVENTS_SQL}, {_VALID},
+seqd AS (
+  SELECT repo, path, commit_seq, op,
+         LAG(op) OVER (PARTITION BY repo, path ORDER BY commit_seq) AS prev_op
+  FROM dedup
+)
+SELECT repo, path,
+       CAST(MIN(commit_seq) AS BIGINT) AS first_seq,
+       CAST(MAX(commit_seq) AS BIGINT) AS last_seq,
+       CAST(COUNT(*) AS BIGINT)        AS n_changes,
+       CAST(SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
+       CAST(SUM(CASE WHEN prev_op = 'D' AND op <> 'D' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_resurrections
+FROM seqd GROUP BY repo, path
+"""
