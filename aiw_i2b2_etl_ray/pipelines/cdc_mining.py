@@ -202,29 +202,32 @@ def cdc_ownership(sf_dir: str) -> "rd.Dataset":
     Physical plan: per-block distinct (repo, path, commit, author_id)
     map-side (a redelivered change-id is an exact row copy, so the
     4-tuple distinct IS change-id dedup once folded globally), one
-    exchange keyed on repo (config-bounded key set, the
-    ``cdc_state_diff`` keying), and a per-repo polars fold: global
-    change-id dedup, per-(path, author) counts, then one row per path
-    with the argmax author.  Output is path-bounded."""
+    exchange keyed on ``bucket_hash(repo, path)`` — NOT repo (the scd2
+    keying: a mega-repo spreads its paths over all buckets instead of
+    pinning one task), and a per-bucket polars fold: global change-id
+    dedup, per-(path, author) counts, then one row per path with the
+    argmax author.  Output is path-bounded."""
     return ownership_table(changes_from_events(sf_dir))
 
 
-def ownership_table(changes: "rd.Dataset") -> "rd.Dataset":
+def ownership_table(changes: "rd.Dataset", *, num_buckets: int = 32) -> "rd.Dataset":
     import polars as pl
 
+    from ..functions.hashing import bucket_hash
     from ..util import empty_frame
 
     def partial(t: pa.Table) -> pa.Table:
         t = _valid_mask(t)
-        return (
+        t = (
             pl.from_arrow(t.select(["repo", "path", "commit", "author_id"]))
             .unique()
             .to_arrow()
         )
+        return t.append_column("_b", bucket_hash(t, ["repo", "path"], num_buckets))
 
     def fold(g: pa.Table) -> pa.Table:
         df = (
-            pl.from_arrow(g)
+            pl.from_arrow(g.drop_columns(["_b"]))
             .unique(["repo", "path", "commit"])  # cross-block change-id dedup
             .group_by(["repo", "path", "author_id"])
             .agg(pl.len().cast(pl.Int64).alias("n"))
@@ -243,7 +246,7 @@ def ownership_table(changes: "rd.Dataset") -> "rd.Dataset":
 
     out = (
         changes.map_batches(partial, batch_format="pyarrow")
-        .groupby("repo")
+        .groupby("_b")
         .map_groups(fold, batch_format="pyarrow")
         .materialize()  # path-bounded (one row per live-or-dead path)
     )
@@ -296,30 +299,35 @@ def cdc_path_lifetimes(sf_dir: str) -> "rd.Dataset":
     (complementing ``cdc_tombstone_gc``) and flags flapping paths.
 
     Physical plan: per-block distinct (repo, path, commit_seq, op)
-    map-side, one exchange keyed on repo, per-repo polars fold with the
-    ops sorted by seq inside each (repo, path) group and the D->not-D
-    transition counted via a shifted comparison — the LAG window re-
-    expressed as a vectorized in-group shift (the scd2 intervals
-    pattern)."""
+    map-side, one exchange keyed on ``bucket_hash(repo, path)`` (the
+    scd2 keying — mega-repos spread over all buckets), per-bucket polars
+    fold with the ops sorted by seq inside each (repo, path) group and
+    the D->not-D transition counted via a shifted comparison — the LAG
+    window re-expressed as a vectorized in-group shift (the scd2
+    intervals pattern)."""
     return path_lifetimes_table(changes_from_events(sf_dir))
 
 
-def path_lifetimes_table(changes: "rd.Dataset") -> "rd.Dataset":
+def path_lifetimes_table(
+    changes: "rd.Dataset", *, num_buckets: int = 32
+) -> "rd.Dataset":
     import polars as pl
 
+    from ..functions.hashing import bucket_hash
     from ..util import empty_frame
 
     def partial(t: pa.Table) -> pa.Table:
         t = _valid_mask(t)
-        return (
+        t = (
             pl.from_arrow(t.select(["repo", "path", "commit_seq", "op"]))
             .unique()
             .to_arrow()
         )
+        return t.append_column("_b", bucket_hash(t, ["repo", "path"], num_buckets))
 
     def fold(g: pa.Table) -> pa.Table:
         df = (
-            pl.from_arrow(g)
+            pl.from_arrow(g.drop_columns(["_b"]))
             # change-id dedup: commit <-> commit_seq is 1:1 in the stream,
             # and a redelivered row is an exact copy, so distinct
             # (repo, path, commit_seq) keeps one op per change-id
@@ -344,7 +352,7 @@ def path_lifetimes_table(changes: "rd.Dataset") -> "rd.Dataset":
 
     out = (
         changes.map_batches(partial, batch_format="pyarrow")
-        .groupby("repo")
+        .groupby("_b")
         .map_groups(fold, batch_format="pyarrow")
         .materialize()  # path-bounded
     )
