@@ -64,6 +64,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_cochange": cm.cdc_cochange,
         "cdc_ownership": cm.cdc_ownership,
         "cdc_path_lifetimes": cm.cdc_path_lifetimes,
+        # ingest-spike windows (integer-only threshold; local-oracle-green
+        # — the r5 window was already allocated to never-verified entries)
+        "cdc_bursts": cm.cdc_bursts,
         # --- reference operator families (SURVEY.md §2) --------------------
         "eav_encode": an.eav_encode,  # M6
         "str_normalize": an.str_normalize,  # M7/M8
@@ -470,6 +473,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_cochange": cm.SQL_COCHANGE,
         "cdc_ownership": cm.SQL_OWNERSHIP,
         "cdc_path_lifetimes": cm.SQL_PATH_LIFETIMES,
+        "cdc_bursts": cm.SQL_BURSTS,
         "eav_encode": """
             SELECT event_id,
                    CASE WHEN value IS NULL THEN '@' ELSE 'N' END AS valtype_cd,

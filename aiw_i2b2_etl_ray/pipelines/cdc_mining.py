@@ -385,3 +385,125 @@ SELECT repo, path,
          AS n_resurrections
 FROM seqd GROUP BY repo, path
 """
+
+# --- burst detection ----------------------------------------------------------
+
+#: burst-scan seq-bucket width (finer than the co-change session width —
+#: a burst is a spike inside a replay window, not a review session)
+BURST_BUCKET = 100
+#: a bucket is a burst when its count exceeds BURST_FACTOR x the repo's
+#: mean bucket count (over observed buckets)
+BURST_FACTOR = 2
+
+
+def cdc_bursts(sf_dir: str) -> "rd.Dataset":
+    """Ingest-spike detection: (repo, seq-bucket) windows whose deduped
+    change count exceeds ``BURST_FACTOR`` x that repo's mean bucket count
+    — the spike complement of ``cdc_seq_audit``'s hole detection, and the
+    read a CDC operator runs to find replay storms (force-pushes, bot
+    runs, migration squashes) before sizing merge partitions.
+
+    The threshold is stated integer-only (n * n_buckets >
+    BURST_FACTOR * repo_total) so no float mean can drift the compare.
+
+    Physical plan: per-block combiner partials per (repo, bkt) -> ONE
+    keyed Sum over the bucket table (seq-range/width x repos rows, never
+    fact-sized) -> per-repo totals folded from the bucket table
+    (repo-bounded, broadcast back as a plain dict) -> vectorized filter.
+    Two keyed exchanges, both over pre-aggregated tables."""
+    import polars as pl
+
+    from ray.data.aggregate import Sum
+
+    from .cdc_queries import _fact_cached
+    from ..util import empty_frame
+
+    facts = _fact_cached(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t.select(["repo", "commit_seq"]))
+            .select("repo", (pl.col("commit_seq") // BURST_BUCKET).alias("bkt"))
+            .group_by(["repo", "bkt"])
+            .agg(pl.len().cast(pl.Int64).alias("pn"))
+            .to_arrow()
+        )
+
+    buckets = (
+        facts.map_batches(partial, batch_format="pyarrow")
+        .groupby(["repo", "bkt"])
+        .aggregate(Sum("pn", alias_name="n"))
+        .materialize()  # bucket-table-sized (seq_range/width x repos)
+    )
+
+    # per-repo totals: fold the (small) bucket table driver-side — the
+    # broadcast-dim discipline (repo count is config-bounded)
+    totals: dict[str, tuple[int, int]] = {}
+    for ref in buckets.to_arrow_refs():
+        import ray
+
+        t = ray.get(ref)
+        if len(t) == 0 or "repo" not in t.schema.names:
+            continue  # sort-groupby can emit schema-less empty blocks
+        for repo, n in zip(t["repo"].to_pylist(), t["n"].to_pylist()):
+            tot, nb = totals.get(repo, (0, 0))
+            totals[repo] = (tot + n, nb + 1)
+
+    def keep(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "repo" not in t.schema.names:
+            return pa.table(
+                {
+                    "repo": pa.array([], pa.string()),
+                    "bkt": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "repo_total": pa.array([], pa.int64()),
+                    "n_buckets": pa.array([], pa.int64()),
+                }
+            )
+        import numpy as np
+
+        repos = t["repo"].to_pylist()
+        tot = pa.array([totals[r][0] for r in repos], pa.int64())
+        nb = pa.array([totals[r][1] for r in repos], pa.int64())
+        n = t["n"].to_numpy()
+        mask = pa.array(
+            n * nb.to_numpy() > BURST_FACTOR * tot.to_numpy()
+        )
+        return pa.table(
+            {
+                "repo": t["repo"],
+                "bkt": t["bkt"],
+                "n": t["n"],
+                "repo_total": tot,
+                "n_buckets": nb,
+            }
+        ).filter(mask)
+
+    out = buckets.map_batches(keep, batch_format="pyarrow").materialize()
+    if out.count() == 0:
+        return empty_frame(
+            repo="string",
+            bkt="int64",
+            n="int64",
+            repo_total="int64",
+            n_buckets="int64",
+        )
+    return out
+
+
+SQL_BURSTS = f"""
+WITH {CHANGES_FROM_EVENTS_SQL}, {_VALID},
+b AS (
+  SELECT repo, commit_seq // {BURST_BUCKET} AS bkt,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM dedup GROUP BY repo, commit_seq // {BURST_BUCKET}
+),
+r AS (
+  SELECT repo, CAST(SUM(n) AS BIGINT) AS repo_total,
+         CAST(COUNT(*) AS BIGINT) AS n_buckets
+  FROM b GROUP BY repo
+)
+SELECT b.repo, b.bkt, b.n, r.repo_total, r.n_buckets
+FROM b JOIN r USING (repo)
+WHERE b.n * r.n_buckets > {BURST_FACTOR} * r.repo_total
+"""

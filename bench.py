@@ -232,6 +232,11 @@ def run_queries() -> dict[str, float]:
         # r5 session-7: the full correlated-min Q2 (distinct-pair
         # exchange + pair-sized second fold + broadcast join-back)
         "tpch_q2",
+        # r5 session-8: repo-mining reads — co-change pair expansion
+        # ((repo, bkt)-keyed sessions) and the bucket-hash-keyed
+        # ownership census
+        "cdc_cochange",
+        "cdc_ownership",
     ]
     q = e.queries()
     out = {}
