@@ -240,3 +240,48 @@ def test_lifetimes_matches_bruteforce_on_random_stream():
             }
         )
     assert out.to_dict("records") == exp
+
+
+# --- scale behaviors -----------------------------------------------------------
+
+
+def test_mining_exchanges_are_bounded_and_spread():
+    """(a) cochange's map-side distinct collapses redelivered / repeated
+    rows BEFORE the exchange (the shuffle carries distinct (repo, bkt,
+    path) triples, not the stream); (b) the ownership/lifetimes bucket
+    hash spreads a single mega-repo's paths over many buckets instead of
+    pinning one task."""
+    import pyarrow as pa
+
+    from aiw_i2b2_etl_ray.functions.hashing import bucket_hash
+
+    # (a): 1000 stream rows over 5 paths in one session -> <= 5 triples
+    rows = [("r1", f"p{i % 5}.py", i, "U", "u1") for i in range(1000)]
+    t = pa.table(
+        {
+            "repo": pa.array([r[0] for r in rows]),
+            "path": pa.array([r[1] for r in rows]),
+            "commit": pa.array([f"c{r[2]}" for r in rows]),
+            "commit_seq": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+    import polars as pl
+
+    from aiw_i2b2_etl_ray.pipelines.cdc_mining import _valid_mask
+
+    triples = (
+        pl.from_arrow(_valid_mask(t).select(["repo", "path", "commit_seq"]))
+        .select("repo", (pl.col("commit_seq") // 1000).alias("bkt"), "path")
+        .unique()
+    )
+    assert len(triples) == 5
+
+    # (b): one repo, 500 paths -> the bucket column takes many values
+    mega = pa.table(
+        {
+            "repo": pa.array(["mega"] * 500),
+            "path": pa.array([f"p{i}.py" for i in range(500)]),
+        }
+    )
+    b = bucket_hash(mega, ["repo", "path"], 32)
+    assert len(set(b.to_pylist())) > 16
