@@ -57,10 +57,14 @@ def cdc_cochange(sf_dir: str) -> "rd.Dataset":
 
     Physical plan: per-block distinct (repo, bkt, path) triples map-side
     (redelivered rows and within-block repeats collapse before anything
-    moves), ONE exchange keyed on (repo, bkt) — each group is one
-    session's path set — then a vectorized triangular pair expansion per
-    session and a combiner-first pair count (per-block partial, then a
-    pair-bounded groupby-sum).  The pair space is bounded by the distinct
+    moves), ONE exchange keyed on ``bucket_hash(repo, bkt)`` — NOT on the
+    session key itself: at sf0.1 the (repo, bkt) grouping already makes
+    ~15k tiny groups and Ray's per-group map_groups machinery dominated
+    the wall clock (8.4 s), so sessions are folded a hash-bucket at a
+    time (each task expands MANY sessions: boundaries via one run-length
+    scan, triangular indices cached per session size) — then a
+    combiner-first pair count (per-block partial, then a pair-bounded
+    groupby-sum).  The pair space is bounded by the distinct
     paths per session, NOT the stream: session width is a config constant,
     so a session's pair count is quadratic only in paths-per-session.
     ``max_session_paths`` caps a degenerate mega-session (a bot commit
@@ -77,6 +81,7 @@ def cochange_table(
     bucket: int = COCHANGE_BUCKET,
     min_sessions: int = 2,
     max_session_paths: int | None = None,
+    num_buckets: int = 32,
 ) -> "rd.Dataset":
     """Core of ``cdc_cochange`` over any change stream; split out so tests
     can drive crafted streams and the mega-session cap."""
@@ -84,11 +89,12 @@ def cochange_table(
 
     from ray.data.aggregate import Sum
 
+    from ..functions.hashing import bucket_hash
     from ..util import empty_frame
 
     def session_partial(t: pa.Table) -> pa.Table:
         t = _valid_mask(t)
-        return (
+        t = (
             pl.from_arrow(t.select(["repo", "path", "commit_seq"]))
             .select(
                 "repo",
@@ -98,31 +104,57 @@ def cochange_table(
             .unique()
             .to_arrow()
         )
+        return t.append_column("_sb", bucket_hash(t, ["repo", "bkt"], num_buckets))
 
-    def expand_pairs(g: pa.Table) -> pa.Table:
+    _EMPTY_PAIRS = pa.table(
+        {
+            "repo": pa.array([], pa.string()),
+            "path_a": pa.array([], pa.string()),
+            "path_b": pa.array([], pa.string()),
+        }
+    )
+
+    def expand_bucket(g: pa.Table) -> pa.Table:
+        """All sessions hashed to this bucket at once: one sort, one
+        run-length boundary scan, cached triangular indices per session
+        size — no per-session task or table-slice overhead."""
         import numpy as np
 
-        paths = (
-            pl.from_arrow(g.select(["path"]))["path"].unique().sort().to_numpy()
+        df = (
+            pl.from_arrow(g.select(["repo", "bkt", "path"]))
+            .unique()  # cross-block dedup of the map-side distinct
+            .sort(["repo", "bkt", "path"])
         )
-        if max_session_paths is not None and paths.size > max_session_paths:
-            paths = paths[:max_session_paths]
-        n = paths.size
-        if n < 2:
-            return pa.table(
-                {
-                    "repo": pa.array([], pa.string()),
-                    "path_a": pa.array([], pa.string()),
-                    "path_b": pa.array([], pa.string()),
-                }
-            )
-        ia, ib = np.triu_indices(n, k=1)
-        repo = g["repo"][0].as_py()
+        if len(df) == 0:
+            return _EMPTY_PAIRS
+        repo = df["repo"].to_numpy()
+        bkt = df["bkt"].to_numpy()
+        path = df["path"].to_numpy()
+        n = len(df)
+        new_sess = np.ones(n, dtype=bool)
+        new_sess[1:] = (repo[1:] != repo[:-1]) | (bkt[1:] != bkt[:-1])
+        starts = np.flatnonzero(new_sess)
+        sizes = np.diff(np.append(starts, n))
+        triu_cache: dict[int, tuple] = {}
+        rep_parts, a_parts, b_parts = [], [], []
+        for s, c in zip(starts.tolist(), sizes.tolist()):
+            if max_session_paths is not None and c > max_session_paths:
+                c = max_session_paths  # paths sorted -> lexicographic-first K
+            if c < 2:
+                continue
+            if c not in triu_cache:
+                triu_cache[c] = np.triu_indices(c, k=1)
+            ia, ib = triu_cache[c]
+            a_parts.append(path[s + ia])
+            b_parts.append(path[s + ib])
+            rep_parts.append(np.full(ia.size, repo[s]))
+        if not a_parts:
+            return _EMPTY_PAIRS
         return pa.table(
             {
-                "repo": pa.array(np.full(ia.size, repo), pa.string()),
-                "path_a": pa.array(paths[ia], pa.string()),
-                "path_b": pa.array(paths[ib], pa.string()),
+                "repo": pa.array(np.concatenate(rep_parts), pa.string()),
+                "path_a": pa.array(np.concatenate(a_parts), pa.string()),
+                "path_b": pa.array(np.concatenate(b_parts), pa.string()),
             }
         )
 
@@ -157,10 +189,16 @@ def cochange_table(
             )
         return t.filter(pc.greater_equal(t["n_sessions"], min_sessions))
 
+    # NOTE on block layout: an explicit repartition() ahead of the
+    # groupby was A/B-tested at sf0.1 (interleaved best-of-2) and LOST —
+    # Ray's repartition is itself a full exchange, and its fixed round
+    # cost (6.4 s vs 4.6 s end-to-end) exceeds what the consolidated
+    # sort saves on these distinct-bounded partials.  Two exchanges,
+    # both over pre-shrunk tables, is the floor for this read.
     out = (
         changes.map_batches(session_partial, batch_format="pyarrow")
-        .groupby(["repo", "bkt"])
-        .map_groups(expand_pairs, batch_format="pyarrow")
+        .groupby("_sb")
+        .map_groups(expand_bucket, batch_format="pyarrow")
         .map_batches(count_partial, batch_format="pyarrow")
         .groupby(["repo", "path_a", "path_b"])
         .aggregate(Sum("pn", alias_name="n_sessions"))
