@@ -67,6 +67,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ingest-spike windows (integer-only threshold; local-oracle-green
         # — the r5 window was already allocated to never-verified entries)
         "cdc_bursts": cm.cdc_bursts,
+        # census mergeability stated as an equality: two half-stream
+        # partial folds merged must hash-match the full recompute
+        # (oracle = SQL_OWNERSHIP, the cdc_reapply contract pattern)
+        "cdc_ownership_incremental": cm.cdc_ownership_incremental,
         # --- reference operator families (SURVEY.md §2) --------------------
         "eav_encode": an.eav_encode,  # M6
         "str_normalize": an.str_normalize,  # M7/M8
@@ -474,6 +478,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_ownership": cm.SQL_OWNERSHIP,
         "cdc_path_lifetimes": cm.SQL_PATH_LIFETIMES,
         "cdc_bursts": cm.SQL_BURSTS,
+        "cdc_ownership_incremental": cm.SQL_OWNERSHIP,
         "eav_encode": """
             SELECT event_id,
                    CASE WHEN value IS NULL THEN '@' ELSE 'N' END AS valtype_cd,

@@ -248,7 +248,95 @@ def cdc_ownership(sf_dir: str) -> "rd.Dataset":
     return ownership_table(changes_from_events(sf_dir))
 
 
+def ownership_counts(changes: "rd.Dataset", *, num_buckets: int = 32) -> "rd.Dataset":
+    """The MERGEABLE census partial: one (repo, path, author_id, n) row
+    per author-path pair, with change-id dedup done inside the bucket
+    fold.  Two counts tables from seq-disjoint stream segments can be
+    unioned and re-folded (``ownership_from_counts``) into the same
+    result as a full recompute — the incremental/streaming contract
+    ``cdc_ownership_incremental`` hash-checks.  The ``_b`` bucket column
+    is kept on the output so a downstream re-fold shuffles by it
+    directly."""
+    import polars as pl
+
+    from ..functions.hashing import bucket_hash
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = _valid_mask(t)
+        t = (
+            pl.from_arrow(t.select(["repo", "path", "commit", "author_id"]))
+            .unique()
+            .to_arrow()
+        )
+        return t.append_column("_b", bucket_hash(t, ["repo", "path"], num_buckets))
+
+    def count_fold(g: pa.Table) -> pa.Table:
+        t = (
+            pl.from_arrow(g.drop_columns(["_b"]))
+            .unique(["repo", "path", "commit"])  # cross-block change-id dedup
+            .group_by(["repo", "path", "author_id"])
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+            .to_arrow()
+        )
+        return t.append_column("_b", bucket_hash(t, ["repo", "path"], num_buckets))
+
+    return (
+        changes.map_batches(partial, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(count_fold, batch_format="pyarrow")
+    )
+
+
+def ownership_from_counts(counts: "rd.Dataset") -> "rd.Dataset":
+    """Argmax fold over a (possibly unioned) counts table: sums per
+    (repo, path, author) first — so merged segment partials combine —
+    then one row per path with the top author (ties to min author_id)."""
+    import polars as pl
+
+    from ..util import empty_frame
+
+    def fold(g: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(g.drop_columns(["_b"]))
+            .group_by(["repo", "path", "author_id"])
+            .agg(pl.col("n").sum().alias("n"))
+        )
+        return (
+            df.sort(["n", "author_id"], descending=[True, False])
+            .group_by(["repo", "path"], maintain_order=True)
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_authors"),
+                pl.col("n").sum().alias("n_changes"),
+                pl.col("author_id").first().alias("top_author_id"),
+                pl.col("n").first().alias("top_changes"),
+            )
+            .to_arrow()
+        )
+
+    out = (
+        counts.groupby("_b")
+        .map_groups(fold, batch_format="pyarrow")
+        .materialize()  # path-bounded (one row per live-or-dead path)
+    )
+    if out.count() == 0:
+        return empty_frame(
+            repo="string",
+            path="string",
+            n_authors="int64",
+            n_changes="int64",
+            top_author_id="string",
+            top_changes="int64",
+        )
+    return out
+
+
 def ownership_table(changes: "rd.Dataset", *, num_buckets: int = 32) -> "rd.Dataset":
+    """Single-exchange plan for the full-stream census: dedup, count and
+    argmax all happen inside ONE bucket fold (``ownership_counts`` +
+    ``ownership_from_counts`` would pay a second exchange on the already-
+    partitioned counts — Ray cannot see that the fold output is still
+    bucket-partitioned; the two-step path exists for merging persisted
+    segment partials, where the extra exchange is the point)."""
     import polars as pl
 
     from ..functions.hashing import bucket_hash
@@ -298,6 +386,42 @@ def ownership_table(changes: "rd.Dataset", *, num_buckets: int = 32) -> "rd.Data
             top_changes="int64",
         )
     return out
+
+
+def cdc_ownership_incremental(sf_dir: str) -> "rd.Dataset":
+    """The ownership census computed INCREMENTALLY: the stream is split
+    at the midpoint sequence, each segment folds to its own mergeable
+    counts partial (``ownership_counts`` — what a streaming deployment
+    would persist per ingest window), the partials union and re-fold.
+    The result must be IDENTICAL to the full recompute, so the oracle is
+    ``SQL_OWNERSHIP`` itself — census mergeability stated as an equality
+    the driver hash-checks end-to-end (the ``cdc_reapply`` contract
+    pattern, applied to an aggregation instead of the upsert).
+
+    Precondition (documented, held by construction here): segments
+    partition the stream by change-id — a change-id redelivered WITHIN a
+    segment dedups in that segment's fold; one redelivered ACROSS
+    segments would double-count (a real deployment assigns segments by
+    commit_seq ranges, which makes cross-segment duplicates impossible
+    for seq-keyed ids)."""
+    import pyarrow.compute as pc
+
+    changes = changes_from_events(sf_dir)
+    mid = int(changes.max("commit_seq")) // 2
+
+    def lo(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less_equal(t["commit_seq"], mid))
+
+    def hi(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["commit_seq"], mid))
+
+    seg_a = ownership_counts(
+        changes_from_events(sf_dir).map_batches(lo, batch_format="pyarrow")
+    )
+    seg_b = ownership_counts(
+        changes_from_events(sf_dir).map_batches(hi, batch_format="pyarrow")
+    )
+    return ownership_from_counts(seg_a.union(seg_b))
 
 
 SQL_OWNERSHIP = f"""

@@ -285,3 +285,45 @@ def test_mining_exchanges_are_bounded_and_spread():
     )
     b = bucket_hash(mega, ["repo", "path"], 32)
     assert len(set(b.to_pylist())) > 16
+
+
+def test_ownership_counts_merge_equals_full_recompute():
+    """The mergeable-census contract on a crafted stream: per-segment
+    redelivery dedups inside the segment fold, and a (repo, path, author)
+    active in BOTH segments sums across the merge — the merged result is
+    identical to the full recompute."""
+    from aiw_i2b2_etl_ray.pipelines.cdc_mining import (
+        ownership_counts,
+        ownership_from_counts,
+        ownership_table,
+    )
+
+    seg_a = [
+        ("r1", "a.py", 1, "U", "u1"),
+        ("r1", "a.py", 1, "U", "u1"),  # redelivery inside segment A
+        ("r1", "a.py", 2, "U", "u2"),
+    ]
+    seg_b = [
+        ("r1", "a.py", 3, "U", "u2"),  # u2 spans both segments -> n=2
+        ("r1", "b.py", 4, "D", "u3"),
+    ]
+    merged = _pdf(
+        ownership_from_counts(
+            ownership_counts(_changes(seg_a)).union(ownership_counts(_changes(seg_b)))
+        )
+    ).sort_values("path").reset_index(drop=True)
+    full = (
+        _pdf(ownership_table(_changes(seg_a + seg_b)))
+        .sort_values("path")
+        .reset_index(drop=True)
+    )
+    assert merged.to_dict("records") == full.to_dict("records")
+    rec = merged.to_dict("records")[0]
+    assert rec == {
+        "repo": "r1",
+        "path": "a.py",
+        "n_authors": 2,
+        "n_changes": 3,
+        "top_author_id": "u2",
+        "top_changes": 2,
+    }
