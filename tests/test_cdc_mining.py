@@ -327,3 +327,44 @@ def test_ownership_counts_merge_equals_full_recompute():
         "top_author_id": "u2",
         "top_changes": 2,
     }
+
+
+def test_cochange_matches_bruteforce_on_random_stream():
+    import random
+    from collections import defaultdict
+    from itertools import combinations
+
+    from aiw_i2b2_etl_ray.pipelines.cdc_mining import cochange_table
+
+    rng = random.Random(11)
+    rows = []
+    for seq in range(400):
+        rows.append(
+            (
+                f"r{rng.randrange(4)}",
+                f"p{rng.randrange(12)}.py",
+                seq,
+                "U",
+                f"u{rng.randrange(3)}",
+            )
+        )
+        if rng.random() < 0.15:  # redelivery
+            rows.append(rows[-1])
+    B = 50
+    out = (
+        _pdf(cochange_table(_changes(rows, parts=9), bucket=B, min_sessions=1))
+        .sort_values(["repo", "path_a", "path_b"])
+        .reset_index(drop=True)
+    )
+    sess = defaultdict(set)
+    for repo, path, seq, _, _ in rows:
+        sess[(repo, seq // B)].add(path)
+    counts = defaultdict(int)
+    for (repo, _), paths in sess.items():
+        for a, b in combinations(sorted(paths), 2):
+            counts[(repo, a, b)] += 1
+    exp = [
+        {"repo": k[0], "path_a": k[1], "path_b": k[2], "n_sessions": v}
+        for k, v in sorted(counts.items())
+    ]
+    assert out.to_dict("records") == exp
