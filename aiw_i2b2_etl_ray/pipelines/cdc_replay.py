@@ -222,6 +222,18 @@ def _replay_impl(
                     os.remove(f)
     for p in paths.values():
         os.makedirs(p, exist_ok=True)
+        # reap orphan tmp files from a SIGKILLed prior run: every writer is
+        # atomic (tmp + os.replace), so a kill between open and rename can
+        # leave a partially-written `*.tmp-*` file that directory-scan
+        # readers (ray.data.read_parquet(dir)) would otherwise pick up.  A
+        # tmp file is only meaningful inside the process that created it
+        # (uuid-suffixed, renamed in the same call), so at replay start any
+        # survivor is garbage by construction.
+        for f in glob.glob(os.path.join(p, "*.tmp-*")):
+            os.remove(f)
+    # same reap for the job-manifest tmp at the out_dir root
+    for f in glob.glob(os.path.join(spec.out_dir, "*.tmp-*")):
+        os.remove(f)
 
     changes = read_changes(input_path) if isinstance(input_path, str) else input_path
     if spec.min_seq is not None or spec.max_seq is not None:

@@ -1,0 +1,206 @@
+"""A REAL mid-run driver kill: SIGKILL the `replay` CLI process while
+partition manifests are landing, then re-submit with --resume and require
+byte-level convergence to a clean single-run build.
+
+This is the north-star resumability claim exercised at its true surface
+(the reference restarts from scratch on any failure —
+dest/I2b2QueryResultsHandler.java:405-416; the engine's checkpoint
+manifest replaces that).  `test_replay_checkpoint.test_crash_resume`
+simulates the crash by dropping partitions pre-merge; here the driver
+process group actually dies mid-commit, which additionally exercises the
+orphan `*.tmp-*` reap (a kill between a writer's open and its
+os.replace leaves a partial file that directory-scan readers would
+otherwise pick up).
+"""
+
+import glob
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import pytest
+
+N_PARTITIONS = 64
+REPLAY_ARGS = [
+    "--num-partitions",
+    str(N_PARTITIONS),
+    "--salt-buckets",
+    "1",
+    "--hot-key-threshold",
+    "0",
+]
+
+
+def _replay_cmd(changes_dir: str, out: str, *extra: str) -> list[str]:
+    return [
+        sys.executable,
+        "-m",
+        "aiw_i2b2_etl_ray",
+        "replay",
+        "--input",
+        changes_dir,
+        "--out",
+        out,
+        *REPLAY_ARGS,
+        *extra,
+    ]
+
+
+def _env() -> dict:
+    return dict(os.environ, RAY_ADDRESS="local")
+
+
+def _manifests(out: str) -> list[str]:
+    return sorted(glob.glob(os.path.join(out, "_manifest", "part-*.json")))
+
+
+@pytest.fixture(scope="module")
+def kill_changes(tmp_path_factory):
+    """Large enough that the merge stage commits partitions over a
+    multi-second window (the kill target), small enough to stay quick."""
+    from aiw_i2b2_etl_ray.sources.synth import generate_changes
+
+    d = str(tmp_path_factory.mktemp("kill_changes"))
+    generate_changes(
+        d, 1_000_000, n_repos=8, paths_per_repo=400, seed=77, rows_per_file=250_000
+    )
+    return d
+
+
+def _load_state(out: str):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aiw_i2b2_etl_ray.stages.merge import load_path_dim
+
+    fact_files = sorted(glob.glob(os.path.join(out, "change_fact", "*.parquet")))
+    fact = pa.concat_tables([pq.read_table(f) for f in fact_files])
+    return load_path_dim(out), fact
+
+
+def _sorted_pdf(t, keys):
+    df = t.to_pandas()
+    return df[sorted(df.columns)].sort_values(keys, kind="mergesort").reset_index(drop=True)
+
+
+def test_sigkill_mid_run_then_resume_converges(kill_changes, tmp_path):
+    import pandas.testing as pdt
+
+    # --- ground truth: one clean uninterrupted run --------------------------
+    out_clean = str(tmp_path / "clean")
+    r = subprocess.run(
+        _replay_cmd(kill_changes, out_clean),
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        env=_env(),
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    clean_rows_applied = sum(
+        json.load(open(m))["rows_applied"] for m in _manifests(out_clean)
+    )
+    assert clean_rows_applied > 0
+
+    # --- the kill run: SIGKILL the whole process group mid-commit -----------
+    out_kill = str(tmp_path / "kill")
+    proc = subprocess.Popen(
+        _replay_cmd(kill_changes, out_kill, "--run-id", "killrun"),
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+        cwd="/root/repo",
+        env=_env(),
+        start_new_session=True,  # own pgid: killpg reaps Ray daemons too
+    )
+    deadline = time.time() + 300
+    while time.time() < deadline and proc.poll() is None:
+        if len(_manifests(out_kill)) >= 2:
+            break
+        time.sleep(0.01)
+    if proc.poll() is not None:
+        pytest.skip("replay finished before the kill window opened (host too fast)")
+    os.killpg(proc.pid, signal.SIGKILL)
+    proc.wait(timeout=60)
+
+    # let straggler worker tasks (owned by the dead driver, cancelled by the
+    # raylet on owner death) drain: wait for the manifest count to go quiet
+    # so the resume run's committed-partition snapshot is stable
+    n = -1
+    while True:
+        m = len(_manifests(out_kill))
+        if m == n:
+            break
+        n = m
+        time.sleep(2.0)
+    try:  # second sweep for any pgid member that outlived the first kill
+        os.killpg(proc.pid, signal.SIGKILL)
+    except ProcessLookupError:
+        pass
+    done_before = len(_manifests(out_kill))
+    # the job-level manifest is the LAST thing a run writes; if it exists or
+    # every partition committed, the kill landed too late to claim mid-run
+    if done_before >= N_PARTITIONS or os.path.exists(
+        os.path.join(out_kill, "_manifest", "job.json")
+    ):
+        pytest.skip("kill landed after every partition committed (host too fast)")
+    assert done_before > 0  # the poll condition guaranteed >=2 at kill time
+
+    # --- resume: same command + --resume + the crashed run's id -------------
+    r2 = subprocess.run(
+        _replay_cmd(kill_changes, out_kill, "--run-id", "killrun", "--resume"),
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        env=_env(),
+        timeout=600,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+
+    # --- convergence: identical final state, exactly-once lineage -----------
+    pd_clean, fact_clean = _load_state(out_clean)
+    pd_kill, fact_kill = _load_state(out_kill)
+    pdt.assert_frame_equal(
+        _sorted_pdf(pd_kill, ["repo", "path"]), _sorted_pdf(pd_clean, ["repo", "path"])
+    )
+    pdt.assert_frame_equal(
+        _sorted_pdf(fact_kill, ["repo", "path", "commit_seq"]),
+        _sorted_pdf(fact_clean, ["repo", "path", "commit_seq"]),
+    )
+    kill_rows_applied = sum(
+        json.load(open(m))["rows_applied"] for m in _manifests(out_kill)
+    )
+    assert kill_rows_applied == clean_rows_applied  # no double- or lost applies
+
+    # --- the reap: no orphan tmp garbage survives the resumed run -----------
+    assert glob.glob(os.path.join(out_kill, "**", "*.tmp-*"), recursive=True) == []
+
+
+def test_orphan_tmp_files_are_reaped_on_resume(tiny_changes, tmp_path):
+    """Deterministic pin of the reap itself: plant tmp garbage (as a killed
+    writer would leave) and require the resumed replay to remove it and to
+    keep it out of every table read."""
+    from aiw_i2b2_etl_ray.config import ReplaySpec, out_paths
+    from aiw_i2b2_etl_ray.pipelines.cdc_replay import replay
+
+    spec = ReplaySpec(
+        out_dir=str(tmp_path / "out"), num_partitions=8, salt_buckets=1, hot_key_threshold=0
+    )
+    replay(tiny_changes, spec, run_id="runA", _debug_skip_partitions=[1, 3])
+    paths = out_paths(spec)
+    planted = []
+    for name in ("path_dim", "change_fact", "_manifest"):
+        p = os.path.join(paths[name], "part-00001.parquet.tmp-deadbeef")
+        with open(p, "wb") as f:
+            f.write(b"\x00partial parquet garbage")  # not a valid file
+        planted.append(p)
+    planted.append(os.path.join(spec.out_dir, "job.json.tmp-deadbeef"))
+    with open(planted[-1], "w") as f:
+        f.write("{")
+
+    replay(tiny_changes, spec, run_id="runB", resume=True)
+    for p in planted:
+        assert not os.path.exists(p), p
+    assert glob.glob(os.path.join(spec.out_dir, "**", "*.tmp-*"), recursive=True) == []
