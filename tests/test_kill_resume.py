@@ -86,6 +86,57 @@ def _sorted_pdf(t, keys):
     return df[sorted(df.columns)].sort_values(keys, kind="mergesort").reset_index(drop=True)
 
 
+def _committed_by(out: str, run_id: str) -> int:
+    """Partitions whose manifest was committed by the given run (manifests
+    are atomic JSON, so a read never sees a partial)."""
+    n = 0
+    for m in _manifests(out):
+        if json.load(open(m)).get("run_id") == run_id:
+            n += 1
+    return n
+
+
+def _spawn_and_kill_mid_commit(cmd: list[str], ready) -> None:
+    """Start the replay CLI in its own process group, SIGKILL the group the
+    moment `ready()` turns true (manifests landing), then wait for straggler
+    worker tasks (owned by the dead driver, cancelled by the raylet on owner
+    death) to drain so the resume run's committed-partition snapshot is
+    stable."""
+    proc = subprocess.Popen(
+        cmd,
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+        cwd="/root/repo",
+        env=_env(),
+        start_new_session=True,  # own pgid: killpg reaps Ray daemons too
+    )
+    deadline = time.time() + 300
+    while time.time() < deadline and proc.poll() is None:
+        if ready():
+            break
+        time.sleep(0.02)
+    if proc.poll() is not None:
+        pytest.skip("replay finished before the kill window opened (host too fast)")
+    os.killpg(proc.pid, signal.SIGKILL)
+    proc.wait(timeout=60)
+    n = -1
+    while True:
+        m = len(_manifests_anywhere(cmd))
+        if m == n:
+            break
+        n = m
+        time.sleep(2.0)
+    try:  # second sweep for any pgid member that outlived the first kill
+        os.killpg(proc.pid, signal.SIGKILL)
+    except ProcessLookupError:
+        pass
+
+
+def _manifests_anywhere(cmd: list[str]) -> list[str]:
+    out = cmd[cmd.index("--out") + 1]
+    return _manifests(out)
+
+
 def test_sigkill_mid_run_then_resume_converges(kill_changes, tmp_path):
     import pandas.testing as pdt
 
@@ -107,38 +158,10 @@ def test_sigkill_mid_run_then_resume_converges(kill_changes, tmp_path):
 
     # --- the kill run: SIGKILL the whole process group mid-commit -----------
     out_kill = str(tmp_path / "kill")
-    proc = subprocess.Popen(
+    _spawn_and_kill_mid_commit(
         _replay_cmd(kill_changes, out_kill, "--run-id", "killrun"),
-        stdout=subprocess.DEVNULL,
-        stderr=subprocess.DEVNULL,
-        cwd="/root/repo",
-        env=_env(),
-        start_new_session=True,  # own pgid: killpg reaps Ray daemons too
+        ready=lambda: len(_manifests(out_kill)) >= 2,
     )
-    deadline = time.time() + 300
-    while time.time() < deadline and proc.poll() is None:
-        if len(_manifests(out_kill)) >= 2:
-            break
-        time.sleep(0.01)
-    if proc.poll() is not None:
-        pytest.skip("replay finished before the kill window opened (host too fast)")
-    os.killpg(proc.pid, signal.SIGKILL)
-    proc.wait(timeout=60)
-
-    # let straggler worker tasks (owned by the dead driver, cancelled by the
-    # raylet on owner death) drain: wait for the manifest count to go quiet
-    # so the resume run's committed-partition snapshot is stable
-    n = -1
-    while True:
-        m = len(_manifests(out_kill))
-        if m == n:
-            break
-        n = m
-        time.sleep(2.0)
-    try:  # second sweep for any pgid member that outlived the first kill
-        os.killpg(proc.pid, signal.SIGKILL)
-    except ProcessLookupError:
-        pass
     done_before = len(_manifests(out_kill))
     # the job-level manifest is the LAST thing a run writes; if it exists or
     # every partition committed, the kill landed too late to claim mid-run
@@ -176,6 +199,96 @@ def test_sigkill_mid_run_then_resume_converges(kill_changes, tmp_path):
 
     # --- the reap: no orphan tmp garbage survives the resumed run -----------
     assert glob.glob(os.path.join(out_kill, "**", "*.tmp-*"), recursive=True) == []
+
+
+def test_sigkill_mid_update_run_then_resume_converges(kill_changes, tmp_path):
+    """The incremental path: SIGKILL an update-mode (tail-apply) run while
+    its watermark bumps are landing, resume with the crashed run's id, and
+    require convergence to a clean base+tail build with exactly-once
+    lineage.  Update mode is the harder case — every partition already has
+    a manifest from the base load, so resume must skip by run_id, and the
+    per-partition watermark (not manifest presence) carries exactly-once."""
+    import shutil
+
+    import pandas.testing as pdt
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    # split the log at the median commit_seq: base load + incremental tail
+    t = pads.dataset(kill_changes).to_table()
+    cut = int(pc.approximate_median(t["commit_seq"]).as_py())
+    base_d, tail_d = str(tmp_path / "base"), str(tmp_path / "tail")
+    os.makedirs(base_d), os.makedirs(tail_d)
+    pq.write_table(
+        t.filter(pc.less(t["commit_seq"], cut)), os.path.join(base_d, "chunk-0.parquet")
+    )
+    pq.write_table(
+        t.filter(pc.greater_equal(t["commit_seq"], cut)),
+        os.path.join(tail_d, "chunk-0.parquet"),
+    )
+
+    # clean base load, cloned for the kill branch (identical starting state)
+    out_ref = str(tmp_path / "ref")
+    r = subprocess.run(
+        _replay_cmd(base_d, out_ref, "--run-id", "base"),
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        env=_env(),
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out_k = str(tmp_path / "k")
+    shutil.copytree(out_ref, out_k)
+
+    # ground truth: clean uninterrupted tail apply
+    r = subprocess.run(
+        _replay_cmd(tail_d, out_ref, "--mode", "update", "--run-id", "uref"),
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        env=_env(),
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    ref_rows_applied = sum(
+        json.load(open(m))["rows_applied"] for m in _manifests(out_ref)
+    )
+
+    # the kill: update run dies while per-partition watermark bumps land
+    _spawn_and_kill_mid_commit(
+        _replay_cmd(tail_d, out_k, "--mode", "update", "--run-id", "upk"),
+        ready=lambda: _committed_by(out_k, "upk") >= 2,
+    )
+    done_before = _committed_by(out_k, "upk")
+    if done_before >= N_PARTITIONS:
+        pytest.skip("kill landed after every partition committed (host too fast)")
+    assert done_before > 0
+
+    # resume the tail apply with the crashed run's id
+    r2 = subprocess.run(
+        _replay_cmd(tail_d, out_k, "--mode", "update", "--run-id", "upk", "--resume"),
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        env=_env(),
+        timeout=600,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+
+    pd_ref, fact_ref = _load_state(out_ref)
+    pd_k, fact_k = _load_state(out_k)
+    pdt.assert_frame_equal(
+        _sorted_pdf(pd_k, ["repo", "path"]), _sorted_pdf(pd_ref, ["repo", "path"])
+    )
+    pdt.assert_frame_equal(
+        _sorted_pdf(fact_k, ["repo", "path", "commit_seq"]),
+        _sorted_pdf(fact_ref, ["repo", "path", "commit_seq"]),
+    )
+    k_rows_applied = sum(json.load(open(m))["rows_applied"] for m in _manifests(out_k))
+    assert k_rows_applied == ref_rows_applied  # exactly-once across the kill
+    assert glob.glob(os.path.join(out_k, "**", "*.tmp-*"), recursive=True) == []
 
 
 def test_orphan_tmp_files_are_reaped_on_resume(tiny_changes, tmp_path):
