@@ -113,6 +113,46 @@ def test_schema_evolution_size_backfill(tmp_path, tiny_changes):
     assert pd_t["size"].isna().any(), "pre-evolution rows should be null-backfilled"
 
 
+def test_schema_evolution_widened_column(tmp_path):
+    """The other half of the evolution rule: a log segment written with a
+    NARROWER physical type (size as int32) must be widened to the engine
+    schema's int64 at the read (pads explicit-schema cast), and both
+    segments' values must survive the merge."""
+    import pyarrow as pa
+
+    log = tmp_path / "log"
+    log.mkdir()
+
+    def seg(fname, rows, size_type):
+        t = pa.table(
+            {
+                "repo": pa.array([r[0] for r in rows]),
+                "path": pa.array([r[1] for r in rows]),
+                "commit": pa.array([r[2] for r in rows]),
+                "lang": pa.array(["py"] * len(rows)),
+                "content": pa.array([r[3] for r in rows], pa.large_string()),
+                "commit_seq": pa.array([r[4] for r in rows], pa.int64()),
+                "op": pa.array(["insert"] * len(rows)),
+                "size": pa.array([len(r[3]) for r in rows], size_type),
+            }
+        )
+        pq.write_table(t, str(log / fname))
+
+    # segment 1: pre-widening producer (int32 size); segment 2: int64
+    seg("seg-0.parquet", [("r1", "a.py", "c1", "aaaa", 0), ("r1", "b.py", "c2", "bb", 1)], pa.int32())
+    seg("seg-1.parquet", [("r1", "a.py", "c3", "aaaaaa", 2), ("r2", "c.py", "c4", "ccc", 3)], pa.int64())
+
+    spec = ReplaySpec(
+        out_dir=str(tmp_path / "out"), num_partitions=4, salt_buckets=1, hot_key_threshold=0
+    )
+    replay(str(log), spec)
+    pd_t = load_path_dim(spec.out_dir).to_pandas().set_index(["repo", "path"])
+    assert load_path_dim(spec.out_dir).schema.field("size").type == pa.int64()
+    assert pd_t.loc[("r1", "a.py"), "size"] == 6  # LWW: the int64 segment
+    assert pd_t.loc[("r1", "b.py"), "size"] == 2  # widened from the int32 segment
+    assert pd_t.loc[("r2", "c.py"), "size"] == 3
+
+
 def test_hot_key_salting(tmp_path, tiny_changes, tiny_oracle):
     """Low threshold forces the churned hot path through salted sub-partitions
     + the final per-key reduce; result must still converge to golden."""
