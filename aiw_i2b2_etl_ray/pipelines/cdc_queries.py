@@ -108,19 +108,32 @@ def _fact_mod_cached(sf_dir: str) -> rd.Dataset:
 def _reduce_to_path_dim(facts: rd.Dataset) -> rd.Dataset:
     """Per-key last-writer-wins reduce of (already-deduped) facts into
     path_dim rows — the merger's reduction, re-expressed over a fact
-    Dataset.  Per-repo groups keep the inner reduce vectorized (few
-    calls, not one per path)."""
+    Dataset.
+
+    Combiner-first: facts come out of the merge partitioned by pkey, so
+    nearly every (repo, path) lives entirely in one block — a per-block
+    LWW partial shrinks the table to ~path_dim size BEFORE the groupby
+    shuffle (the all-to-all moves dim rows, not fact rows; ~26x fewer at
+    sf0.1).  The reduce is associative: facts are change-id-deduped, so
+    (repo, path, commit_seq) is unique and max-by-commit_seq composes."""
     import polars as pl
 
     from ..stages.merge import _path_dim_from_last
 
+    COLS = ["repo", "path", "commit", "lang", "commit_seq", "op", "content_sha256"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t.select(COLS))
+            .sort("commit_seq", maintain_order=True)
+            .group_by(["repo", "path"], maintain_order=True)
+            .last()
+            .to_arrow()
+        )
+
     def to_pdim(g: pa.Table) -> pa.Table:
         last = (
-            pl.from_arrow(
-                g.select(
-                    ["repo", "path", "commit", "lang", "commit_seq", "op", "content_sha256"]
-                )
-            )
+            pl.from_arrow(g.select(COLS))
             .with_columns(pl.lit(None, dtype=pl.Int64).alias("size"))
             .sort("commit_seq", maintain_order=True)
             .group_by(["repo", "path"], maintain_order=True)
@@ -128,7 +141,9 @@ def _reduce_to_path_dim(facts: rd.Dataset) -> rd.Dataset:
         )
         return _path_dim_from_last(last)
 
-    return facts.groupby("repo").map_groups(to_pdim, batch_format="pyarrow")
+    # batch_size=None => whole blocks, the widest (cheapest) combiner scope
+    partials = facts.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    return partials.groupby("repo").map_groups(to_pdim, batch_format="pyarrow")
 
 
 @lru_cache(maxsize=4)  # the materialization memo — keyed on the input
