@@ -1071,11 +1071,13 @@ def cdc_renames(sf_dir: str) -> "rd.Dataset":
     ≤ 2 rows per touched key); the fold groups by repo only — the inner
     per-path argmax is one vectorized polars pass, the same
     bounded-group pattern as ``_reduce_to_path_dim`` (paths per repo is
-    bounded; repos are not).  The dead side's pre-delete digest joins
-    the live side's current digest via ``bucketed_join`` on
-    (repo, digest) — path_dim-sized operands, never the fact stream —
-    and the candidate pairs (bounded by true rename activity) reduce to
-    one deterministic target per moved path with a keyed string Min."""
+    bounded; repos are not).  Rename matching is repo-local by
+    definition, and the repo-keyed sort has already co-located every
+    repo's rows — so the dead-digest/live-digest join happens INSIDE the
+    fold as a group-local polars hash join (one shuffle total; no second
+    groupby, no cross-group join stage).  A per-(repo, digest) min-path
+    pre-reduce inside the group keeps a mass-duplicated digest
+    1:1-bounded instead of O(dead x live) candidate pairs."""
     return renames_table(_fact_cached(sf_dir))
 
 
@@ -1083,8 +1085,6 @@ def renames_table(facts: rd.Dataset) -> "rd.Dataset":
     """Core of ``cdc_renames`` over any deduped fact Dataset (see there);
     split out so tests can drive it with crafted change streams."""
     import polars as pl
-
-    from ..stages.join import bucketed_join
 
     def last_partials(t: pa.Table) -> pa.Table:
         # _fact_cached is the base fact table (modifier_cd uniformly '@'),
@@ -1116,118 +1116,56 @@ def renames_table(facts: rd.Dataset) -> "rd.Dataset":
         )
         last = df.filter(pl.col("tag") == "a")
         dead = last.filter(pl.col("op") == "D").select(["repo", "path"])
-        pre = (
-            dead.join(
-                df.filter(pl.col("tag") == "l"), on=["repo", "path"], how="inner"
-            )
-            .select(
-                ["repo", pl.col("path").alias("old_path"), pl.col("content_sha256").alias("digest")]
-            )
-            .with_columns(pl.lit("dead").alias("side"))
-            .rename({"old_path": "path"})
+        pre = dead.join(
+            df.filter(pl.col("tag") == "l"), on=["repo", "path"], how="inner"
+        ).select(
+            "repo",
+            pl.col("path").alias("old_path"),
+            pl.col("content_sha256").alias("digest"),
         )
-        live = (
+        # SKEW GUARD: a mass-duplicated digest (license boilerplate,
+        # vendored files — common in code corpora) would otherwise pair
+        # every dead carrier with every live carrier (O(d x l) per
+        # digest).  Only the MIN live path per (repo, digest) can ever be
+        # the answer — and dead and live path sets are provably disjoint
+        # per (repo, path) (each key has exactly ONE last state), so
+        # min-over-all equals SQL's min-over-excluding-old_path.  The
+        # pre-reduce keeps the group-local join 1:1-bounded.
+        live_min = (
             last.filter(pl.col("op") != "D")
-            .select(["repo", "path", pl.col("content_sha256").alias("digest")])
-            .with_columns(pl.lit("live").alias("side"))
+            .group_by("repo", pl.col("content_sha256").alias("digest"))
+            .agg(pl.col("path").min().alias("new_path"))
         )
-        return pl.concat([pre, live]).to_arrow()
-
-    state = (
-        facts.map_batches(last_partials, batch_format="pyarrow")
-        .groupby("repo")
-        .map_groups(fold, batch_format="pyarrow")
-        .materialize()  # path_dim-sized; consumed by both join sides
-    )
-    pre_side = state.map_batches(
-        lambda t: t.filter(pc.equal(t["side"], "dead"))
-        .select(["repo", "path", "digest"])
-        .rename_columns(["repo", "old_path", "digest"]),
-        batch_format="pyarrow",
-    )
-    # SKEW GUARD: a mass-duplicated digest (license boilerplate, vendored
-    # files — common in code corpora) would otherwise pair every dead
-    # carrier with every live carrier inside one join bucket (O(d x l)
-    # per digest).  Only the MIN live path per (repo, digest) can ever be
-    # the answer — and dead and live path sets are provably disjoint per
-    # (repo, path) (each key has exactly ONE last state), so min-over-all
-    # equals SQL's min-over-excluding-old_path.  Pre-reduce the live side
-    # to one row per key: the join becomes 1:1-bounded, skew-proof, and
-    # the exchange shrinks to distinct (repo, digest) keys.
-    from ray.data.aggregate import Min
-
-    def live_min_partial(t: pa.Table) -> pa.Table:
         return (
-            pl.from_arrow(t)
-            .filter(pl.col("side") == "live")
-            .group_by(["repo", "digest"])
-            .agg(pl.col("path").min().alias("path"))
+            pre.join(live_min, on=["repo", "digest"], how="inner")
+            # kept for SQL parity; disjointness makes it a no-op
+            .filter(pl.col("new_path") != pl.col("old_path"))
+            .select(
+                "repo",
+                "old_path",
+                "new_path",
+                pl.col("digest").alias("content_sha256"),
+            )
             .to_arrow()
         )
 
-    live_side = (
-        state.map_batches(live_min_partial, batch_format="pyarrow")
-        .groupby(["repo", "digest"])
-        .aggregate(Min("path", alias_name="path"))
+    out = (
+        facts.map_batches(last_partials, batch_format="pyarrow")
+        .groupby("repo")
+        .map_groups(fold, batch_format="pyarrow")
+        .materialize()  # bounded by true rename activity
     )
-
-    def _empty():
+    if out.count() == 0:
         from ..util import empty_frame
 
+        # all-blocks-empty loses the schema; return the typed empty frame
         return empty_frame(
             repo="string",
             old_path="string",
             new_path="string",
             content_sha256="string",
         )
-
-    # a stream with no deleted paths (the common healthy case) short-
-    # circuits on a cheap filter-count over the materialized state; an
-    # empty LIVE side needs no guard — the join plans from the explicit
-    # schemas and the cand.count() check below catches the empty result
-    if pre_side.count() == 0:
-        return _empty()
-
-    _pre_schema = pa.schema(
-        [("repo", pa.string()), ("old_path", pa.string()), ("digest", pa.string())]
-    )
-    _live_schema = pa.schema(
-        [("repo", pa.string()), ("path", pa.string()), ("digest", pa.string())]
-    )
-    cand = bucketed_join(
-        pre_side,
-        live_side,
-        on=["repo", "digest"],
-        num_buckets=16,
-        l_schema=_pre_schema,
-        r_schema=_live_schema,
-    ).materialize()  # bounded by true rename activity
-    if cand.count() == 0:
-        return _empty()
-
-    return (
-        cand.map_batches(
-            # right side is unique per (repo, digest), so each dead row
-            # joined at most one row — a pure projection remains (the
-            # path != old_path filter is kept for SQL parity even though
-            # dead and live path sets cannot intersect)
-            lambda t: pl.from_arrow(t)
-            .filter(pl.col("path") != pl.col("old_path"))
-            .to_arrow(),
-            batch_format="pyarrow",
-        )
-        .map_batches(
-            lambda t: pa.table(
-                {
-                    "repo": t["repo"],
-                    "old_path": t["old_path"],
-                    "new_path": t["path"],
-                    "content_sha256": t["digest"],
-                }
-            ),
-            batch_format="pyarrow",
-        )
-    )
+    return out
 
 
 SQL_RENAMES = f"""
