@@ -293,6 +293,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "multimodal_resize": mm.multimodal_resize,
             }
         )
+        from aiw_i2b2_etl_ray.pipelines import profiling as pf
+
+        # per-column datasheet census (new r5 s10): count/nulls/distinct/
+        # min/max per column in two bounded passes — dim-sized partials,
+        # map-side-DISTINCT pair exchange (local-oracle; the r5 window was
+        # already allocated to never-verified entries)
+        cat["table_profile"] = pf.table_profile
     except ImportError:
         pass
     # Driver-window ordering: the correctness gate checks only the FIRST 50
@@ -711,6 +718,9 @@ def oracle_sql() -> dict[str, str]:
         from aiw_i2b2_etl_ray.pipelines import retrieval as rt
 
         sql["term_topk"] = rt.SQL_TERM_TOPK
+        from aiw_i2b2_etl_ray.pipelines import profiling as pf
+
+        sql["table_profile"] = pf.SQL_TABLE_PROFILE
         from aiw_i2b2_etl_ray.pipelines import multimodal as mm
 
         sql.update(

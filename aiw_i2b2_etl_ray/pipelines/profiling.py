@@ -1,0 +1,234 @@
+"""Per-column data-profiling census — the "datasheet" pass every
+large-scale ingest runs before training-data work (null rates, value
+ranges, cardinalities per column; the Deequ / TFDV profiling shape).
+
+Mirrors the reference's post-load census habit (A1 row counts,
+`dest/I2b2QueryResultsHandler.java` logs table counts after load) widened
+to the per-column statistics a 100 TB corpus intake needs.
+
+Scale plan: ONE streaming pass computes associative per-block partials
+(count / null-count / min / max per column — a fixed ``len(columns)``
+rows per block), so the fold input is dim-sized, never data-sized.
+Distinct counts are exact and combiner-first: each block emits its
+DISTINCT (col, value) pairs (bounded by the block's distinct count, the
+same map-side-DISTINCT bound the Q16/cdc_ownership exchanges use), one
+keyed groupby collapses them globally, and per-batch (col, partial-n)
+counts over THAT — at most |cols| rows per block — sum to the global
+cardinalities.  Nothing data-sized ever lands on the driver: the driver
+folds only ``len(columns)``-row tables.
+
+Min/max fold in NATIVE type (int64 / string) and stringify only at the
+end — dates go through ISO 'YYYY-MM-DD' strings, which are
+order-isomorphic to date order, so a string min/max is the date min/max.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from ..util import worker_runtime_env
+
+#: profiled lineitem columns: a deliberate mix of high-cardinality int,
+#: tiny-domain flags, mid-domain strings, and a date
+PROFILE_COLS = [
+    ("l_orderkey", "int"),
+    ("l_partkey", "int"),
+    ("l_suppkey", "int"),
+    ("l_linenumber", "int"),
+    ("l_returnflag", "str"),
+    ("l_linestatus", "str"),
+    ("l_shipdate", "date"),
+]
+
+_PARTIAL_SCHEMA = pa.schema(
+    [
+        ("col", pa.string()),
+        ("n_rows", pa.int64()),
+        ("n_nulls", pa.int64()),
+        ("min_i", pa.int64()),
+        ("max_i", pa.int64()),
+        ("min_s", pa.string()),
+        ("max_s", pa.string()),
+    ]
+)
+
+
+def _col_as_string(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """String image of the values — distinctness-preserving for every
+    profiled type, and order-isomorphic for dates (ISO 'YYYY-MM-DD'), so
+    a string min/max over it IS the date min/max."""
+    return pc.cast(arr, pa.string())
+
+
+def _stats_partial(t: pa.Table) -> pa.Table:
+    """Fixed-shape per-block partial: one row per profiled column."""
+    rows = {k: [] for k in _PARTIAL_SCHEMA.names}
+    for name, kind in PROFILE_COLS:
+        col = t[name]
+        n = len(col)
+        nulls = col.null_count
+        rows["col"].append(name)
+        rows["n_rows"].append(n)
+        rows["n_nulls"].append(nulls)
+        if n == nulls:  # all-null block: no min/max contribution
+            mm = {"min": None, "max": None}
+        else:
+            mm = pc.min_max(col).as_py() if kind != "date" else None
+        if kind == "int":
+            rows["min_i"].append(mm["min"])
+            rows["max_i"].append(mm["max"])
+            rows["min_s"].append(None)
+            rows["max_s"].append(None)
+        else:
+            if kind == "date":
+                # explicit second-granularity image, pinned on BOTH sides
+                # (the oracle uses the same strftime) — Arrow's default
+                # timestamp cast prints microseconds, DuckDB's does not.
+                # strftime is monotone, so min/max of images == image of
+                # min/max even if a future table carries sub-second parts.
+                # Arrow's %S prints fractional digits for sub-second
+                # units — truncate to seconds first (monotone, matches
+                # DuckDB's integer-seconds %S)
+                sec = pc.cast(col, pa.timestamp("s"), safe=False)
+                s = pc.strftime(sec, format="%Y-%m-%d %H:%M:%S")
+                mm = pc.min_max(s).as_py() if n != nulls else {"min": None, "max": None}
+            rows["min_i"].append(None)
+            rows["max_i"].append(None)
+            rows["min_s"].append(mm["min"])
+            rows["max_s"].append(mm["max"])
+    return pa.table(rows, schema=_PARTIAL_SCHEMA)
+
+
+def _distinct_pairs(t: pa.Table) -> pa.Table:
+    """Map-side DISTINCT (col, value-string) pairs for this block —
+    the exchange carries each block's distinct values once, never rows."""
+    cols, vals = [], []
+    for name, kind in PROFILE_COLS:
+        u = pc.unique(pc.drop_null(_col_as_string(t[name])))
+        cols.append(pa.array([name] * len(u), pa.string()))
+        vals.append(u.cast(pa.string()))
+    return pa.table(
+        {
+            "col": pa.concat_arrays(cols),
+            "v": pa.concat_arrays([v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v for v in vals]),
+        }
+    )
+
+
+def table_profile(sf_dir: str) -> pa.Table:
+    """Profile ``lineitem``'s :data:`PROFILE_COLS`: row count, null count,
+    exact distinct count, and min/max (stringified) per column.  Output is
+    one row per column — the bounded "datasheet" a corpus intake records
+    next to its lineage manifest."""
+    names = [c for c, _ in PROFILE_COLS]
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=names)
+
+    # --- pass A: associative per-block stats, dim-sized driver fold -----
+    partials = ds.map_batches(
+        _stats_partial, batch_format="pyarrow", **worker_runtime_env()
+    )
+    stats: dict[str, dict] = {
+        name: {"n": 0, "nulls": 0, "min_i": None, "max_i": None, "min_s": None, "max_s": None}
+        for name, _ in PROFILE_COLS
+    }
+    for blk in ray.get(partials.materialize().to_arrow_refs()):
+        if not len(blk) or "col" not in blk.schema.names:
+            continue  # empty map partition: schema-less block
+        for r in blk.to_pylist():  # <= len(PROFILE_COLS) rows per block
+            s = stats[r["col"]]
+            s["n"] += r["n_rows"]
+            s["nulls"] += r["n_nulls"]
+            for key, better in (("min_i", min), ("max_i", max), ("min_s", min), ("max_s", max)):
+                if r[key] is not None:
+                    s[key] = r[key] if s[key] is None else better(s[key], r[key])
+
+    # --- pass B: exact distinct counts, combiner-first -------------------
+    # global dedup of the (col, value) pairs, then |cols|-rows-per-block
+    # partial counts; the second exchange carries <= |cols| rows per block
+    uniq = (
+        ds.map_batches(_distinct_pairs, batch_format="pyarrow", **worker_runtime_env())
+        .groupby(["col", "v"])
+        .aggregate(Count(alias_name="_c"))
+    )
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        if not len(t) or "col" not in t.schema.names:
+            return pa.table({"col": pa.array([], pa.string()), "pn": pa.array([], pa.int64())})
+        import polars as pl
+
+        return (
+            pl.from_arrow(t.select(["col"]))
+            .group_by("col")
+            .agg(pl.len().cast(pl.Int64).alias("pn"))
+            .to_arrow()
+            .cast(pa.schema([("col", pa.string()), ("pn", pa.int64())]))
+        )
+
+    counts = (
+        uniq.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("col")
+        .aggregate(Sum("pn", alias_name="n_distinct"))
+    )
+    n_distinct: dict[str, int] = {}
+    for blk in ray.get(counts.materialize().to_arrow_refs()):
+        if not len(blk) or "col" not in blk.schema.names:
+            continue
+        for r in blk.to_pylist():
+            n_distinct[r["col"]] = int(r["n_distinct"])
+
+    out = {
+        "col": [],
+        "n_rows": [],
+        "n_nulls": [],
+        "n_distinct": [],
+        "min_v": [],
+        "max_v": [],
+    }
+    for name, kind in PROFILE_COLS:  # deterministic emission order
+        s = stats[name]
+        out["col"].append(name)
+        out["n_rows"].append(s["n"])
+        out["n_nulls"].append(s["nulls"])
+        out["n_distinct"].append(n_distinct.get(name, 0))
+        if kind == "int":
+            out["min_v"].append(None if s["min_i"] is None else str(s["min_i"]))
+            out["max_v"].append(None if s["max_i"] is None else str(s["max_i"]))
+        else:
+            out["min_v"].append(s["min_s"])
+            out["max_v"].append(s["max_s"])
+    return pa.table(
+        out,
+        schema=pa.schema(
+            [
+                ("col", pa.string()),
+                ("n_rows", pa.int64()),
+                ("n_nulls", pa.int64()),
+                ("n_distinct", pa.int64()),
+                ("min_v", pa.string()),
+                ("max_v", pa.string()),
+            ]
+        ),
+    )
+
+
+def _one(name: str, kind: str) -> str:
+    if kind == "date":  # same second-granularity image as the engine side
+        min_v = f"strftime(MIN({name}), '%Y-%m-%d %H:%M:%S')"
+        max_v = f"strftime(MAX({name}), '%Y-%m-%d %H:%M:%S')"
+    else:
+        min_v = f"CAST(MIN({name}) AS VARCHAR)"
+        max_v = f"CAST(MAX({name}) AS VARCHAR)"
+    return f"""SELECT '{name}' AS col,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT({name}) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT {name}) AS BIGINT) AS n_distinct,
+       {min_v} AS min_v,
+       {max_v} AS max_v
+FROM lineitem"""
+
+
+SQL_TABLE_PROFILE = "\nUNION ALL\n".join(_one(n, k) for n, k in PROFILE_COLS)
