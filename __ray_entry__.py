@@ -300,6 +300,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # map-side-DISTINCT pair exchange (local-oracle; the r5 window was
         # already allocated to never-verified entries)
         cat["table_profile"] = pf.table_profile
+        # referential-integrity audit over every FK edge (new r5 s10):
+        # child side never shuffles rows (distinct-(fk, n) combiner), the
+        # parent key set is counted then broadcast or anti-joined
+        cat["fk_orphans"] = pf.fk_orphans
     except ImportError:
         pass
     # Driver-window ordering: the correctness gate checks only the FIRST 50
@@ -721,6 +725,7 @@ def oracle_sql() -> dict[str, str]:
         from aiw_i2b2_etl_ray.pipelines import profiling as pf
 
         sql["table_profile"] = pf.SQL_TABLE_PROFILE
+        sql["fk_orphans"] = pf.SQL_FK_ORPHANS
         from aiw_i2b2_etl_ray.pipelines import multimodal as mm
 
         sql.update(

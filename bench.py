@@ -237,6 +237,8 @@ def run_queries() -> dict[str, float]:
         # ownership census
         "cdc_cochange",
         "cdc_ownership",
+        # r5 session-10: per-column datasheet census (two bounded passes)
+        "table_profile",
     ]
     q = e.queries()
     out = {}

@@ -86,3 +86,94 @@ def test_distinct_pairs_drops_nulls_and_dedups_in_block():
     assert not any(v is None for v in p["v"].to_pylist())
     # in-block dedup: one pair per distinct value
     assert len(pairs) == len(p)
+
+
+# --- fk_orphans ---------------------------------------------------------------
+
+
+def _mini_tables(d, *, null_fk=False, orphan_fk=False):
+    """Minimal 7-table layout exercising every FK edge."""
+    import pyarrow.parquet as pq
+
+    def w(name, tbl):
+        pq.write_table(tbl, f"{d}/{name}.parquet")
+
+    w("region", pa.table({"r_regionkey": pa.array([0, 1], pa.int64())}))
+    w(
+        "nation",
+        pa.table(
+            {
+                "n_nationkey": pa.array([0, 1, 2], pa.int64()),
+                # one NULL FK and/or one dangling FK when requested
+                "n_regionkey": pa.array(
+                    [0, None if null_fk else 1, 9 if orphan_fk else 0], pa.int64()
+                ),
+            }
+        ),
+    )
+    w(
+        "customer",
+        pa.table(
+            {
+                "c_custkey": pa.array([10, 11], pa.int64()),
+                "c_nationkey": pa.array([0, 2], pa.int64()),
+            }
+        ),
+    )
+    w(
+        "supplier",
+        pa.table(
+            {
+                "s_suppkey": pa.array([20], pa.int64()),
+                "s_nationkey": pa.array([1], pa.int64()),
+            }
+        ),
+    )
+    w("part", pa.table({"p_partkey": pa.array([30, 31], pa.int64())}))
+    w(
+        "orders",
+        pa.table(
+            {
+                "o_orderkey": pa.array([40, 41, 42], pa.int64()),
+                "o_custkey": pa.array([10, 11, 10], pa.int64()),
+            }
+        ),
+    )
+    w(
+        "lineitem",
+        pa.table(
+            {
+                "l_orderkey": pa.array([40, 40, 42], pa.int64()),
+                "l_partkey": pa.array([30, 31, 30], pa.int64()),
+                "l_suppkey": pa.array([20, 20, 20], pa.int64()),
+            }
+        ),
+    )
+
+
+def test_fk_orphans_counts_null_and_dangling_fks(tmp_path):
+    from aiw_i2b2_etl_ray.pipelines.profiling import fk_orphans
+
+    d = str(tmp_path)
+    _mini_tables(d, null_fk=True, orphan_fk=True)
+    rows = {r["rel"]: r for r in fk_orphans(d).to_pylist()}
+    # nation has 3 rows: one valid FK (0), one NULL, one dangling (9)
+    assert rows["nation->region"]["n_child"] == 3
+    assert rows["nation->region"]["n_orphan"] == 2
+    # every other edge is fully contained
+    for rel, r in rows.items():
+        if rel != "nation->region":
+            assert r["n_orphan"] == 0, rel
+
+
+def test_fk_orphans_anti_join_branch_matches_broadcast(tmp_path, monkeypatch):
+    """Forcing the distributed anti-join plan (parent 'too large to
+    broadcast') must produce the identical audit."""
+    from aiw_i2b2_etl_ray.pipelines import profiling
+
+    d = str(tmp_path)
+    _mini_tables(d, null_fk=True, orphan_fk=True)
+    base = profiling.fk_orphans(d).to_pylist()
+    monkeypatch.setattr(profiling, "FK_BROADCAST_LIMIT", 0)
+    forced = profiling.fk_orphans(d).to_pylist()
+    assert forced == base
