@@ -235,36 +235,19 @@ FK_RELATIONSHIPS = [
 FK_BROADCAST_LIMIT = 2_000_000
 
 
-def _fk_counts(child_ds: rd.Dataset, fk: str) -> rd.Dataset:
-    """Distinct FK values with their row counts — combiner-first, so the
-    exchange carries each block's distinct keys once, never child rows."""
-    import polars as pl
+_FKC_SCHEMA = pa.schema([("rel", pa.string()), ("v", pa.int64()), ("n", pa.int64())])
+
+
+def _sum_col(ds: rd.Dataset, col: str) -> int:
+    """Sum a bounded partials column, empty/schema-less-block-safe (the
+    sort-groupby empty-reduce-partition class)."""
 
     def partial(t: pa.Table) -> pa.Table:
-        return (
-            pl.from_arrow(t.select([fk]))
-            .rename({fk: "v"})
-            .drop_nulls()
-            .group_by("v")
-            .agg(pl.len().cast(pl.Int64).alias("n"))
-            .to_arrow()
-            .cast(pa.schema([("v", pa.int64()), ("n", pa.int64())]))
-        )
+        if not len(t) or col not in t.schema.names:
+            return pa.table({"s": pa.array([], pa.int64())})
+        return pa.table({"s": pa.array([int(pc.sum(t[col]).as_py() or 0)], pa.int64())})
 
-    return (
-        child_ds.map_batches(partial, batch_format="pyarrow", **worker_runtime_env())
-        .groupby("v")
-        .aggregate(Sum("n", alias_name="n"))
-    )
-
-
-def _sum_n(ds: rd.Dataset) -> int:
-    """Sum of the bounded (v, n) table's counts, empty-block-safe."""
-    total = 0
-    for blk in ray.get(ds.materialize().to_arrow_refs()):
-        if len(blk) and "n" in blk.schema.names:
-            total += int(pc.sum(blk["n"]).as_py() or 0)
-    return total
+    return int(ds.map_batches(partial, batch_format="pyarrow").sum("s") or 0)
 
 
 def fk_orphans(sf_dir: str) -> pa.Table:
@@ -277,70 +260,148 @@ def fk_orphans(sf_dir: str) -> pa.Table:
     (A1, `dest/I2b2QueryResultsHandler.java` table-count logging) extended
     to cross-table key containment.
 
-    Scale plan per edge: the child side never shuffles rows — a
-    combiner-first distinct-(fk, count) table bounds the exchange by the
-    child's key cardinality.  The parent key set is COUNTED first: at or
-    below :data:`FK_BROADCAST_LIMIT` it broadcasts once (``ray.put`` of a
-    sorted int array, searchsorted membership per block); above it the
-    orphan screen is a distributed ``bucketed_join(how="anti")`` and
-    nothing parent-sized lands on the driver."""
+    Scale plan: child rows never shuffle — each child table is read ONCE
+    for ALL of its FK edges (lineitem's three edges share one pass) and a
+    combiner-first distinct-(rel, fk, count) table bounds the exchange by
+    key cardinality.  Per-edge non-null totals and broadcast-parent
+    orphan counts fold from one-row-per-block partials over that table —
+    nothing data-sized lands on the driver.  Each parent key set is
+    COUNTED first: at or below :data:`FK_BROADCAST_LIMIT` it broadcasts
+    once (``ray.put`` of a sorted int array, searchsorted membership per
+    block); above it the orphan screen is a distributed
+    ``bucketed_join(how="anti")``."""
     import numpy as np
+    import polars as pl
 
     from ..stages.join import bucketed_join
 
-    out = {"rel": [], "n_child": [], "n_orphan": []}
-    for rel, child, fk, parent, pk in FK_RELATIONSHIPS:
-        child_ds = rd.read_parquet(f"{sf_dir}/{child}.parquet", columns=[fk])
-        n_child = child_ds.count()
-        fkc = _fk_counts(child_ds, fk)
-        non_null = _sum_n(fkc)
-
-        parent_ds = rd.read_parquet(f"{sf_dir}/{parent}.parquet", columns=[pk])
-        if parent_ds.count() <= FK_BROADCAST_LIMIT:
+    # --- parents: count once, broadcast-or-Dataset once per parent ------
+    parent_pk = {parent: pk for _, _, _, parent, pk in FK_RELATIONSHIPS}
+    parent_plan: dict[str, tuple] = {}
+    for parent, pk in parent_pk.items():
+        pds = rd.read_parquet(f"{sf_dir}/{parent}.parquet", columns=[pk])
+        if pds.count() <= FK_BROADCAST_LIMIT:
             keys = [
                 blk[pk].to_numpy(zero_copy_only=False)
-                for blk in ray.get(parent_ds.materialize().to_arrow_refs())
+                for blk in ray.get(pds.materialize().to_arrow_refs())
                 if len(blk) and pk in blk.schema.names
             ]
             pkeys = np.unique(np.concatenate(keys)) if keys else np.array([], np.int64)
-            pref = ray.put(pkeys)
+            parent_plan[parent] = ("bcast", ray.put(pkeys))
+        else:  # too large to broadcast: keep distributed for an anti-join
+            parent_plan[parent] = (
+                "ds",
+                pds.map_batches(
+                    lambda t, _pk=pk: pa.table({"v": t[_pk]}), batch_format="pyarrow"
+                ),
+            )
 
-            def orphan_partial(t: pa.Table, _ref=pref) -> pa.Table:
-                if not len(t) or "v" not in t.schema.names:
-                    return pa.table({"o": pa.array([], pa.int64())})
-                ks = ray.get(_ref)
+    # --- children: ONE pass per child table covering all its edges ------
+    by_child: dict[str, list] = {}
+    for rel, child, fk, parent, pk in FK_RELATIONSHIPS:
+        by_child.setdefault(child, []).append((rel, fk, parent))
+
+    n_child: dict[str, int] = {}  # per relationship
+    non_null: dict[str, int] = {}
+    orphan_nn: dict[str, int] = {}
+    for child, edges in by_child.items():
+        cols = sorted({fk for _, fk, _ in edges})
+        ds = rd.read_parquet(f"{sf_dir}/{child}.parquet", columns=cols)
+        rows = ds.count()
+        for rel, _, _ in edges:
+            n_child[rel] = rows
+
+        edge_fk = [(rel, fk) for rel, fk, _ in edges]
+
+        def fkc_partial(t: pa.Table, _edges=edge_fk) -> pa.Table:
+            df = pl.from_arrow(t)
+            parts = [
+                df.select(pl.col(fk).alias("v"))
+                .drop_nulls()
+                .group_by("v")
+                .agg(pl.len().cast(pl.Int64).alias("n"))
+                .with_columns(pl.lit(rel).alias("rel"))
+                .select(["rel", "v", "n"])
+                for rel, fk in _edges
+            ]
+            return pl.concat(parts).to_arrow().cast(_FKC_SCHEMA)
+
+        fkc = (
+            ds.map_batches(fkc_partial, batch_format="pyarrow", **worker_runtime_env())
+            .groupby(["rel", "v"])
+            .aggregate(Sum("n", alias_name="n"))
+            .materialize()  # reused: per-rel folds + any anti-join edges
+        )
+
+        # one partials pass folds per-rel non-null totals AND orphan counts
+        # for every broadcast-parent edge of this table: <= |edges| rows
+        # per block reach the driver
+        bcast_refs = {
+            rel: parent_plan[parent][1]
+            for rel, _, parent in edges
+            if parent_plan[parent][0] == "bcast"
+        }
+
+        def fold_partial(t: pa.Table, _refs=bcast_refs, _rels=[r for r, _, _ in edges]) -> pa.Table:
+            out = {"rel": [], "nn": [], "o": []}
+            if len(t) and "rel" in t.schema.names:
+                rel_np = t["rel"].to_numpy(zero_copy_only=False)
                 v = t["v"].to_numpy(zero_copy_only=False)
-                if ks.size:
-                    i = np.minimum(np.searchsorted(ks, v), ks.size - 1)
-                    miss = ks[i] != v
-                else:
-                    miss = np.ones(len(v), bool)
-                o = int(t["n"].to_numpy(zero_copy_only=False)[miss].sum())
-                return pa.table({"o": pa.array([o], pa.int64())})
+                n = t["n"].to_numpy(zero_copy_only=False)
+                for rel in _rels:
+                    m = rel_np == rel
+                    out["rel"].append(rel)
+                    out["nn"].append(int(n[m].sum()))
+                    if rel in _refs:
+                        ks = ray.get(_refs[rel])
+                        vv = v[m]
+                        if ks.size:
+                            i = np.minimum(np.searchsorted(ks, vv), ks.size - 1)
+                            miss = ks[i] != vv
+                        else:
+                            miss = np.ones(vv.size, bool)
+                        out["o"].append(int(n[m][miss].sum()))
+                    else:
+                        out["o"].append(0)
+            return pa.table(
+                {
+                    "rel": pa.array(out["rel"], pa.string()),
+                    "nn": pa.array(out["nn"], pa.int64()),
+                    "o": pa.array(out["o"], pa.int64()),
+                }
+            )
 
-            orphan_nonnull = int(
-                fkc.map_batches(orphan_partial, batch_format="pyarrow").sum("o") or 0
-            )
-        else:  # parent too large to broadcast: distributed anti-join
-            pkeys_ds = parent_ds.map_batches(
-                lambda t, _pk=pk: pa.table({"v": t[_pk]}),
-                batch_format="pyarrow",
-            )
-            orphans = bucketed_join(
-                fkc,
-                pkeys_ds,
-                on=["v"],
-                how="anti",
-                num_buckets=32,
-                l_schema=pa.schema([("v", pa.int64()), ("n", pa.int64())]),
-                r_schema=pa.schema([("v", pa.int64())]),
-            )
-            orphan_nonnull = _sum_n(orphans)
+        folded: dict[str, dict] = {rel: {"nn": 0, "o": 0} for rel, _, _ in edges}
+        parts = fkc.map_batches(fold_partial, batch_format="pyarrow").materialize()
+        for blk in ray.get(parts.to_arrow_refs()):  # <= |edges| rows/block
+            if not len(blk) or "rel" not in blk.schema.names:
+                continue
+            for r in blk.to_pylist():
+                folded[r["rel"]]["nn"] += r["nn"]
+                folded[r["rel"]]["o"] += r["o"]
+        for rel, _, parent in edges:
+            non_null[rel] = folded[rel]["nn"]
+            if parent_plan[parent][0] == "bcast":
+                orphan_nn[rel] = folded[rel]["o"]
+            else:  # distributed anti-join on the bounded distinct table
+                fkc_rel = fkc.filter(expr=f"rel == '{rel}'").drop_columns(["rel"])
+                orphans = bucketed_join(
+                    fkc_rel,
+                    parent_plan[parent][1],
+                    on=["v"],
+                    how="anti",
+                    num_buckets=32,
+                    l_schema=pa.schema([("v", pa.int64()), ("n", pa.int64())]),
+                    r_schema=pa.schema([("v", pa.int64())]),
+                )
+                orphan_nn[rel] = _sum_col(orphans, "n")
 
+    out = {"rel": [], "n_child": [], "n_orphan": []}
+    for rel, child, fk, parent, pk in FK_RELATIONSHIPS:  # deterministic order
         out["rel"].append(rel)
-        out["n_child"].append(n_child)
+        out["n_child"].append(n_child[rel])
         # NULL FKs never enter the distinct table; they are orphans
-        out["n_orphan"].append(orphan_nonnull + (n_child - non_null))
+        out["n_orphan"].append(orphan_nn[rel] + (n_child[rel] - non_null[rel]))
     return pa.table(
         out,
         schema=pa.schema(
