@@ -10,7 +10,8 @@ import pyarrow as pa
 
 from aiw_i2b2_etl_ray.pipelines.profiling import (
     _PARTIAL_SCHEMA,
-    _distinct_pairs,
+    _distinct_pairs_int,
+    _distinct_pairs_str,
     _stats_partial,
     PROFILE_COLS,
 )
@@ -78,14 +79,19 @@ def test_distinct_pairs_drops_nulls_and_dedups_in_block():
             "l_returnflag": pa.array(["R", "R", "R", None], pa.string()),
         }
     )
-    p = _distinct_pairs(t)
-    pairs = set(zip(p["col"].to_pylist(), p["v"].to_pylist()))
-    assert ("l_orderkey", "1") in pairs and ("l_orderkey", "2") in pairs
-    assert ("l_returnflag", "R") in pairs
+    pi = _distinct_pairs_int(t)
+    ps = _distinct_pairs_str(t)
+    # int-keyed columns exchange as int64 (never stringified)
+    assert pi["v"].type == pa.int64()
+    int_pairs = set(zip(pi["col"].to_pylist(), pi["v"].to_pylist()))
+    assert ("l_orderkey", 1) in int_pairs and ("l_orderkey", 2) in int_pairs
+    str_pairs = set(zip(ps["col"].to_pylist(), ps["v"].to_pylist()))
+    assert ("l_returnflag", "R") in str_pairs
     # nulls never enter the distinct exchange
-    assert not any(v is None for v in p["v"].to_pylist())
-    # in-block dedup: one pair per distinct value
-    assert len(pairs) == len(p)
+    assert not any(v is None for v in pi["v"].to_pylist() + ps["v"].to_pylist())
+    # in-block dedup: one pair per distinct value; streams are disjoint
+    assert len(int_pairs) == len(pi) and len(str_pairs) == len(ps)
+    assert {c for c, _ in int_pairs}.isdisjoint({c for c, _ in str_pairs})
 
 
 # --- fk_orphans ---------------------------------------------------------------
